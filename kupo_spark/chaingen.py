@@ -1,0 +1,131 @@
+"""Block-stream source: derive the kupo-shaped chain from the ``events`` table.
+
+This is the analog of kupo's chain-sync producers + era-normalizing decoders
+(reference ``src/Kupo/App/ChainSync/*.hs`` and
+``src/Kupo/Data/Cardano.hs:162-491`` → ``PartialBlock`` at
+``src/Kupo/Data/PartialBlock.hs:35-50``): external data in, one uniform
+nested block/transaction schema out.
+
+Everything is a single narrow projection over the parquet scan — no shuffle,
+no UDF; all expressions are JVM-side (whole-stage codegen) and the parquet
+reader prunes to (event_id, user_id) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- engine-portable SQL fragments (Spark SQL dialect) -------------------
+
+_E = "event_id"
+_U = "user_id"
+
+_ADDRESS = """
+CASE WHEN user_id % 4 = 1 THEN
+  concat('01',
+         md5(concat('del', cast(user_id % 53 as string))),
+         substr(md5(concat('del2', cast(user_id % 53 as string))), 1, 24),
+         '0', cast(user_id % 2 as string),
+         md5(concat('pay', cast(user_id % 97 as string))),
+         substr(md5(concat('pay2', cast(user_id % 97 as string))), 1, 24))
+ELSE
+  concat(lpad(cast(user_id % 4 as string), 2, '0'),
+         '0', cast(user_id % 2 as string),
+         md5(concat('pay', cast(user_id % 97 as string))),
+         substr(md5(concat('pay2', cast(user_id % 97 as string))), 1, 24))
+END
+"""
+
+_ASSETS = """
+map_from_entries(
+  transform(
+    filter(array(0, 1), j -> j < cast(event_id % 3 as int)),
+    j -> struct(
+      md5(concat('pol', cast((event_id + j) % 7 as string))),
+      map(md5(concat('ast', cast((event_id + 2 * j) % 5 as string))),
+          cast(event_id % 100 + 1 + j as bigint)))))
+"""
+
+_DATUM_KIND = """
+CASE WHEN event_id % 16 >= 11 THEN 'inline'
+     WHEN event_id % 16 >= 6  THEN 'reference'
+     ELSE 'none' END
+"""
+
+_DATUM_HASH = "CASE WHEN event_id % 16 >= 6 THEN md5(concat('dat', cast(event_id % 211 as string))) END"
+
+# payload is known for inline datums and for 'reference with payload'
+# (kupo's ref-data variant, Generators.hs:169-176 frequency mix)
+_DATUM_CBOR = """
+CASE WHEN event_id % 16 >= 11 OR event_id % 16 = 6
+     THEN concat('cbor:', md5(concat('dat', cast(event_id % 211 as string)))) END
+"""
+
+_SCRIPT_HASH = "CASE WHEN event_id % 6 = 0 THEN md5(concat('scr', cast(event_id % 13 as string))) END"
+_SCRIPT_CBOR = (
+    "CASE WHEN event_id % 6 = 0 THEN concat('script:', md5(concat('scr', cast(event_id % 13 as string)))) END"
+)
+
+_OUTPUTS = f"""
+array(named_struct(
+  'output_index', cast(0 as int),
+  'address', {_ADDRESS},
+  'coins', cast((event_id % 1000) * 1000 + user_id as bigint),
+  'assets', {_ASSETS},
+  'datum_kind', {_DATUM_KIND},
+  'datum_hash', {_DATUM_HASH},
+  'datum_cbor', {_DATUM_CBOR},
+  'script_hash', {_SCRIPT_HASH},
+  'script_cbor', {_SCRIPT_CBOR}
+))
+"""
+
+_SPENT_INPUTS = """
+IF(event_id % 3 = 0 AND event_id >= 17,
+   array(concat(md5(concat('tx', cast(event_id - 17 as string))), '#0')),
+   cast(array() as array<string>))
+"""
+
+_REDEEMERS = """
+IF(event_id % 6 = 0 AND event_id >= 17,
+   map(cast(0 as int), concat('rdmr:', md5(concat('r', cast(event_id as string))))),
+   cast(map() as map<int, string>))
+"""
+
+_META_TAGS = """
+IF(event_id % 4 = 0,
+   array(cast(event_id % 10 as bigint), cast(674 as bigint)),
+   array(cast(event_id % 10 as bigint)))
+"""
+
+_META_CBOR = "CASE WHEN event_id % 4 = 0 THEN concat('meta:', md5(concat('m', cast(event_id as string)))) END"
+
+
+def blocks_from_events(events: DataFrame) -> DataFrame:
+    """events → PartialBlock-shaped stream: one row per transaction with the
+    block point repeated (FIXTURES.md §1 schema)."""
+    return events.select(
+        F.expr("event_id DIV 10").alias("slot_no"),
+        F.expr("md5(concat('blk', cast(event_id DIV 10 as string)))").alias("header_hash"),
+        F.expr("cast(event_id % 10 as int)").alias("transaction_index"),
+        F.expr("md5(concat('tx', cast(event_id as string)))").alias("transaction_id"),
+        F.expr(_SPENT_INPUTS).alias("inputs"),
+        F.expr(_OUTPUTS).alias("outputs"),
+        F.expr(_REDEEMERS).alias("spend_redeemers"),
+        F.expr(_META_TAGS).alias("metadata_tags"),
+        F.expr(_META_CBOR).alias("metadata_cbor"),
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events with an explicit pruned schema — the chain derivation only
+    needs (event_id, user_id), and the driver parquet's TIMESTAMP(NANOS) `ts`
+    column is unreadable by stock Spark schema inference."""
+    return spark.read.schema("event_id BIGINT, user_id BIGINT").parquet(
+        f"{sf_dir}/events.parquet"
+    )
+
+
+def load_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blocks_from_events(load_events(spark, sf_dir))

@@ -1,0 +1,169 @@
+"""fold_inputs — the main read query (GET /matches[/{pattern}]).
+
+Reference: ``foldInputsQry`` assembles pattern predicate + status flag +
+slot-range predicates + checkpoint joins + ordering
+(``src/Kupo/App/Database/SQLite.hs:919-1003``); query params parsed at
+``src/Kupo/App/Http.hs:587-684``; residual per-row filter (policy/asset/
+transaction/output_index) at ``src/Kupo/Data/Http/FilterMatchesBy.hs`` +
+``mkYieldIf`` ``Http.hs:662-684``; status flags
+``src/Kupo/Data/Http/StatusFlag.hs:15-41``; slot ranges
+``src/Kupo/Data/Http/SlotRange.hs:27-133``.
+
+Spark plan shape: scan(inputs) with the compiled pattern + range predicates
+pushed to parquet → two broadcast joins against the ``checkpoints`` dimension
+(J1 inner on created_at, J2 left on spent_at) → optional broadcast-able
+dictionary joins (J3 binary_data, J4 scripts) → global sort only when the
+caller asks for ordered output.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kupo_spark.operators.indexer import Index
+from kupo_spark.patterns import (
+    MatchPolicyId,
+    Pattern,
+    PatternError,
+    pattern_from_text,
+    to_column,
+)
+
+Status = Literal["unspent", "spent"] | None
+Order = Literal["most_recent_first", "oldest_first"]
+
+RESULT_COLUMNS = [
+    "output_reference", "transaction_id", "transaction_index", "output_index",
+    "address", "coins", "datum_hash", "script_hash",
+    "created_at", "created_header_hash",
+    "spent_at", "spent_header_hash", "spent_by", "spent_input_index", "spent_with",
+]
+
+
+def fold_inputs(
+    index: Index,
+    pattern: Pattern | str = "*",
+    *,
+    status: Status = None,
+    created_after: int | None = None,
+    created_before: int | None = None,
+    spent_after: int | None = None,
+    spent_before: int | None = None,
+    order: Order = "most_recent_first",
+    resolve_hashes: bool = False,
+    filter_policy_id: str | None = None,
+    filter_asset_name: str | None = None,
+    filter_transaction_id: str | None = None,
+    filter_output_index: int | None = None,
+    use_policy_join: bool = True,
+    sorted_result: bool = False,
+) -> DataFrame:
+    if isinstance(pattern, str):
+        pattern = pattern_from_text(pattern)
+
+    df = index.inputs
+
+    # P1–P10 pattern predicate.  For MatchPolicyId we can either use the
+    # policies join-index (kupo's plan, J5/Database.hs:756-759) or the
+    # map_contains_key predicate on the value column; the join-index scans a
+    # narrow table with the policy filter pushed down, then semi-joins on
+    # output_reference — the winning plan when `assets` maps are wide.
+    if isinstance(pattern, MatchPolicyId) and use_policy_join:
+        keys = index.policies.where(F.col("policy_id") == pattern.policy_id).select(
+            "output_reference"
+        )
+        df = df.join(keys, "output_reference", "left_semi")
+    else:
+        df = df.where(to_column(pattern))
+
+    # P15 status flag (StatusFlag.hs:15-41)
+    if status == "unspent":
+        df = df.where(F.col("spent_at").isNull())
+    elif status == "spent":
+        df = df.where(F.col("spent_at").isNotNull())
+
+    # P16 slot ranges (SlotRange.hs:27-133; SQL at SQLite.hs:971-999).
+    if created_after is not None:
+        df = df.where(F.col("created_at") >= F.lit(created_after))
+    if created_before is not None:
+        df = df.where(F.col("created_at") <= F.lit(created_before))
+    if spent_after is not None:
+        df = df.where(F.col("spent_at").isNotNull() & (F.col("spent_at") >= F.lit(spent_after)))
+    if spent_before is not None:
+        df = df.where(F.col("spent_at").isNotNull() & (F.col("spent_at") <= F.lit(spent_before)))
+
+    # P14 residual filters (FilterMatchesBy.hs; mkYieldIf Http.hs:662-684)
+    if filter_policy_id is not None and filter_asset_name is not None:
+        df = df.where(
+            F.expr(
+                f"try_element_at(try_element_at(assets, '{filter_policy_id}'), "
+                f"'{filter_asset_name}') IS NOT NULL"
+            )
+        )
+    elif filter_policy_id is not None:
+        df = df.where(F.map_contains_key(F.col("assets"), F.lit(filter_policy_id)))
+    elif filter_asset_name is not None:
+        raise PatternError("asset_name filter requires policy_id (FilterMatchesBy.hs:60)")
+    if filter_transaction_id is not None:
+        df = df.where(F.col("transaction_id") == F.lit(filter_transaction_id))
+        if filter_output_index is not None:
+            df = df.where(F.col("output_index") == F.lit(filter_output_index))
+    elif filter_output_index is not None:
+        raise PatternError("output_index filter requires transaction_id")
+
+    # J1/J2: checkpoint resolution — broadcast the dimension.
+    cps = index.checkpoints
+    created = F.broadcast(
+        cps.select(F.col("slot_no").alias("_c_slot"), F.col("header_hash").alias("created_header_hash"))
+    )
+    spent = F.broadcast(
+        cps.select(F.col("slot_no").alias("_s_slot"), F.col("header_hash").alias("spent_header_hash"))
+    )
+    df = df.join(created, df.created_at == created._c_slot, "inner").drop("_c_slot")
+    df = df.join(spent, df.spent_at == spent._s_slot, "left").drop("_s_slot")
+
+    cols = list(RESULT_COLUMNS)
+    if resolve_hashes:
+        # J3/J4 (SQLite.hs:939-943) — dictionary left joins.
+        bd = index.binary_data.select(
+            F.col("binary_data_hash").alias("_bd_hash"), F.col("binary_data").alias("datum")
+        )
+        sc = index.scripts.select(
+            F.col("script_hash").alias("_sc_hash"), F.col("script").alias("script")
+        )
+        df = df.join(bd, df.datum_hash == bd._bd_hash, "left").drop("_bd_hash")
+        df = df.join(sc, df.script_hash == sc._sc_hash, "left").drop("_sc_hash")
+        cols += ["datum", "script"]
+
+    df = df.select(*cols)
+
+    if sorted_result:
+        # O1: total chain order (SQLite.hs:948-969).
+        keys = ["created_at", "transaction_index", "output_index"]
+        if order == "most_recent_first":
+            df = df.orderBy(*[F.col(k).desc() for k in keys])
+        else:
+            df = df.orderBy(*[F.col(k).asc() for k in keys])
+    return df
+
+
+def count_inputs(index: Index, pattern: Pattern | str = "*") -> DataFrame:
+    """A1 countInputs (SQLite.hs:681-686,909-917) — as a 1-row DataFrame."""
+    if isinstance(pattern, str):
+        pattern = pattern_from_text(pattern)
+    return index.inputs.where(to_column(pattern)).agg(F.count("*").alias("n"))
+
+
+def count_policies(index: Index, pattern: Pattern | str = "*") -> DataFrame:
+    """A2 countPolicies (SQLite.hs:688-693,885-895): distinct policy rows of
+    the pattern's matches."""
+    if isinstance(pattern, str):
+        pattern = pattern_from_text(pattern)
+    keys = index.inputs.where(to_column(pattern)).select("output_reference")
+    return (
+        index.policies.join(keys, "output_reference", "left_semi")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,233 @@
+"""The indexer — kupo's consumer/matchBlock pipeline as one DataFrame job.
+
+Reference semantics:
+  * ``matchBlock`` one pass over block × pattern-set producing 5 streams
+    (results, spent refs, datums, scripts, policies) —
+    ``src/Kupo/Data/Pattern.hs:561-641``;
+  * writes W1–W4 with INSERT-OR-IGNORE dedup (``SQLite.hs:608-710,831-844``);
+  * spent-resolution ``markInputs`` UPDATE (``SQLite.hs:645-652,857-866``);
+  * per-block gating of datum/script dictionary writes
+    (``src/Kupo/App.hs:530-542``).
+
+Spark realization (batch; the streaming wrapper lives in
+``kupo_spark.streaming``):
+
+  1. explode outputs (F1/F2), apply the OR-folded broadcast pattern predicate
+     at the scan (predicate pushdown — no UDFs, all codegen),
+  2. explode spent inputs (F3) with their redeemers (F5),
+  3. resolve spends against produced outputs with ONE equi-join on
+     ``output_reference`` — the batch analog of the markInputs MERGE.  At
+     100 TB this is the only big-big shuffle; both sides can be bucketed by
+     ``output_reference`` so it becomes a co-located join,
+  4. derive the dictionary tables (checkpoints/policies/binary_data/scripts)
+     from the same exploded frame with map-side dedup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kupo_spark.patterns import MatchAny, Pattern, any_to_column, pattern_from_text
+
+
+@dataclass
+class Index:
+    """The six kupo tables (§1.2 of SURVEY.md) as DataFrames."""
+
+    inputs: DataFrame
+    checkpoints: DataFrame
+    policies: DataFrame      # (output_reference, policy_id) join index
+    assets: DataFrame        # (output_reference, policy_id, asset_name, quantity)
+    binary_data: DataFrame   # (binary_data_hash, binary_data)
+    scripts: DataFrame       # (script_hash, script)
+
+    def persist(self) -> "Index":
+        return Index(*(df.persist() for df in (
+            self.inputs, self.checkpoints, self.policies, self.assets,
+            self.binary_data, self.scripts)))
+
+    def unpersist(self) -> None:
+        for df in (self.inputs, self.checkpoints, self.policies, self.assets,
+                   self.binary_data, self.scripts):
+            df.unpersist()
+
+    def with_inputs(self, inputs: DataFrame) -> "Index":
+        return replace(self, inputs=inputs)
+
+
+def _as_patterns(patterns: Iterable[Pattern | str]) -> list[Pattern]:
+    return [pattern_from_text(p) if isinstance(p, str) else p for p in patterns]
+
+
+def exploded_outputs(blocks: DataFrame) -> DataFrame:
+    """F1/F2: one row per produced output, with synthesized references."""
+    o = blocks.select(
+        "slot_no",
+        "transaction_index",
+        "transaction_id",
+        "metadata_tags",
+        F.explode("outputs").alias("out"),
+    )
+    return o.select(
+        F.concat(
+            F.col("transaction_id"), F.lit("#"), F.col("out.output_index").cast("string")
+        ).alias("output_reference"),
+        F.concat(
+            F.col("transaction_id"), F.lit("#"), F.col("out.output_index").cast("string"),
+            F.lit("@"), F.col("transaction_index").cast("string"),
+        ).alias("ext_output_reference"),
+        "transaction_id",
+        "transaction_index",
+        F.col("out.output_index").alias("output_index"),
+        F.col("out.address").alias("address"),
+        F.expr("right(out.address, 56)").alias("payment_credential"),
+        F.col("out.coins").alias("coins"),
+        F.col("out.assets").alias("assets"),
+        F.col("out.datum_kind").alias("datum_kind"),
+        F.col("out.datum_hash").alias("datum_hash"),
+        F.col("out.datum_cbor").alias("datum_cbor"),
+        F.col("out.script_hash").alias("script_hash"),
+        F.col("out.script_cbor").alias("script_cbor"),
+        F.col("slot_no").alias("created_at"),
+        "metadata_tags",
+    )
+
+
+def spent_refs(blocks: DataFrame) -> DataFrame:
+    """F3+F5: one row per consumed output-reference with spend metadata."""
+    s = blocks.select(
+        F.col("slot_no").alias("spent_at"),
+        F.col("transaction_id").alias("spent_by"),
+        F.posexplode("inputs").alias("spent_input_index", "spent_ref"),
+        "spend_redeemers",
+    )
+    return s.select(
+        "spent_ref",
+        "spent_at",
+        "spent_by",
+        "spent_input_index",
+        F.expr("try_element_at(spend_redeemers, spent_input_index)").alias("spent_with"),
+    )
+
+
+def build_index(
+    blocks: DataFrame,
+    patterns: Iterable[Pattern | str] = ("*",),
+    prune_utxo: bool = False,
+) -> Index:
+    pats = _as_patterns(patterns)
+    outs = exploded_outputs(blocks)
+
+    produced = outs.where(any_to_column(pats, at_ingest=True))
+    # W1 INSERT OR IGNORE: an output matched by several patterns is stored
+    # once (Pattern.hs:555-560, SQLite.hs:831-844).  The predicate is an OR
+    # so no duplicates arise pre-join, but keep the engine honest for
+    # pattern sets added across batches:
+    produced = produced.dropDuplicates(["ext_output_reference"])
+
+    spends = spent_refs(blocks)
+
+    # markInputs as a batch equi-join (J7/W5).  Spent refs are unique by
+    # ledger rules (an output is consumed at most once).
+    inputs = (
+        produced.join(spends, produced.output_reference == spends.spent_ref, "left")
+        .drop("spent_ref")
+    )
+    if prune_utxo:
+        # --prune-utxo fast path (M4, App.hs:558-577): drop consumed rows
+        # immediately; the gardener handles the within-rollback-window rest.
+        inputs = inputs.where(F.col("spent_at").isNull())
+
+    checkpoints = blocks.select("slot_no", "header_hash").dropDuplicates(["slot_no"])
+
+    policies = (
+        produced.select("output_reference", F.explode(F.map_keys("assets")).alias("policy_id"))
+        .dropDuplicates(["output_reference", "policy_id"])
+    )
+    assets = (
+        produced.select("output_reference", F.explode("assets").alias("policy_id", "amap"))
+        .select("output_reference", "policy_id", F.explode("amap").alias("asset_name", "quantity"))
+    )
+
+    # W3 gate: dictionary rows are written only for blocks that produced at
+    # least one matched result (App.hs:530-542).  With a wildcard pattern the
+    # gate is a no-op — skip the extra semi-join shuffle in that case.
+    wildcard = any(isinstance(p, MatchAny) and p.include_bootstrap for p in pats)
+    dict_src = outs
+    if not wildcard:
+        matched_slots = produced.select("created_at").dropDuplicates(["created_at"])
+        dict_src = outs.join(
+            F.broadcast(matched_slots),
+            outs.created_at == matched_slots.created_at,
+            "left_semi",
+        )
+
+    binary_data = (
+        dict_src.where(F.col("datum_cbor").isNotNull())
+        .select(F.col("datum_hash").alias("binary_data_hash"), F.col("datum_cbor").alias("binary_data"))
+        .dropDuplicates(["binary_data_hash"])
+    )
+    scripts = (
+        dict_src.where(F.col("script_cbor").isNotNull())
+        .select("script_hash", F.col("script_cbor").alias("script"))
+        .dropDuplicates(["script_hash"])
+    )
+
+    return Index(
+        inputs=inputs,
+        checkpoints=checkpoints,
+        policies=policies,
+        assets=assets,
+        binary_data=binary_data,
+        scripts=scripts,
+    )
+
+
+#: Columns of the materialized ``inputs`` table, in storage order.
+INPUTS_COLUMNS = [
+    "output_reference", "ext_output_reference", "transaction_id",
+    "transaction_index", "output_index", "address", "payment_credential",
+    "coins", "assets", "datum_kind", "datum_hash", "script_hash",
+    "created_at", "spent_at", "spent_by", "spent_input_index", "spent_with",
+]
+
+
+def write_index(index: Index, path: str, slot_bucket: int = 1000) -> None:
+    """Materialize the index as parquet, laid out for the query mix:
+
+    - ``inputs`` partitioned by a created_at bucket → partition pruning for
+      slot-range queries (the analog of kupo's created_at index), and sorted
+      within partitions by address so min/max stats skip credential scans
+      (the Z-order/cluster-by analog);
+    - side tables small → single dir each.
+    """
+    inputs = index.inputs.withColumn(
+        "created_bucket", (F.col("created_at") / slot_bucket).cast("long")
+    )
+    (
+        inputs.repartition("created_bucket")
+        .sortWithinPartitions("address", "created_at")
+        .write.mode("overwrite")
+        .partitionBy("created_bucket")
+        .parquet(f"{path}/inputs")
+    )
+    index.checkpoints.write.mode("overwrite").parquet(f"{path}/checkpoints")
+    index.policies.write.mode("overwrite").parquet(f"{path}/policies")
+    index.assets.write.mode("overwrite").parquet(f"{path}/assets")
+    index.binary_data.write.mode("overwrite").parquet(f"{path}/binary_data")
+    index.scripts.write.mode("overwrite").parquet(f"{path}/scripts")
+
+
+def read_index(spark, path: str) -> Index:
+    return Index(
+        inputs=spark.read.parquet(f"{path}/inputs").drop("created_bucket"),
+        checkpoints=spark.read.parquet(f"{path}/checkpoints"),
+        policies=spark.read.parquet(f"{path}/policies"),
+        assets=spark.read.parquet(f"{path}/assets"),
+        binary_data=spark.read.parquet(f"{path}/binary_data"),
+        scripts=spark.read.parquet(f"{path}/scripts"),
+    )

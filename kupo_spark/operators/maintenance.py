@@ -1,0 +1,121 @@
+"""Maintenance — rollback (stream retraction) and the gardener's GC.
+
+Reference:
+  * ``rollbackTo`` — delete inputs created after the point, un-spend inputs
+    spent after it, truncate checkpoints (``SQLite.hs:799-819,1053-1063``;
+    consumer call ``src/Kupo/App.hs:505-510``);
+  * ``pruneInputs`` — drop spent rows older than the rollback horizon
+    (``SQLite.hs:654-657,876-883``);
+  * ``pruneBinaryData`` — anti-join GC of orphan datums
+    (``SQLite.hs:758-760,1031-1041``).
+
+These are pure DataFrame → DataFrame state transitions (in a Delta/Iceberg
+deployment each would be a transactional DELETE/UPDATE/MERGE; the dataflow —
+and therefore the shuffle/scan profile — is identical).  kupo's LIMIT-50000
+incremental delete loops exist to keep SQLite transactions short; Spark
+deletes are atomic per table so the increments are dropped while semantics
+are preserved (SURVEY §2.7 O5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kupo_spark.chainspec import LONGEST_ROLLBACK
+from kupo_spark.operators.indexer import Index
+
+
+def rollback_to(index: Index, slot_no: int) -> Index:
+    """M1: retract the suffix after `slot_no`.  Idempotent — applying at or
+    after the current tip is a no-op (SQLite.hs:799-806)."""
+    s = F.lit(slot_no)
+    unspend = F.col("spent_at").isNotNull() & (F.col("spent_at") > s)
+    inputs = (
+        index.inputs.where(F.col("created_at") <= s)
+        .withColumn("spent_by", F.when(unspend, F.lit(None)).otherwise(F.col("spent_by")))
+        .withColumn(
+            "spent_input_index",
+            F.when(unspend, F.lit(None)).otherwise(F.col("spent_input_index")),
+        )
+        .withColumn("spent_with", F.when(unspend, F.lit(None)).otherwise(F.col("spent_with")))
+        .withColumn("spent_at", F.when(unspend, F.lit(None)).otherwise(F.col("spent_at")))
+    )
+    checkpoints = index.checkpoints.where(F.col("slot_no") <= s)
+    surviving = inputs.select("output_reference")
+    policies = index.policies.join(surviving, "output_reference", "left_semi")
+    assets = index.assets.join(surviving, "output_reference", "left_semi")
+    return Index(
+        inputs=inputs,
+        checkpoints=checkpoints,
+        policies=policies,
+        assets=assets,
+        binary_data=index.binary_data,
+        scripts=index.scripts,
+    )
+
+
+def prune_inputs(index: Index, k: int = LONGEST_ROLLBACK) -> Index:
+    """M2: GC spent rows beyond the rollback horizon:
+    spent_at < tip - k (SQLite.hs:876-883)."""
+    tip_row = index.checkpoints.agg(F.max("slot_no")).collect()[0][0]
+    horizon = (tip_row or 0) - k
+    inputs = index.inputs.where(
+        F.col("spent_at").isNull() | (F.col("spent_at") >= F.lit(horizon))
+    )
+    surviving = inputs.select("output_reference")
+    return Index(
+        inputs=inputs,
+        checkpoints=index.checkpoints,
+        policies=index.policies.join(surviving, "output_reference", "left_semi"),
+        assets=index.assets.join(surviving, "output_reference", "left_semi"),
+        binary_data=index.binary_data,
+        scripts=index.scripts,
+    )
+
+
+def prune_binary_data(index: Index) -> Index:
+    """M3/J6: drop datum payloads no longer referenced by any input —
+    a hash anti-join (SQLite.hs:1031-1041; kupo forces an index for this,
+    Spark's broadcast/SHJ anti-join needs no hint at dimension sizes)."""
+    referenced = index.inputs.where(F.col("datum_hash").isNotNull()).select(
+        F.col("datum_hash").alias("binary_data_hash")
+    )
+    binary_data = index.binary_data.join(referenced, "binary_data_hash", "left_semi")
+    return Index(
+        inputs=index.inputs,
+        checkpoints=index.checkpoints,
+        policies=index.policies,
+        assets=index.assets,
+        binary_data=binary_data,
+        scripts=index.scripts,
+    )
+
+
+def delete_by_pattern(index: Index, pattern) -> Index:
+    """W6 deleteInputs (DELETE /matches/{pattern}) — anti-filter rewrite."""
+    from kupo_spark.patterns import pattern_from_text, to_column
+
+    if isinstance(pattern, str):
+        pattern = pattern_from_text(pattern)
+    inputs = index.inputs.where(~to_column(pattern))
+    surviving = inputs.select("output_reference")
+    return Index(
+        inputs=inputs,
+        checkpoints=index.checkpoints,
+        policies=index.policies.join(surviving, "output_reference", "left_semi"),
+        assets=index.assets.join(surviving, "output_reference", "left_semi"),
+        binary_data=index.binary_data,
+        scripts=index.scripts,
+    )
+
+
+def metadata_by_slot(blocks: DataFrame, slot_no: int, transaction_id: str | None = None) -> DataFrame:
+    """GET /metadata/{slot} (S4 + Http.hs:754-805): per-tx metadata payloads
+    of the block at `slot_no` — a point lookup on the block stream."""
+    df = blocks.where(
+        (F.col("slot_no") == F.lit(slot_no)) & F.col("metadata_cbor").isNotNull()
+    )
+    if transaction_id is not None:
+        df = df.where(F.col("transaction_id") == F.lit(transaction_id))
+    return df.select("transaction_id", "metadata_cbor")

@@ -1,0 +1,274 @@
+"""DuckDB oracle — ANSI-SQL statements of the *expected* engine results.
+
+The driver registers the raw parquet tables (``events`` etc.) as views and
+runs each query here side-by-side with the matching Spark query.  The
+PRELUDE CTE block restates the chain derivation of ``chaingen.py`` /
+``chainspec.py`` relationally, then each oracle query states the reference
+semantics (foldInputsQry and friends, ``src/Kupo/App/Database/SQLite.hs``)
+directly over those CTEs.
+
+Engine-portability rules: integer-only arithmetic, md5/concat/substr only,
+no timestamps, no floats, no engine-specific functions.
+"""
+
+from __future__ import annotations
+
+from kupo_spark.patterns import Pattern, pattern_from_text, to_sql
+
+PRELUDE = """
+WITH ev AS (
+  SELECT event_id AS e, user_id AS u FROM events
+),
+outs AS (
+  SELECT
+    e, u,
+    e // 10 AS created_at,
+    CAST(e % 10 AS INTEGER) AS transaction_index,
+    md5('tx' || CAST(e AS VARCHAR)) AS transaction_id,
+    CAST(0 AS INTEGER) AS output_index,
+    CASE WHEN u % 4 = 1 THEN
+      '01'
+      || md5('del' || CAST(u % 53 AS VARCHAR))
+      || substr(md5('del2' || CAST(u % 53 AS VARCHAR)), 1, 24)
+      || '0' || CAST(u % 2 AS VARCHAR)
+      || md5('pay' || CAST(u % 97 AS VARCHAR))
+      || substr(md5('pay2' || CAST(u % 97 AS VARCHAR)), 1, 24)
+    ELSE
+      lpad(CAST(u % 4 AS VARCHAR), 2, '0')
+      || '0' || CAST(u % 2 AS VARCHAR)
+      || md5('pay' || CAST(u % 97 AS VARCHAR))
+      || substr(md5('pay2' || CAST(u % 97 AS VARCHAR)), 1, 24)
+    END AS address,
+    (e % 1000) * 1000 + u AS coins,
+    CASE WHEN e % 16 >= 11 THEN 'inline'
+         WHEN e % 16 >= 6  THEN 'reference'
+         ELSE 'none' END AS datum_kind,
+    CASE WHEN e % 16 >= 6 THEN md5('dat' || CAST(e % 211 AS VARCHAR)) END AS datum_hash,
+    CASE WHEN e % 16 >= 11 OR e % 16 = 6
+         THEN 'cbor:' || md5('dat' || CAST(e % 211 AS VARCHAR)) END AS datum_cbor,
+    CASE WHEN e % 6 = 0 THEN md5('scr' || CAST(e % 13 AS VARCHAR)) END AS script_hash,
+    CASE WHEN e % 6 = 0 THEN 'script:' || md5('scr' || CAST(e % 13 AS VARCHAR)) END AS script_cbor
+  FROM ev
+),
+spend_src AS (
+  SELECT
+    e - 17 AS spent_target,
+    e // 10 AS spent_at,
+    md5('tx' || CAST(e AS VARCHAR)) AS spent_by,
+    CAST(0 AS INTEGER) AS spent_input_index,
+    CASE WHEN e % 2 = 0 THEN 'rdmr:' || md5('r' || CAST(e AS VARCHAR)) END AS spent_with
+  FROM ev WHERE e % 3 = 0 AND e >= 17
+),
+inputs AS (
+  SELECT
+    o.transaction_id || '#' || CAST(o.output_index AS VARCHAR) AS output_reference,
+    o.transaction_id || '#' || CAST(o.output_index AS VARCHAR)
+      || '@' || CAST(o.transaction_index AS VARCHAR) AS ext_output_reference,
+    o.transaction_id,
+    o.transaction_index,
+    o.output_index,
+    o.address,
+    right(o.address, 56) AS payment_credential,
+    o.coins,
+    o.datum_kind,
+    o.datum_hash,
+    o.script_hash,
+    o.created_at,
+    s.spent_at,
+    s.spent_by,
+    s.spent_input_index,
+    s.spent_with
+  FROM outs o LEFT JOIN spend_src s ON s.spent_target = o.e
+),
+checkpoints AS (
+  SELECT DISTINCT e // 10 AS slot_no,
+         md5('blk' || CAST(e // 10 AS VARCHAR)) AS header_hash
+  FROM ev
+),
+assets_tbl AS (
+  SELECT
+    o.transaction_id || '#' || CAST(o.output_index AS VARCHAR) AS output_reference,
+    md5('pol' || CAST((o.e + t.j) % 7 AS VARCHAR)) AS policy_id,
+    md5('ast' || CAST((o.e + 2 * t.j) % 5 AS VARCHAR)) AS asset_name,
+    o.e % 100 + 1 + t.j AS quantity
+  FROM outs o, (SELECT UNNEST([0, 1]) AS j) t
+  WHERE t.j < o.e % 3
+),
+policies AS (
+  SELECT DISTINCT output_reference, policy_id FROM assets_tbl
+),
+binary_data AS (
+  SELECT DISTINCT datum_hash AS binary_data_hash, datum_cbor AS binary_data
+  FROM outs WHERE datum_cbor IS NOT NULL
+),
+scripts AS (
+  SELECT DISTINCT script_hash, script_cbor AS script
+  FROM outs WHERE script_cbor IS NOT NULL
+)
+"""
+
+FOLD_SELECT = (
+    "i.output_reference, i.transaction_id, i.transaction_index, i.output_index, "
+    "i.address, i.coins, i.datum_hash, i.script_hash, i.created_at, "
+    "c1.header_hash AS created_header_hash, i.spent_at, "
+    "c2.header_hash AS spent_header_hash, i.spent_by, i.spent_input_index, i.spent_with"
+)
+
+
+def fold_inputs_sql(
+    pattern: Pattern | str = "*",
+    *,
+    status: str | None = None,
+    created_after: int | None = None,
+    created_before: int | None = None,
+    spent_after: int | None = None,
+    spent_before: int | None = None,
+    resolve_hashes: bool = False,
+    filter_policy_id: str | None = None,
+    filter_asset_name: str | None = None,
+    filter_transaction_id: str | None = None,
+    filter_output_index: int | None = None,
+) -> str:
+    """Reference foldInputsQry (SQLite.hs:919-1003) over the PRELUDE CTEs."""
+    if isinstance(pattern, str):
+        pattern = pattern_from_text(pattern)
+    select = FOLD_SELECT
+    joins = (
+        " FROM inputs i"
+        " JOIN checkpoints c1 ON c1.slot_no = i.created_at"
+        " LEFT JOIN checkpoints c2 ON c2.slot_no = i.spent_at"
+    )
+    if resolve_hashes:
+        select += ", bd.binary_data AS datum, sc.script AS script"
+        joins += (
+            " LEFT JOIN binary_data bd ON bd.binary_data_hash = i.datum_hash"
+            " LEFT JOIN scripts sc ON sc.script_hash = i.script_hash"
+        )
+    where = [to_sql(pattern)]
+    if status == "unspent":
+        where.append("i.spent_at IS NULL")
+    elif status == "spent":
+        where.append("i.spent_at IS NOT NULL")
+    if created_after is not None:
+        where.append(f"i.created_at >= {created_after}")
+    if created_before is not None:
+        where.append(f"i.created_at <= {created_before}")
+    if spent_after is not None:
+        where.append(f"i.spent_at IS NOT NULL AND i.spent_at >= {spent_after}")
+    if spent_before is not None:
+        where.append(f"i.spent_at IS NOT NULL AND i.spent_at <= {spent_before}")
+    if filter_policy_id is not None and filter_asset_name is not None:
+        where.append(
+            "EXISTS (SELECT 1 FROM assets_tbl x WHERE x.output_reference = i.output_reference"
+            f" AND x.policy_id = '{filter_policy_id}' AND x.asset_name = '{filter_asset_name}')"
+        )
+    elif filter_policy_id is not None:
+        where.append(
+            "EXISTS (SELECT 1 FROM assets_tbl x WHERE x.output_reference = i.output_reference"
+            f" AND x.policy_id = '{filter_policy_id}')"
+        )
+    if filter_transaction_id is not None:
+        where.append(f"i.transaction_id = '{filter_transaction_id}'")
+        if filter_output_index is not None:
+            where.append(f"i.output_index = {filter_output_index}")
+    return PRELUDE + f"SELECT {select}{joins} WHERE " + " AND ".join(f"({w})" for w in where)
+
+
+def count_inputs_sql(pattern: Pattern | str = "*") -> str:
+    if isinstance(pattern, str):
+        pattern = pattern_from_text(pattern)
+    return PRELUDE + f"SELECT COUNT(*) AS n FROM inputs i WHERE {to_sql(pattern)}"
+
+
+def count_policies_sql(pattern: Pattern | str = "*") -> str:
+    if isinstance(pattern, str):
+        pattern = pattern_from_text(pattern)
+    return PRELUDE + (
+        "SELECT COUNT(*) AS n FROM policies p WHERE EXISTS ("
+        f"SELECT 1 FROM inputs i WHERE i.output_reference = p.output_reference AND {to_sql(pattern)})"
+    )
+
+
+def max_checkpoint_sql() -> str:
+    return PRELUDE + (
+        "SELECT slot_no, header_hash FROM checkpoints "
+        "WHERE slot_no = (SELECT max(slot_no) FROM checkpoints)"
+    )
+
+
+def list_checkpoints_sql(distances: list[int]) -> str:
+    dlist = ", ".join(str(d) for d in distances)
+    return PRELUDE + f"""
+, tip AS (SELECT max(slot_no) AS tip FROM checkpoints),
+sampled AS (
+  SELECT DISTINCT (
+    SELECT max(slot_no) FROM checkpoints, tip WHERE slot_no <= tip.tip - t.d
+  ) AS slot_no
+  FROM (SELECT UNNEST([{dlist}]) AS d) t
+)
+SELECT c.slot_no, c.header_hash
+FROM checkpoints c JOIN sampled s ON s.slot_no = c.slot_no
+"""
+
+
+def ancestors_sql(slot_no: int, n: int = 1) -> str:
+    return PRELUDE + (
+        f"SELECT slot_no, header_hash FROM checkpoints WHERE slot_no < {slot_no} "
+        f"ORDER BY slot_no DESC LIMIT {n}"
+    )
+
+
+def datum_lookup_sql(datum_hash: str) -> str:
+    return PRELUDE + (
+        f"SELECT binary_data_hash, binary_data FROM binary_data WHERE binary_data_hash = '{datum_hash}'"
+    )
+
+
+def script_lookup_sql(script_hash: str) -> str:
+    return PRELUDE + (
+        f"SELECT script_hash, script FROM scripts WHERE script_hash = '{script_hash}'"
+    )
+
+
+def rolled_back_inputs_sql(slot_no: int) -> str:
+    """M1 rollbackTo: expected inputs table after retracting past `slot_no`."""
+    s = slot_no
+    return PRELUDE + f"""
+SELECT
+  output_reference, transaction_id, transaction_index, output_index, address,
+  payment_credential, coins, datum_hash, script_hash, created_at,
+  CASE WHEN spent_at IS NOT NULL AND spent_at <= {s} THEN spent_at END AS spent_at,
+  CASE WHEN spent_at IS NOT NULL AND spent_at <= {s} THEN spent_by END AS spent_by,
+  CASE WHEN spent_at IS NOT NULL AND spent_at <= {s} THEN spent_with END AS spent_with
+FROM inputs WHERE created_at <= {s}
+"""
+
+
+def pruned_inputs_sql(k: int) -> str:
+    """M2 pruneInputs: surviving inputs with horizon tip - k."""
+    return PRELUDE + f"""
+, tip AS (SELECT max(slot_no) AS tip FROM checkpoints)
+SELECT i.output_reference, i.transaction_id, i.address, i.coins, i.created_at, i.spent_at
+FROM inputs i, tip
+WHERE i.spent_at IS NULL OR i.spent_at >= tip.tip - {k}
+"""
+
+
+def pruned_binary_data_sql(rollback_slot: int) -> str:
+    """M3 after an M1 rollback at `rollback_slot`: datum payloads still
+    referenced by surviving inputs (orphans GC'd via anti-join)."""
+    return PRELUDE + f"""
+SELECT bd.binary_data_hash, bd.binary_data
+FROM binary_data bd
+WHERE EXISTS (
+  SELECT 1 FROM inputs i
+  WHERE i.created_at <= {rollback_slot} AND i.datum_hash = bd.binary_data_hash
+)
+"""
+
+
+def metadata_by_slot_sql(slot_no: int) -> str:
+    return PRELUDE + f"""
+SELECT transaction_id, 'meta:' || md5('m' || CAST(e AS VARCHAR)) AS metadata_cbor
+FROM outs WHERE created_at = {slot_no} AND e % 4 = 0
+"""

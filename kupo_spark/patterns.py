@@ -1,0 +1,367 @@
+"""The Pattern language — kupo's declarative predicate over outputs.
+
+Reference: 10-variant ADT at ``src/Kupo/Data/Pattern.hs:115-138``; text codec
+``patternFromText``/``patternToText`` at ``Pattern.hs:227-381``; matching
+semantics at ``Pattern.hs:383-415``; SQL compilation (the pushdown analog) at
+``src/Kupo/Data/Database.hs:712-765``; subsumption algebra ``overlaps`` /
+``includes`` at ``Pattern.hs:143-221``.
+
+Here a pattern compiles to a Spark ``Column`` boolean expression, so Catalyst
+pushes it into the parquet scan (predicate pushdown + min/max skipping) — the
+Spark-native equivalent of kupo's hand-built index-oriented WHERE clauses.
+A parallel ``to_sql`` compiler emits the equivalent ANSI-SQL predicate for
+the DuckDB oracle.
+
+Addresses are the reshuffled hex encoding (tag ‖ [delegation 28B] ‖ header ‖
+payment 28B — ``Database.hs:536-599``) which makes every credential query a
+prefix/suffix scan:
+
+  * payment credential  == last 56 hex chars,
+  * delegation credential == a '01'-prefixed LIKE scan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_HEX = re.compile(r"^[0-9a-f]+$")
+_CRED_LEN = 56  # 28-byte credential, hex
+_TXID_LEN = 32  # md5-derived synthetic txid, hex (real Cardano: 64)
+
+
+class PatternError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Pattern:
+    def to_text(self) -> str:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class MatchAny(Pattern):
+    """`*` (including bootstrap) or `*/*` (only Shelley-style addresses)."""
+
+    include_bootstrap: bool = True
+
+    def to_text(self) -> str:
+        return "*" if self.include_bootstrap else "*/*"
+
+
+@dataclass(frozen=True)
+class MatchExact(Pattern):
+    address: str
+
+    def to_text(self) -> str:
+        return self.address
+
+
+@dataclass(frozen=True)
+class MatchPayment(Pattern):
+    credential: str
+
+    def to_text(self) -> str:
+        return f"{self.credential}/*"
+
+
+@dataclass(frozen=True)
+class MatchDelegation(Pattern):
+    credential: str
+
+    def to_text(self) -> str:
+        return f"*/{self.credential}"
+
+
+@dataclass(frozen=True)
+class MatchPaymentAndDelegation(Pattern):
+    payment: str
+    delegation: str
+
+    def to_text(self) -> str:
+        return f"{self.payment}/{self.delegation}"
+
+
+@dataclass(frozen=True)
+class MatchTransactionId(Pattern):
+    transaction_id: str
+
+    def to_text(self) -> str:
+        return f"*@{self.transaction_id}"
+
+
+@dataclass(frozen=True)
+class MatchOutputReference(Pattern):
+    transaction_id: str
+    output_index: int
+
+    def to_text(self) -> str:
+        return f"{self.output_index}@{self.transaction_id}"
+
+
+@dataclass(frozen=True)
+class MatchPolicyId(Pattern):
+    policy_id: str
+
+    def to_text(self) -> str:
+        return f"{self.policy_id}.*"
+
+
+@dataclass(frozen=True)
+class MatchAssetId(Pattern):
+    policy_id: str
+    asset_name: str
+
+    def to_text(self) -> str:
+        return f"{self.policy_id}.{self.asset_name}"
+
+
+@dataclass(frozen=True)
+class MatchMetadataTag(Pattern):
+    """`{tag}` — indexing-time only; rejected on the query path
+    (reference ``Database.hs:762-763``)."""
+
+    tag: int
+
+    def to_text(self) -> str:
+        return "{%d}" % self.tag
+
+
+def _hex_or_raise(s: str, what: str) -> str:
+    if not _HEX.match(s):
+        raise PatternError(f"invalid {what}: {s!r} is not lowercase hex")
+    return s
+
+
+def pattern_from_text(text: str) -> Pattern:
+    """Parse the kupo text syntax (``patternFromText``, Pattern.hs:252-381).
+
+    Synthetic-chain flavor: credentials/hashes are md5-hex; the bech32 /
+    base58 / blake2b-of-verification-key entry points of the reference are
+    address-codec concerns handled upstream of this engine.
+    """
+    text = text.strip()
+    if not text:
+        raise PatternError("empty pattern")
+    m = re.match(r"^\{(\d+)\}$", text)
+    if m:
+        return MatchMetadataTag(int(m.group(1)))
+    if "@" in text:
+        left, right = text.split("@", 1)
+        _hex_or_raise(right, "transaction id")
+        if left == "*":
+            return MatchTransactionId(right)
+        if not left.isdigit():
+            raise PatternError(f"invalid output index {left!r}")
+        return MatchOutputReference(right, int(left))
+    if "." in text:
+        left, right = text.split(".", 1)
+        _hex_or_raise(left, "policy id")
+        if right == "*":
+            return MatchPolicyId(left)
+        return MatchAssetId(left, _hex_or_raise(right, "asset name"))
+    if "/" in text:
+        left, right = text.split("/", 1)
+        if left == "*" and right == "*":
+            return MatchAny(include_bootstrap=False)
+        if left == "*":
+            return MatchDelegation(_hex_or_raise(right, "delegation credential"))
+        if right == "*":
+            return MatchPayment(_hex_or_raise(left, "payment credential"))
+        return MatchPaymentAndDelegation(
+            _hex_or_raise(left, "payment credential"),
+            _hex_or_raise(right, "delegation credential"),
+        )
+    if text == "*":
+        return MatchAny(include_bootstrap=True)
+    return MatchExact(_hex_or_raise(text, "address"))
+
+
+def pattern_to_text(p: Pattern) -> str:
+    return p.to_text()
+
+
+# ---------------------------------------------------------------------------
+# Compilation to Spark Column predicates (Database.hs:712-765 analog).
+# The frame must expose: address, transaction_id, output_index, assets,
+# and (for MatchMetadataTag at ingest) metadata_tags.
+# ---------------------------------------------------------------------------
+
+
+def to_column(p: Pattern, *, at_ingest: bool = False) -> Column:
+    a = F.col("address")
+    if isinstance(p, MatchAny):
+        if p.include_bootstrap:
+            return F.lit(True)
+        return ~a.startswith("00")
+    if isinstance(p, MatchExact):
+        return a == F.lit(p.address)
+    if isinstance(p, MatchPayment):
+        # suffix equality == generated payment_credential column equality
+        return F.expr("right(address, 56)") == F.lit(p.credential)
+    if isinstance(p, MatchDelegation):
+        # prefix scan thanks to the reshuffled encoding (Database.hs:733-736)
+        return a.startswith("01" + p.credential)
+    if isinstance(p, MatchPaymentAndDelegation):
+        return a.startswith("01" + p.delegation) & (
+            F.expr("right(address, 56)") == F.lit(p.payment)
+        )
+    if isinstance(p, MatchTransactionId):
+        # unpacked-column equality; kupo uses a BETWEEN range scan on the
+        # packed binary reference (Database.hs:745-755) — same selectivity,
+        # Spark-native pushdown on the transaction_id column.
+        return F.col("transaction_id") == F.lit(p.transaction_id)
+    if isinstance(p, MatchOutputReference):
+        return (F.col("transaction_id") == F.lit(p.transaction_id)) & (
+            F.col("output_index") == F.lit(p.output_index)
+        )
+    if isinstance(p, MatchPolicyId):
+        return F.map_contains_key(F.col("assets"), F.lit(p.policy_id))
+    if isinstance(p, MatchAssetId):
+        # fully pushed to the asset level: kupo pushes only to policy level
+        # and re-filters rows post-scan (Database.hs:760-761,
+        # Http.hs:656-670); semantics identical, plan better.
+        return F.expr(
+            f"try_element_at(try_element_at(assets, '{p.policy_id}'), '{p.asset_name}') IS NOT NULL"
+        )
+    if isinstance(p, MatchMetadataTag):
+        if not at_ingest:
+            raise PatternError(
+                "{tag} patterns are indexing-only (Database.hs:762-763)"
+            )
+        return F.array_contains(F.col("metadata_tags"), F.lit(p.tag))
+    raise PatternError(f"unknown pattern {p!r}")
+
+
+def any_to_column(patterns, *, at_ingest: bool = False) -> Column:
+    """OR-fold of a pattern set — kupo indexes the union of all configured
+    patterns' matches (Pattern.hs:555-560)."""
+    cols = [to_column(p, at_ingest=at_ingest) for p in patterns]
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = acc | c
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# SQL predicate compiler for the DuckDB oracle (same semantics, over the
+# oracle's `inputs`/`assets_tbl` CTEs).
+# ---------------------------------------------------------------------------
+
+
+def to_sql(p: Pattern, alias: str = "i") -> str:
+    a = f"{alias}.address"
+    if isinstance(p, MatchAny):
+        return "TRUE" if p.include_bootstrap else f"{a} NOT LIKE '00%'"
+    if isinstance(p, MatchExact):
+        return f"{a} = '{p.address}'"
+    if isinstance(p, MatchPayment):
+        return f"right({a}, 56) = '{p.credential}'"
+    if isinstance(p, MatchDelegation):
+        return f"{a} LIKE '01{p.credential}%'"
+    if isinstance(p, MatchPaymentAndDelegation):
+        return f"({a} LIKE '01{p.delegation}%' AND right({a}, 56) = '{p.payment}')"
+    if isinstance(p, MatchTransactionId):
+        return f"{alias}.transaction_id = '{p.transaction_id}'"
+    if isinstance(p, MatchOutputReference):
+        return (
+            f"({alias}.transaction_id = '{p.transaction_id}' "
+            f"AND {alias}.output_index = {p.output_index})"
+        )
+    if isinstance(p, MatchPolicyId):
+        return (
+            f"EXISTS (SELECT 1 FROM assets_tbl x WHERE "
+            f"x.output_reference = {alias}.output_reference AND x.policy_id = '{p.policy_id}')"
+        )
+    if isinstance(p, MatchAssetId):
+        return (
+            f"EXISTS (SELECT 1 FROM assets_tbl x WHERE "
+            f"x.output_reference = {alias}.output_reference AND x.policy_id = '{p.policy_id}' "
+            f"AND x.asset_name = '{p.asset_name}')"
+        )
+    raise PatternError(f"pattern {p!r} has no query-time SQL form")
+
+
+# ---------------------------------------------------------------------------
+# Pattern algebra — overlaps / includes (Pattern.hs:143-221), used to guard
+# DELETE /matches and to answer GET /patterns/{p}.
+# ---------------------------------------------------------------------------
+
+
+def includes(p: Pattern, q: Pattern) -> bool:
+    """True iff every output matched by q is matched by p."""
+    if isinstance(p, MatchAny) and p.include_bootstrap:
+        return True
+    if p == q:
+        return True
+    if isinstance(p, MatchAny):  # */* — everything except bootstrap
+        if isinstance(q, MatchAny):
+            return not q.include_bootstrap
+        if isinstance(q, MatchExact):
+            return not q.address.startswith("00")
+        if isinstance(q, (MatchDelegation, MatchPaymentAndDelegation)):
+            return True  # delegation implies a non-bootstrap (tag 01) address
+        return False
+    if isinstance(p, MatchPayment):
+        if isinstance(q, MatchPayment):
+            return p.credential == q.credential
+        if isinstance(q, MatchPaymentAndDelegation):
+            return p.credential == q.payment
+        if isinstance(q, MatchExact):
+            return q.address[-56:] == p.credential
+        return False
+    if isinstance(p, MatchDelegation):
+        if isinstance(q, MatchDelegation):
+            return p.credential == q.credential
+        if isinstance(q, MatchPaymentAndDelegation):
+            return p.credential == q.delegation
+        if isinstance(q, MatchExact):
+            return q.address.startswith("01" + p.credential)
+        return False
+    if isinstance(p, MatchPaymentAndDelegation):
+        if isinstance(q, MatchExact):
+            return q.address.startswith("01" + p.delegation) and q.address[-56:] == p.payment
+        return False
+    if isinstance(p, MatchTransactionId):
+        if isinstance(q, MatchOutputReference):
+            return p.transaction_id == q.transaction_id
+        return False
+    if isinstance(p, MatchPolicyId):
+        if isinstance(q, MatchAssetId):
+            return p.policy_id == q.policy_id
+        return False
+    return False
+
+
+def overlaps(p: Pattern, q: Pattern) -> bool:
+    """True iff some output could be matched by both (conservative,
+    mirroring Pattern.hs:143-177's by-construction cases)."""
+    if includes(p, q) or includes(q, p):
+        return True
+    if isinstance(p, MatchPayment) and isinstance(q, MatchDelegation):
+        return True  # a base address can carry any (payment, delegation) pair
+    if isinstance(q, MatchPayment) and isinstance(p, MatchDelegation):
+        return True
+    if isinstance(p, MatchPaymentAndDelegation) and isinstance(q, MatchPayment):
+        return p.payment == q.credential
+    if isinstance(q, MatchPaymentAndDelegation) and isinstance(p, MatchPayment):
+        return q.payment == p.credential
+    if isinstance(p, MatchPaymentAndDelegation) and isinstance(q, MatchDelegation):
+        return p.delegation == q.credential
+    if isinstance(q, MatchPaymentAndDelegation) and isinstance(p, MatchDelegation):
+        return q.delegation == p.credential
+    # transaction/policy/asset patterns overlap with address patterns in
+    # general (any address can hold any asset / appear in any tx)
+    addr_like = (MatchAny, MatchExact, MatchPayment, MatchDelegation, MatchPaymentAndDelegation)
+    txn_like = (MatchTransactionId, MatchOutputReference, MatchPolicyId, MatchAssetId, MatchMetadataTag)
+    if isinstance(p, txn_like) and isinstance(q, addr_like):
+        return True
+    if isinstance(q, txn_like) and isinstance(p, addr_like):
+        return True
+    if isinstance(p, txn_like) and isinstance(q, txn_like):
+        return True
+    return False

@@ -1,0 +1,169 @@
+"""Query registry: every implemented operator from SURVEY.md §2, as a
+(name → Spark callable, name → oracle SQL) pair.
+
+The fold-query entries are generated from ONE kwargs spec each, fed to both
+the Spark builder (``operators.fold_inputs``) and the SQL builder
+(``oracle.fold_inputs_sql``) so the two sides cannot drift.  Pattern
+constants are computed from ``chainspec`` (the same derivation the chain
+itself uses), not sampled from data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kupo_spark import chainspec as cs
+from kupo_spark import oracle
+from kupo_spark.context import get_blocks_and_index, get_index
+from kupo_spark.operators import checkpoints as cp
+from kupo_spark.operators import maintenance as mt
+from kupo_spark.operators.fold_inputs import count_inputs, count_policies, fold_inputs
+from kupo_spark.operators.indexer import build_index
+from kupo_spark.patterns import MatchMetadataTag
+
+# ---- pattern constants (derived, deterministic) --------------------------
+ADDR_EXACT = cs.address_of(42)                  # tag-02 address of user 42
+PAY_CRED = cs.payment_credential_of(13)
+DELEG_CRED = cs.delegation_credential_of(5)     # user 5 is tag-01 (5 % 4 == 1)
+PAY_CRED_U5 = cs.payment_credential_of(5)
+TXID = cs.transaction_id_of(123)
+POLICY = cs.policy_id_of(3)
+ASSET = cs.asset_name_of(2)
+ROLLBACK_SLOT = 700
+PRUNE_K = cs.LONGEST_ROLLBACK
+META_SLOT = 50
+
+# ---- fold-query specs: one kwargs dict drives both engines ----------------
+FOLD_SPECS: dict[str, dict] = {
+    "fold_all": dict(pattern="*"),
+    "fold_unspent": dict(pattern="*", status="unspent"),
+    "fold_spent_after": dict(pattern="*", status="spent", spent_after=500),
+    "fold_only_shelley": dict(pattern="*/*"),
+    "fold_exact_address": dict(pattern=ADDR_EXACT),
+    "fold_payment_cred": dict(pattern=f"{PAY_CRED}/*"),
+    "fold_delegation": dict(pattern=f"*/{DELEG_CRED}"),
+    "fold_payment_and_delegation": dict(pattern=f"{PAY_CRED_U5}/{DELEG_CRED}"),
+    "fold_transaction_id": dict(pattern=f"*@{TXID}"),
+    "fold_output_reference": dict(pattern=f"0@{TXID}"),
+    "fold_policy": dict(pattern=f"{POLICY}.*"),
+    "fold_asset": dict(pattern=f"{POLICY}.{ASSET}"),
+    "fold_created_range": dict(pattern="*", created_after=200, created_before=400),
+    "fold_mixed_range": dict(pattern=f"{PAY_CRED}/*", created_before=800, spent_after=300),
+    "fold_resolve_hashes": dict(pattern=f"{PAY_CRED}/*", resolve_hashes=True),
+    "fold_residual_policy": dict(
+        pattern="*", filter_policy_id=POLICY, filter_asset_name=ASSET
+    ),
+    "fold_residual_txid": dict(
+        pattern="*", filter_transaction_id=TXID, filter_output_index=0
+    ),
+}
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_TAG_INDEX_CACHE: dict = {}
+
+
+def _tag_index(spark: SparkSession, sf_dir: str):
+    """Index built with a `{tag}` pattern — P11 is ingest-time matching."""
+    key = (id(spark.sparkContext), sf_dir, cs.META_TAG)
+    if key not in _TAG_INDEX_CACHE:
+        blocks, _ = get_blocks_and_index(spark, sf_dir)
+        _TAG_INDEX_CACHE[key] = build_index(
+            blocks, patterns=[MatchMetadataTag(cs.META_TAG)]
+        )
+    return _TAG_INDEX_CACHE[key]
+
+
+_ROLLBACK_PROJ = [
+    "output_reference", "transaction_id", "transaction_index", "output_index",
+    "address", "payment_credential", "coins", "datum_hash", "script_hash",
+    "created_at", "spent_at", "spent_by", "spent_with",
+]
+
+
+def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = mt.rollback_to(get_index(spark, sf_dir), ROLLBACK_SLOT)
+    return idx.inputs.select(*_ROLLBACK_PROJ)
+
+
+def _q_prune_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = mt.prune_inputs(get_index(spark, sf_dir), PRUNE_K)
+    return idx.inputs.select(
+        "output_reference", "transaction_id", "address", "coins", "created_at", "spent_at"
+    )
+
+
+def _q_prune_binary_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = mt.prune_binary_data(mt.rollback_to(get_index(spark, sf_dir), ROLLBACK_SLOT))
+    return idx.binary_data
+
+
+def _q_index_metadata_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _tag_index(spark, sf_dir)
+    return idx.inputs.select("output_reference", "transaction_id", "address", "coins", "created_at")
+
+
+def queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+
+    for name, spec in FOLD_SPECS.items():
+        def fn(spark, sf_dir, _spec=spec):
+            return fold_inputs(get_index(spark, sf_dir), **_spec)
+        out[f"q_{name}"] = fn
+
+    out["q_count_inputs"] = lambda s, d: count_inputs(get_index(s, d), "*")
+    out["q_count_inputs_payment"] = lambda s, d: count_inputs(
+        get_index(s, d), f"{PAY_CRED}/*"
+    )
+    out["q_count_policies"] = lambda s, d: count_policies(
+        get_index(s, d), f"{PAY_CRED}/*"
+    )
+    out["q_max_checkpoint"] = lambda s, d: cp.max_checkpoint(get_index(s, d))
+    out["q_list_checkpoints"] = lambda s, d: cp.list_checkpoints(get_index(s, d))
+    out["q_ancestors"] = lambda s, d: cp.ancestors(get_index(s, d), 500, 3)
+    out["q_datum_lookup"] = lambda s, d: cp.get_binary_data(
+        get_index(s, d), cs.datum_hash_of(17)
+    )
+    out["q_script_lookup"] = lambda s, d: cp.get_script(
+        get_index(s, d), cs.script_hash_of(12)
+    )
+    out["q_rollback_inputs"] = _q_rollback
+    out["q_prune_inputs"] = _q_prune_inputs
+    out["q_prune_binary_data"] = _q_prune_binary_data
+    out["q_metadata_by_slot"] = lambda s, d: mt.metadata_by_slot(
+        get_blocks_and_index(s, d)[0], META_SLOT
+    )
+    out["q_index_metadata_tag"] = _q_index_metadata_tag
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, spec in FOLD_SPECS.items():
+        out[f"q_{name}"] = oracle.fold_inputs_sql(**spec)
+    out["q_count_inputs"] = oracle.count_inputs_sql("*")
+    out["q_count_inputs_payment"] = oracle.count_inputs_sql(f"{PAY_CRED}/*")
+    out["q_count_policies"] = oracle.count_policies_sql(f"{PAY_CRED}/*")
+    out["q_max_checkpoint"] = oracle.max_checkpoint_sql()
+    out["q_list_checkpoints"] = oracle.list_checkpoints_sql(cp.sample_distances())
+    out["q_ancestors"] = oracle.ancestors_sql(500, 3)
+    out["q_datum_lookup"] = oracle.datum_lookup_sql(cs.datum_hash_of(17))
+    out["q_script_lookup"] = oracle.script_lookup_sql(cs.script_hash_of(12))
+    out["q_rollback_inputs"] = oracle.rolled_back_inputs_sql(ROLLBACK_SLOT)
+    out["q_prune_inputs"] = oracle.pruned_inputs_sql(PRUNE_K)
+    out["q_prune_binary_data"] = oracle.pruned_binary_data_sql(ROLLBACK_SLOT)
+    out["q_metadata_by_slot"] = oracle.metadata_by_slot_sql(META_SLOT)
+    out["q_index_metadata_tag"] = oracle.PRELUDE + (
+        "SELECT output_reference, transaction_id, address, coins, created_at "
+        "FROM inputs i WHERE EXISTS (SELECT 1 FROM outs o "
+        "WHERE o.transaction_id = i.transaction_id AND o.e % 4 = 0)"
+    )
+    return out
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke query: unspent wildcard matches at sf0.001."""
+    return fold_inputs(get_index(spark, "/root/testdata/sf0.001"), "*", status="unspent")
