@@ -1,0 +1,120 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Mirrors the reference's benchmark query set (BASELINE.md; kupo
+benchmarks/README.md: exact-address lookup, delegation-credential scan,
+policy semi-join, slot-range-filtered variants, transaction-id point lookup)
+against a parquet-materialized index, the way kupo serves from its synced
+database — plus the two heaviest pipeline operators (MinHash near-dup,
+embedding top-k).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <sum of query means, sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+`ingest_build_index` (chain → index build + parquet write) is reported as a
+queries entry but not counted into `value`, which matches BASELINE's
+query-latency framing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from kupo_spark import chainspec as cs  # noqa: E402
+from kupo_spark.chaingen import load_blocks  # noqa: E402
+from kupo_spark.functions import dedup, similarity  # noqa: E402
+from kupo_spark.operators.fold_inputs import fold_inputs  # noqa: E402
+from kupo_spark.operators.indexer import build_index, read_index, write_index  # noqa: E402
+from kupo_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+INDEX_DIR = str(Path(__file__).resolve().parent / ".bench" / "index")
+WARMUPS = 1
+RUNS = 3
+
+
+def timed(fn) -> float:
+    times = []
+    for i in range(WARMUPS + RUNS):
+        t0 = time.time()
+        fn()
+        t = time.time() - t0
+        if i >= WARMUPS:
+            times.append(t)
+    return sum(times) / len(times)
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("kupo-bench")
+
+    queries: dict[str, float] = {}
+
+    # --- ingest: chain -> matched index -> partitioned parquet ---
+    t0 = time.time()
+    blocks = load_blocks(spark, SF_DIR)
+    idx = build_index(blocks, patterns=("*",))
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    write_index(idx, INDEX_DIR)
+    queries["ingest_build_index"] = time.time() - t0
+
+    index = read_index(spark, INDEX_DIR)
+
+    # --- BASELINE-shaped queries over the materialized index ---
+    addr = cs.address_of(42)
+    deleg = cs.delegation_credential_of(5)
+    policy = cs.policy_id_of(3)
+    txid = cs.transaction_id_of(123)
+
+    shapes = {
+        "q_exact_address": lambda: fold_inputs(index, addr).collect(),
+        "q_exact_address_range": lambda: fold_inputs(
+            index, addr, created_after=2000, created_before=6000
+        ).collect(),
+        "q_delegation": lambda: fold_inputs(index, f"*/{deleg}").collect(),
+        "q_delegation_spent_after": lambda: fold_inputs(
+            index, f"*/{deleg}", status="spent", spent_after=5000
+        ).collect(),
+        "q_policy": lambda: fold_inputs(index, f"{policy}.*").collect(),
+        "q_policy_range": lambda: fold_inputs(
+            index, f"{policy}.*", created_before=6000, spent_after=3000
+        ).collect(),
+        "q_transaction_id": lambda: fold_inputs(index, f"*@{txid}").collect(),
+        "q_unspent_count": lambda: fold_inputs(index, "*", status="unspent").count(),
+    }
+    for name, fn in shapes.items():
+        queries[name] = timed(fn)
+
+    # --- pipeline heads ---
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries["q_dedup_minhash_lsh"] = timed(
+        lambda: dedup.minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    )
+    queries["q_embedding_topk"] = timed(
+        lambda: similarity.brute_force_topk(embs, n_queries=10, k=5).collect()
+    )
+
+    value = sum(v for k, v in queries.items() if k != "ingest_build_index")
+    print(
+        json.dumps(
+            {
+                "metric": "kupo_spark_query_suite",
+                "value": round(value, 4),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in queries.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+
+- **exact**: hash-groupBy on a content digest; the digest (not the text)
+  is the shuffle key, so payload bytes never move twice.
+- **n-gram Jaccard** (exact near-dup): explode word shingles, self-join on
+  the shingle.  The join key is a 3-word string — at 100 TB replace with its
+  md5 (fixed width) and pre-aggregate DISTINCT (doc, shingle) map-side; the
+  quadratic blow-up only materializes per shared shingle, which is the
+  standard posting-list bound.
+- **MinHash+LSH** (the scale path): 12 min-hashes → 4 bands of 3 → band-key
+  equi-join.  Candidate generation is linear in corpus size; only candidates
+  pay the verification join.  Band keys are md5 strings — uniform, so the
+  shuffle is skew-free by construction.
+- **SimHash**: 16-bit signature via per-token nibble votes, all integer
+  arithmetic (portable + codegen-friendly); hamming buckets by signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kupo_spark.functions.textops import TOKENS
+
+N_MINHASH = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup: canonical doc per content hash + group size."""
+    h = docs.select("doc_id", F.expr("md5(text)").alias("content_hash"))
+    groups = h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("group_size")
+    )
+    return h.join(groups, "content_hash").select(
+        "doc_id", "content_hash", "canonical_doc_id", "group_size"
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document."""
+    idx = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return (
+        docs.select("doc_id", F.expr(TOKENS).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(t) >= {k} THEN "
+                    f"transform(sequence(0, size(t) - {k}), i -> {idx}) "
+                    "ELSE cast(array() as array<string>) END"
+                )
+            ).alias("sh"),
+        )
+        .dropDuplicates(["doc_id", "sh"])
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFrame:
+    """Exact near-dup pairs by k-shingle Jaccard ≥ threshold."""
+    sh = shingles(docs, k).persist()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", F.expr("round(i / (na + nb - i), 6)"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = N_MINHASH, k: int = 3) -> DataFrame:
+    """(doc_id, sig_index, signature): n independent min-hashes over the
+    shingle set.  Hash family = md5(i ‖ shingle); the *lexicographic* min of
+    hex strings is the min-hash — portable across engines, no bigint mixing."""
+    sh = shingles(docs, k)
+    idx = sh.sparkSession.range(n).select(F.col("id").cast("int").alias("i"))
+    return (
+        sh.crossJoin(F.broadcast(idx))
+        .select("doc_id", "i", F.expr("md5(concat(cast(i as string), '|', sh))").alias("h"))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_band_keys(
+    docs: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND, k: int = 3
+) -> DataFrame:
+    """(doc_id, band, key): band key = md5 of the band's signatures in
+    sig-index order."""
+    sigs = minhash_signatures(docs, bands * rows, k)
+    return (
+        sigs.withColumn("band", F.expr(f"i DIV {rows}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "md5(array_join(transform(array_sort(collect_list(struct(i, sig))), s -> s.sig), ''))"
+            ).alias("key")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND, k: int = 3
+) -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band."""
+    bk = lsh_band_keys(docs, bands, rows, k)
+    a = bk.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bk.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.5, bands: int = N_BANDS,
+    rows: int = ROWS_PER_BAND, k: int = 3,
+) -> DataFrame:
+    """The scale path: LSH candidates, then exact Jaccard verification of
+    candidates only."""
+    cand = lsh_candidate_pairs(docs, bands, rows, k)
+    sh = shingles(docs, k)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(a, "doc_a").join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", F.expr("round(i / (na + nb - i), 6)"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash signature: per-token 16-bit hash from the first 4 md5 hex
+    nibbles; signature bit j set iff the sum of ±1 votes over tokens is
+    positive.  Pure integer arithmetic → identical across engines."""
+    nibbles = 4
+    # value of hex char c: strpos('0123456789abcdef', c) - 1 (1-based strpos)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(TOKENS)).alias("tok"),
+    ).withColumn("h4", F.expr("substring(md5(tok), 1, 4)"))
+    votes = []
+    for j in range(bits):
+        nib, bit = divmod(j, 4)
+        val = f"(position(substring(h4, {nib + 1}, 1) IN '0123456789abcdef') - 1)"
+        votes.append(
+            F.expr(f"sum(CASE WHEN ({val} DIV {2 ** bit}) % 2 = 1 THEN 1 ELSE -1 END)").alias(
+                f"v{j}"
+            )
+        )
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sig = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return agg.select("doc_id", F.expr(f"cast({sig} as bigint)").alias("simhash"))

@@ -1,0 +1,112 @@
+"""Similarity search over an embedding column (array<float>).
+
+Numerical determinism strategy: embeddings are quantized to int64 at 1e-6
+resolution (floor(x·1e6 + 0.5)); dot products and norms are then *exact*
+integer sums (order-independent, engine-independent), and the final cosine
+is a fixed sequence of IEEE-double ops — so Spark and DuckDB agree bit-for-
+bit, and `round(cos, 6)` is stable.  Quantization error ~1e-6 is far below
+any ranking-relevant signal.
+
+Scale design:
+- brute-force top-k: broadcast the (small) query set against the corpus —
+  one scan, no shuffle of the corpus, per-partition top-k via window rank
+  (at 100 TB: replace the window by an `aggregate`-style partial top-k and a
+  final merge; the broadcast-queries pattern is unchanged).
+- sign-LSH: 6 deterministic hyperplanes (±1 components derived from md5
+  nibble parity) → 64 buckets; candidates share a bucket.  Bucketing is a
+  narrow projection; the ANN join shuffles only bucket-mates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"
+
+N_PLANES = 6
+DIM = 64
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", F.expr(QUANT).alias("q"))
+
+
+def brute_force_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for each of the first
+    `n_queries` vec_ids (self excluded); deterministic tie-break on
+    neighbor id."""
+    q = quantized(emb)
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    corpus = q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("nq", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("nc", F.expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn(
+            "cosine",
+            F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_expr(j: int, dim: int = DIM) -> str:
+    """Deterministic ±1 hyperplane j: component i = +1 iff the i-th hex
+    nibble of md5('hp{j}')‖md5('hp2{j}') is odd."""
+    h = f"concat(md5('hp{j}'), md5('hp2{j}'))"
+    return (
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> IF(position(substring({h}, i + 1, 1) IN '13579bdf') > 0, 1L, -1L))"
+    )
+
+
+def lsh_buckets(emb: DataFrame, planes: int = N_PLANES, dim: int = DIM) -> DataFrame:
+    """(vec_id, bucket): bucket = sign-bit string over the hyperplanes."""
+    df = quantized(emb)
+    bits = []
+    for j in range(planes):
+        dot = f"aggregate(zip_with(q, {hyperplane_expr(j, dim)}, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+        bits.append(f"IF({dot} >= 0, '1', '0')")
+    return df.select("vec_id", F.expr("concat(" + ", ".join(bits) + ")").alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, planes: int = N_PLANES
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket."""
+    q = quantized(emb)
+    buckets = lsh_buckets(emb, planes)
+    qb = q.join(buckets, "vec_id")
+    queries = qb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "bucket"
+    )
+    corpus = qb.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"), "bucket")
+    scored = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("nq", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("nc", F.expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn(
+            "cosine",
+            F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

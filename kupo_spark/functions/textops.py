@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are JVM-side builtins (split/filter/transform/
+aggregate) — no Python UDFs — so they stay inside whole-stage codegen and
+scale linearly over a 100 TB documents table: every operator here is a
+narrow projection + optional groupBy, no joins, no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKENS = "filter(split(text, ' '), x -> x != '')"
+
+#: language marker profiles (function words).  Scoring = total occurrence
+#: count of each language's markers in the text; deterministic and
+#: engine-portable (occurrence counting via length/replace).  Swap in real
+#: profiles for real corpora.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "und", "nicht"],
+    "en": ["the", "and", "of"],
+    "es": ["que", "los", "una"],
+    "fr": ["les", "une", "est"],
+    "zh": ["de5", "shi4", "le5"],
+}
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def _occurrences(col: str, marker: str) -> str:
+    """# of occurrences of `marker` in `col` — portable SQL idiom."""
+    return f"(length({col}) - length(replace({col}, '{marker}', ''))) DIV {len(marker)}"
+
+
+def lang_score_expr(lang: str, col: str = "text") -> str:
+    return " + ".join(_occurrences(col, m) for m in LANG_PROFILES[lang])
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting + lexical-diversity stats per document."""
+    t = docs.select(
+        "doc_id",
+        F.expr(TOKENS).alias("t"),
+        F.expr("length(replace(text, ' ', ''))").alias("total_tok_chars"),
+    )
+    return t.select(
+        "doc_id",
+        F.expr("size(t)").alias("n_tokens"),
+        F.expr("size(array_distinct(t))").alias("n_uniq_tokens"),
+        F.expr("round(total_tok_chars / size(t), 6)").alias("avg_token_len"),
+        F.expr("round(size(array_distinct(t)) / size(t), 6)").alias("ttr"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio (fluency proxy) × lexical
+    diversity, capped by a length prior — the usual pre-training filter
+    features, all portable integer/double arithmetic."""
+    stop_pred = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    t = docs.select(
+        "doc_id",
+        F.expr(TOKENS).alias("t"),
+    )
+    return t.select(
+        "doc_id",
+        F.expr(f"round(size(filter(t, x -> {stop_pred})) / size(t), 6)").alias(
+            "stopword_ratio"
+        ),
+        F.expr(
+            "round(least(1.0, size(t) / 100.0) * (size(array_distinct(t)) / size(t)), 6)"
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-profile language ID: per-language occurrence score, argmax
+    with alphabetical tie-break."""
+    scores = docs.select(
+        "doc_id",
+        *[F.expr(lang_score_expr(lg)).cast("long").alias(f"score_{lg}") for lg in sorted(LANG_PROFILES)],
+    )
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = None
+    for lg in reversed(langs):  # earliest alphabetical wins ties
+        cond = F.col(f"score_{lg}") == best
+        pred = F.when(cond, F.lit(lg)) if pred is None else F.when(cond, F.lit(lg)).otherwise(pred)
+        # building right-to-left so the leftmost (alphabetically first) WHEN wins
+    return scores.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        best.alias("best_score"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text + a 256-way
+    shard bucket (the partition key for a distributed dedup join)."""
+    return docs.select(
+        "doc_id",
+        F.expr("md5(regexp_replace(lower(text), '[^a-z0-9 ]', ''))").alias("fingerprint"),
+    ).withColumn("bucket", F.expr("substring(fingerprint, 1, 2)"))

@@ -1,0 +1,222 @@
+"""DuckDB oracle statements for the LLM-data-pipeline operators.
+
+Mirrors kupo_spark.functions.* expression-for-expression (generated from the
+same constants — LANG_PROFILES, band/row counts, quantization scale — so the
+two engines cannot drift).  Dialect notes: DuckDB needs the 'g' flag on
+regexp_replace; Spark's `size()` is INT so both sides cast counts to BIGINT;
+DuckDB's row_number is BIGINT so it is cast to INTEGER to match Spark.
+"""
+
+from __future__ import annotations
+
+from kupo_spark.functions.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND, SIMHASH_BITS
+from kupo_spark.functions.similarity import DIM, N_PLANES
+from kupo_spark.functions.textops import LANG_PROFILES, STOPWORDS
+
+TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      ELSE [] END) AS sh
+    FROM toks)
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+g AS (SELECT content_hash, min(doc_id) AS canonical_doc_id, count(*) AS group_size
+      FROM h GROUP BY 1)
+SELECT h.doc_id, h.content_hash, g.canonical_doc_id, g.group_size
+FROM h JOIN g USING (content_hash)
+"""
+
+
+def token_stats_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {TOKS} AS t, length(replace(text, ' ', '')) AS total FROM documents
+)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_tokens,
+  round(total / len(t), 6) AS avg_token_len,
+  round(len(list_distinct(t)) / len(t), 6) AS ttr
+FROM t
+"""
+
+
+def quality_sql() -> str:
+    stop_pred = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents)
+SELECT doc_id,
+  round(len(list_filter(t, x -> {stop_pred})) / len(t), 6) AS stopword_ratio,
+  round(least(1.0, len(t) / 100.0) * (len(list_distinct(t)) / len(t)), 6) AS quality_score
+FROM t
+"""
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+
+    def occ(m: str) -> str:
+        return f"(length(text) - length(replace(text, '{m}', ''))) // {len(m)}"
+
+    score_cols = ",\n  ".join(
+        "CAST(" + " + ".join(occ(m) for m in LANG_PROFILES[lg]) + f" AS BIGINT) AS score_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH s AS (SELECT doc_id, {score_cols} FROM documents),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, {pred} AS predicted_lang, best AS best_score FROM b
+"""
+
+
+def fingerprint_sql() -> str:
+    return """
+SELECT doc_id,
+  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint,
+  substr(md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 2) AS bucket
+FROM documents
+"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {SHINGLES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = inter.doc_a
+JOIN counts cb ON cb.doc_id = inter.doc_b
+WHERE round(i / (ca.n + cb.n - i), 6) >= {threshold}
+"""
+
+
+def minhash_lsh_sql(threshold: float = 0.5) -> str:
+    n = N_BANDS * ROWS_PER_BAND
+    assert n == N_MINHASH
+    return f"""
+WITH {SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, t.i, min(md5(CAST(t.i AS VARCHAR) || '|' || sh)) AS sig
+  FROM shingles, (SELECT unnest(range({n})) AS i) t
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+         md5(string_agg(sig, '' ORDER BY i)) AS key
+  FROM sigs GROUP BY doc_id, i // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = inter.doc_a
+JOIN counts cb ON cb.doc_id = inter.doc_b
+WHERE round(i / (ca.n + cb.n - i), 6) >= {threshold}
+"""
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    votes = []
+    for j in range(bits):
+        nib, bit = divmod(j, 4)
+        val = f"(position(substr(h4, {nib + 1}, 1) IN '0123456789abcdef') - 1)"
+        votes.append(
+            f"sum(CASE WHEN ({val} // {2 ** bit}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        )
+    sig = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, substr(md5(t.tok), 1, 4) AS h4
+  FROM (SELECT doc_id, unnest({TOKS}) AS tok FROM documents) t
+),
+v AS (SELECT doc_id, {', '.join(votes)} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+"""
+
+
+QUANT = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+)
+
+_COS = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+def embedding_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id, {QUANT} AS v FROM embeddings),
+queries AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < {n_queries}),
+corpus AS (SELECT vec_id AS neighbor_id, v AS cv FROM q),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine
+  FROM corpus, queries WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _hyperplane_sql(j: int, dim: int = DIM) -> str:
+    h = f"(md5('hp{j}') || md5('hp2{j}'))"
+    return (
+        f"list_transform(range({dim}), i -> CASE WHEN "
+        f"position(substr({h}, CAST(i + 1 AS INTEGER), 1) IN '13579bdf') > 0 "
+        "THEN 1 ELSE -1 END)"
+    )
+
+
+def lsh_buckets_sql(planes: int = N_PLANES, dim: int = DIM) -> str:
+    bits = " || ".join(
+        f"CASE WHEN list_dot_product(v, {_hyperplane_sql(j, dim)}) >= 0 THEN '1' ELSE '0' END"
+        for j in range(planes)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {QUANT} AS v FROM embeddings)
+SELECT vec_id, {bits} AS bucket FROM q
+"""
+
+
+def multimodal_features_sql() -> str:
+    return """
+SELECT doc_id,
+  CAST(ascii(substr(text, 1, 1)) % 64 + 16 AS INTEGER) AS width,
+  CAST(ascii(substr(text, length(text), 1)) % 64 + 16 AS INTEGER) AS height,
+  CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+"""

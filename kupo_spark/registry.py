@@ -16,8 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kupo_spark import chainspec as cs
-from kupo_spark import oracle
+from kupo_spark import oracle, oracle_pipeline
 from kupo_spark.context import get_blocks_and_index, get_index
+from kupo_spark.functions import dedup, multimodal, similarity, textops
 from kupo_spark.operators import checkpoints as cp
 from kupo_spark.operators import maintenance as mt
 from kupo_spark.operators.fold_inputs import count_inputs, count_policies, fold_inputs
@@ -106,8 +107,74 @@ def _q_index_metadata_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.inputs.select("output_reference", "transaction_id", "address", "coins", "created_at")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+#: LLM-data-pipeline operators: name → (spark callable, oracle SQL | None)
+PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "q_dedup_exact": (
+        lambda s, d: dedup.exact_duplicates(_docs(s, d)),
+        oracle_pipeline.dedup_exact_sql(),
+    ),
+    "q_text_token_stats": (
+        lambda s, d: textops.token_stats(_docs(s, d)),
+        oracle_pipeline.token_stats_sql(),
+    ),
+    "q_text_quality": (
+        lambda s, d: textops.quality_score(_docs(s, d)),
+        oracle_pipeline.quality_sql(),
+    ),
+    "q_text_lang_id": (
+        lambda s, d: textops.lang_id(_docs(s, d)),
+        oracle_pipeline.lang_id_sql(),
+    ),
+    "q_text_fingerprint": (
+        lambda s, d: textops.fingerprint(_docs(s, d)),
+        oracle_pipeline.fingerprint_sql(),
+    ),
+    "q_dedup_ngram_jaccard": (
+        lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.5),
+        oracle_pipeline.ngram_jaccard_sql(0.5),
+    ),
+    "q_dedup_minhash_lsh": (
+        lambda s, d: dedup.minhash_near_dup_pairs(_docs(s, d), threshold=0.5),
+        oracle_pipeline.minhash_lsh_sql(0.5),
+    ),
+    "q_dedup_simhash": (
+        lambda s, d: dedup.simhash(_docs(s, d)),
+        oracle_pipeline.simhash_sql(),
+    ),
+    "q_embedding_topk": (
+        lambda s, d: similarity.brute_force_topk(_embs(s, d), n_queries=10, k=5),
+        oracle_pipeline.embedding_topk_sql(10, 5),
+    ),
+    "q_embedding_lsh_buckets": (
+        lambda s, d: similarity.lsh_buckets(_embs(s, d)),
+        oracle_pipeline.lsh_buckets_sql(),
+    ),
+    "q_multimodal_features": (
+        lambda s, d: multimodal.extract_features(multimodal.as_media_table(_docs(s, d))),
+        oracle_pipeline.multimodal_features_sql(),
+    ),
+    # ANN top-k via LSH buckets: recall depends on bucketing, which is the
+    # point of the operator — checked rows-only (non-SQL-expressible rank
+    # semantics aside, the bucket restriction is already oracle-checked).
+    "q_embedding_lsh_topk": (
+        lambda s, d: similarity.lsh_topk(_embs(s, d), n_queries=10, k=5),
+        None,
+    ),
+}
+
+
 def queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
+    for name, (fn, _sql) in PIPELINE_QUERIES.items():
+        out[name] = fn
 
     for name, spec in FOLD_SPECS.items():
         def fn(spark, sf_dir, _spec=spec):
@@ -142,6 +209,9 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
+    for name, (_fn, sql) in PIPELINE_QUERIES.items():
+        if sql is not None:
+            out[name] = sql
     for name, spec in FOLD_SPECS.items():
         out[f"q_{name}"] = oracle.fold_inputs_sql(**spec)
     out["q_count_inputs"] = oracle.count_inputs_sql("*")
