@@ -86,10 +86,17 @@ def fold_inputs(
         df = df.where(F.col("spent_at").isNotNull())
 
     # P16 slot ranges (SlotRange.hs:27-133; SQL at SQLite.hs:971-999).
+    # On a partitioned parquet index, mirror the created_at bounds onto the
+    # created_bucket partition column → partition pruning at the scan.
+    bucketed = index.slot_bucket is not None and "created_bucket" in df.columns
     if created_after is not None:
         df = df.where(F.col("created_at") >= F.lit(created_after))
+        if bucketed:
+            df = df.where(F.col("created_bucket") >= created_after // index.slot_bucket)
     if created_before is not None:
         df = df.where(F.col("created_at") <= F.lit(created_before))
+        if bucketed:
+            df = df.where(F.col("created_bucket") <= created_before // index.slot_bucket)
     if spent_after is not None:
         df = df.where(F.col("spent_at").isNotNull() & (F.col("spent_at") >= F.lit(spent_after)))
     if spent_before is not None:

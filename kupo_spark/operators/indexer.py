@@ -44,11 +44,16 @@ class Index:
     assets: DataFrame        # (output_reference, policy_id, asset_name, quantity)
     binary_data: DataFrame   # (binary_data_hash, binary_data)
     scripts: DataFrame       # (script_hash, script)
+    #: width of the created_at partition buckets when `inputs` is backed by
+    #: partitioned parquet (None for in-memory indexes); slot-range queries
+    #: add created_bucket bounds so the scan prunes whole partitions —
+    #: the Spark-native analog of kupo's created_at B-tree index.
+    slot_bucket: int | None = None
 
     def persist(self) -> "Index":
         return Index(*(df.persist() for df in (
             self.inputs, self.checkpoints, self.policies, self.assets,
-            self.binary_data, self.scripts)))
+            self.binary_data, self.scripts)), slot_bucket=self.slot_bucket)
 
     def unpersist(self) -> None:
         for df in (self.inputs, self.checkpoints, self.policies, self.assets,
@@ -122,12 +127,12 @@ def build_index(
     pats = _as_patterns(patterns)
     outs = exploded_outputs(blocks)
 
+    # W1 INSERT OR IGNORE semantics (Pattern.hs:555-560, SQLite.hs:831-844):
+    # kupo emits one match per (pattern, output) and dedups on insert.  Here
+    # the pattern set is OR-folded into ONE predicate over the exploded
+    # outputs — each output appears exactly once by construction, so the
+    # dedup (a full shuffle + sort at 100 TB) is provably unnecessary.
     produced = outs.where(any_to_column(pats, at_ingest=True))
-    # W1 INSERT OR IGNORE: an output matched by several patterns is stored
-    # once (Pattern.hs:555-560, SQLite.hs:831-844).  The predicate is an OR
-    # so no duplicates arise pre-join, but keep the engine honest for
-    # pattern sets added across batches:
-    produced = produced.dropDuplicates(["ext_output_reference"])
 
     spends = spent_refs(blocks)
 
@@ -222,12 +227,13 @@ def write_index(index: Index, path: str, slot_bucket: int = 1000) -> None:
     index.scripts.write.mode("overwrite").parquet(f"{path}/scripts")
 
 
-def read_index(spark, path: str) -> Index:
+def read_index(spark, path: str, slot_bucket: int = 1000) -> Index:
     return Index(
-        inputs=spark.read.parquet(f"{path}/inputs").drop("created_bucket"),
+        inputs=spark.read.parquet(f"{path}/inputs"),
         checkpoints=spark.read.parquet(f"{path}/checkpoints"),
         policies=spark.read.parquet(f"{path}/policies"),
         assets=spark.read.parquet(f"{path}/assets"),
         binary_data=spark.read.parquet(f"{path}/binary_data"),
         scripts=spark.read.parquet(f"{path}/scripts"),
+        slot_bucket=slot_bucket,
     )

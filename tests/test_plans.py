@@ -1,0 +1,95 @@
+"""Physical-plan regression tests — mirror of kupo's EXPLAIN QUERY PLAN
+golden assertions (DatabaseSpec.hs:359-700): the queries must keep parquet
+filter pushdown, partition pruning, and broadcast dimension joins."""
+
+from __future__ import annotations
+
+import pytest
+
+from kupo_spark import chainspec as cs
+from kupo_spark.operators.fold_inputs import fold_inputs
+from kupo_spark.operators.indexer import build_index, read_index, write_index
+from kupo_spark.plans.explain import assert_in_plan, formatted_plan
+
+
+@pytest.fixture(scope="module")
+def disk_index(spark, blocks, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index"))
+    write_index(build_index(blocks), path, slot_bucket=20)
+    return read_index(spark, path, slot_bucket=20)
+
+
+def test_exact_address_pushed_to_scan(disk_index):
+    addr = cs.address_of(42)
+    df = fold_inputs(disk_index, addr)
+    plan = assert_in_plan(df, "PushedFilters")
+    assert f"EqualTo(address,{addr})" in plan or "isnotnull(address" in plan
+    # the filter must reach the parquet reader, not sit above it
+    assert "PushedFilters: [" in plan
+
+
+def test_checkpoint_joins_are_broadcast(disk_index):
+    df = fold_inputs(disk_index, "*")
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # J1 + J2
+
+
+def test_created_range_prunes_partitions(disk_index):
+    df = fold_inputs(disk_index, "*", created_after=40, created_before=59)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "created_bucket" in plan
+    # correctness of pruning: bucket width 20 → only buckets 2 within range
+    assert df.count() > 0
+
+
+def test_column_pruning_reaches_scan(disk_index):
+    from kupo_spark.operators.fold_inputs import count_inputs
+
+    df = count_inputs(disk_index, "*")
+    plan = formatted_plan(df)
+    # a COUNT over the wildcard pattern must not read wide payload columns
+    assert "assets" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_policy_semi_join_plan(disk_index):
+    df = fold_inputs(disk_index, f"{cs.policy_id_of(3)}.*")
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    # the policy filter is pushed into the policies side-table scan
+    assert f"EqualTo(policy_id,{cs.policy_id_of(3)})" in plan
+
+
+def test_pruned_scan_matches_unpruned_results(disk_index, index):
+    """Partition pruning is a plan property, not a semantics change: the
+    range query over the bucketed parquet index must return exactly the
+    rows the in-memory index returns."""
+    kw = dict(created_after=33, created_before=71)
+    disk = {r["output_reference"] for r in fold_inputs(disk_index, "*", **kw).collect()}
+    mem = {r["output_reference"] for r in fold_inputs(index, "*", **kw).collect()}
+    assert disk == mem and len(disk) > 0
+
+
+def test_no_python_eval_in_match_pipeline(blocks):
+    idx = build_index(blocks)
+    plan = formatted_plan(idx.inputs)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python in the hot path
+    assert "SortAggregate" not in plan  # the W1 dedup shuffle must stay gone
+
+
+def test_codegen_on_exploded_outputs(blocks):
+    from kupo_spark.operators.indexer import exploded_outputs
+
+    df = exploded_outputs(blocks)
+    # force a final (non-AQE) plan string by looking at simple mode too
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+
+
+def test_topk_no_python_in_plan(spark):
+    from kupo_spark.functions.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = formatted_plan(brute_force_topk(emb))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
