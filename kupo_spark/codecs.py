@@ -1,0 +1,184 @@
+"""Address/credential codecs — C1/C5 of the survey.
+
+``patternFromText`` (reference ``src/Kupo/Data/Pattern.hs:252-381``) accepts,
+besides raw hex: bech32 addresses/credentials (``addr1…``, ``stake1…``,
+``addr_vk…``, ``stake_vk…``), and hashes verification keys with blake2b-224.
+These are *driver-side* codecs (C5): they run once per query/pattern parse,
+never in the data plane, so plain Python is the right tool.
+
+bech32 implemented from the public BIP-0173 specification; base58 from the
+public Bitcoin alphabet; blake2b-224 via hashlib.
+
+The engine's address layout is the reference's reshuffled encoding
+(``src/Kupo/Data/Database.hs:536-599``): ``tag(1B) ‖ [delegation 28B] ‖
+header(1B) ‖ payment(28B)``, hex — chosen so payment lookups are suffix
+matches and delegation lookups are prefix scans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# ---------------------------------------------------------------------------
+# bech32 (BIP-0173)
+# ---------------------------------------------------------------------------
+
+_CHARSET = "qpzry9x8gf2tvdw0s3jn54khce6mua7l"
+
+
+def _polymod(values: list[int]) -> int:
+    gen = [0x3B6A57B2, 0x26508E6D, 0x1EA119FA, 0x3D4233DD, 0x2A1462B3]
+    chk = 1
+    for v in values:
+        b = chk >> 25
+        chk = (chk & 0x1FFFFFF) << 5 ^ v
+        for i in range(5):
+            chk ^= gen[i] if ((b >> i) & 1) else 0
+    return chk
+
+
+def _hrp_expand(hrp: str) -> list[int]:
+    return [ord(c) >> 5 for c in hrp] + [0] + [ord(c) & 31 for c in hrp]
+
+
+def _convertbits(data, frombits: int, tobits: int, pad: bool) -> list[int] | None:
+    acc = bits = 0
+    ret = []
+    maxv = (1 << tobits) - 1
+    for value in data:
+        if value < 0 or value >> frombits:
+            return None
+        acc = (acc << frombits) | value
+        bits += frombits
+        while bits >= tobits:
+            bits -= tobits
+            ret.append((acc >> bits) & maxv)
+    if pad:
+        if bits:
+            ret.append((acc << (tobits - bits)) & maxv)
+    elif bits >= frombits or ((acc << (tobits - bits)) & maxv):
+        return None
+    return ret
+
+
+def bech32_encode(hrp: str, payload: bytes) -> str:
+    data = _convertbits(payload, 8, 5, True)
+    values = _hrp_expand(hrp) + data
+    checksum = _polymod(values + [0, 0, 0, 0, 0, 0]) ^ 1
+    chk = [(checksum >> 5 * (5 - i)) & 31 for i in range(6)]
+    return hrp + "1" + "".join(_CHARSET[d] for d in data + chk)
+
+
+def bech32_decode(text: str) -> tuple[str, bytes] | None:
+    if any(ord(c) < 33 or ord(c) > 126 for c in text):
+        return None
+    text = text.lower()
+    pos = text.rfind("1")
+    if pos < 1 or pos + 7 > len(text):
+        return None
+    hrp, data_part = text[:pos], text[pos + 1 :]
+    if any(c not in _CHARSET for c in data_part):
+        return None
+    data = [_CHARSET.index(c) for c in data_part]
+    if _polymod(_hrp_expand(hrp) + data) != 1:
+        return None
+    decoded = _convertbits(data[:-6], 5, 8, False)
+    if decoded is None:
+        return None
+    return hrp, bytes(decoded)
+
+
+# ---------------------------------------------------------------------------
+# base58 (Bitcoin alphabet) — Byron bootstrap addresses
+# ---------------------------------------------------------------------------
+
+_B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def base58_decode(text: str) -> bytes | None:
+    n = 0
+    for c in text:
+        if c not in _B58:
+            return None
+        n = n * 58 + _B58.index(c)
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    pad = len(text) - len(text.lstrip("1"))
+    return b"\x00" * pad + raw
+
+
+def base58_encode(raw: bytes) -> str:
+    n = int.from_bytes(raw, "big")
+    out = ""
+    while n:
+        n, r = divmod(n, 58)
+        out = _B58[r] + out
+    pad = len(raw) - len(raw.lstrip(b"\x00"))
+    return "1" * pad + out
+
+
+# ---------------------------------------------------------------------------
+# credentials & the reshuffled address encoding
+# ---------------------------------------------------------------------------
+
+
+def blake2b_224(data: bytes) -> bytes:
+    return hashlib.blake2b(data, digest_size=28).digest()
+
+
+def credential_from_verification_key(vk: bytes) -> str:
+    """Pattern.hs:265-381: 32-byte verification keys are hashed to their
+    blake2b-224 credential before matching."""
+    if len(vk) != 32:
+        raise ValueError("verification key must be 32 bytes")
+    return blake2b_224(vk).hex()
+
+
+def reshuffle_address(header: int, payment: bytes, delegation: bytes | None) -> str:
+    """Ledger layout (header ‖ payment ‖ [delegation]) → the index-friendly
+    reshuffled hex (Database.hs:536-599): tag ‖ [delegation] ‖ header ‖
+    payment."""
+    addr_type = header >> 4
+    if addr_type in (0, 1, 2, 3):
+        tag = 1  # base address (payment + delegation)
+    elif addr_type in (4, 5):
+        tag = 2  # pointer
+    elif addr_type in (6, 7):
+        tag = 3  # enterprise
+    else:
+        tag = 0  # bootstrap / other
+    parts = [f"{tag:02d}"]
+    if delegation is not None:
+        parts.append(delegation.hex())
+    parts.append(f"{header:02x}")
+    parts.append(payment.hex())
+    return "".join(parts)
+
+
+def address_from_bech32(text: str) -> str | None:
+    """addr…/addr_test… bech32 → reshuffled hex address; stake…/stake_test…
+    → the delegation credential hex (for `*/stake1…` patterns)."""
+    dec = bech32_decode(text)
+    if dec is None:
+        return None
+    hrp, payload = dec
+    if hrp in ("addr", "addr_test") and len(payload) >= 29:
+        header, payment = payload[0], payload[1:29]
+        delegation = payload[29:57] if len(payload) >= 57 else None
+        return reshuffle_address(header, payment, delegation)
+    if hrp in ("stake", "stake_test") and len(payload) == 29:
+        return payload[1:].hex()  # reward account: header ‖ 28B credential
+    return None
+
+
+def credential_from_bech32(text: str) -> str | None:
+    """addr_vk/stake_vk (32B keys, hashed) and addr_vkh/stake_vkh/script
+    (28B hashes, verbatim) → credential hex."""
+    dec = bech32_decode(text)
+    if dec is None:
+        return None
+    hrp, payload = dec
+    if hrp in ("addr_vk", "stake_vk") and len(payload) == 32:
+        return credential_from_verification_key(payload)
+    if hrp in ("addr_vkh", "stake_vkh", "script") and len(payload) == 28:
+        return payload.hex()
+    return None

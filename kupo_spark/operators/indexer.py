@@ -68,6 +68,23 @@ def _as_patterns(patterns: Iterable[Pattern | str]) -> list[Pattern]:
     return [pattern_from_text(p) if isinstance(p, str) else p for p in patterns]
 
 
+def _effective_outputs(blocks: DataFrame):
+    """Era subtlety S8 (Cardano.hs:211-228,292-323): an invalid (phase-2
+    failed) transaction produces ONLY its collateral-return output, at
+    output index |outputs|.  Blocks without validity columns are all-valid."""
+    if "is_valid" not in blocks.columns:
+        return F.col("outputs")
+    ret = F.when(
+        F.col("collateral_return").isNotNull(),
+        F.array(
+            F.col("collateral_return").withField(
+                "output_index", F.expr("cast(size(outputs) as int)")
+            )
+        ),
+    ).otherwise(F.expr("slice(outputs, 1, 0)"))  # typed empty array
+    return F.when(F.col("is_valid"), F.col("outputs")).otherwise(ret)
+
+
 def exploded_outputs(blocks: DataFrame) -> DataFrame:
     """F1/F2: one row per produced output, with synthesized references."""
     o = blocks.select(
@@ -75,7 +92,7 @@ def exploded_outputs(blocks: DataFrame) -> DataFrame:
         "transaction_index",
         "transaction_id",
         "metadata_tags",
-        F.explode("outputs").alias("out"),
+        F.explode(_effective_outputs(blocks)).alias("out"),
     )
     return o.select(
         F.concat(
@@ -103,19 +120,33 @@ def exploded_outputs(blocks: DataFrame) -> DataFrame:
 
 
 def spent_refs(blocks: DataFrame) -> DataFrame:
-    """F3+F5: one row per consumed output-reference with spend metadata."""
+    """F3+F5: one row per consumed output-reference with spend metadata.
+
+    Era subtlety S8 (Cardano.hs:199-233): an invalid transaction consumes
+    its *collateral* inputs instead of its inputs, and collateral spends
+    carry no redeemer."""
+    has_validity = "is_valid" in blocks.columns
+    eff_inputs = (
+        F.when(F.col("is_valid"), F.col("inputs")).otherwise(F.col("collateral_inputs"))
+        if has_validity
+        else F.col("inputs")
+    )
     s = blocks.select(
         F.col("slot_no").alias("spent_at"),
         F.col("transaction_id").alias("spent_by"),
-        F.posexplode("inputs").alias("spent_input_index", "spent_ref"),
+        F.posexplode(eff_inputs).alias("spent_input_index", "spent_ref"),
         "spend_redeemers",
+        *(["is_valid"] if has_validity else []),
     )
+    redeemer = F.expr("try_element_at(spend_redeemers, spent_input_index)")
+    if has_validity:
+        redeemer = F.when(F.col("is_valid"), redeemer)
     return s.select(
         "spent_ref",
         "spent_at",
         "spent_by",
         "spent_input_index",
-        F.expr("try_element_at(spend_redeemers, spent_input_index)").alias("spent_with"),
+        redeemer.alias("spent_with"),
     )
 
 

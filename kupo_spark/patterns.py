@@ -137,6 +137,20 @@ def _hex_or_raise(s: str, what: str) -> str:
     return s
 
 
+def _credential(s: str, what: str) -> str:
+    """A credential given as hex, or as a bech32 verification key /
+    key-hash / script hash (P12: keys are blake2b-224-hashed,
+    Pattern.hs:265-381)."""
+    if _HEX.match(s):
+        return s
+    from kupo_spark.codecs import credential_from_bech32
+
+    cred = credential_from_bech32(s)
+    if cred is None:
+        raise PatternError(f"invalid {what}: {s!r} is neither hex nor bech32")
+    return cred
+
+
 def pattern_from_text(text: str) -> Pattern:
     """Parse the kupo text syntax (``patternFromText``, Pattern.hs:252-381).
 
@@ -169,15 +183,29 @@ def pattern_from_text(text: str) -> Pattern:
         if left == "*" and right == "*":
             return MatchAny(include_bootstrap=False)
         if left == "*":
-            return MatchDelegation(_hex_or_raise(right, "delegation credential"))
+            return MatchDelegation(_credential(right, "delegation credential"))
         if right == "*":
-            return MatchPayment(_hex_or_raise(left, "payment credential"))
+            return MatchPayment(_credential(left, "payment credential"))
         return MatchPaymentAndDelegation(
-            _hex_or_raise(left, "payment credential"),
-            _hex_or_raise(right, "delegation credential"),
+            _credential(left, "payment credential"),
+            _credential(right, "delegation credential"),
         )
     if text == "*":
         return MatchAny(include_bootstrap=True)
+    if not _HEX.match(text):
+        # bech32 entry points (Pattern.hs:252-381): full addresses and
+        # reward accounts
+        from kupo_spark.codecs import address_from_bech32, bech32_decode
+
+        dec = bech32_decode(text)
+        if dec is not None:
+            hrp = dec[0]
+            converted = address_from_bech32(text)
+            if converted is not None:
+                if hrp in ("stake", "stake_test"):
+                    return MatchDelegation(converted)
+                return MatchExact(converted)
+        raise PatternError(f"invalid pattern {text!r}")
     return MatchExact(_hex_or_raise(text, "address"))
 
 

@@ -21,6 +21,7 @@ from kupo_spark.context import get_blocks_and_index, get_index
 from kupo_spark.functions import dedup, multimodal, similarity, textops
 from kupo_spark.operators import checkpoints as cp
 from kupo_spark.operators import maintenance as mt
+from kupo_spark.operators import serve as _serve
 from kupo_spark.operators.fold_inputs import count_inputs, count_policies, fold_inputs
 from kupo_spark.operators.indexer import build_index
 from kupo_spark.patterns import MatchMetadataTag
@@ -42,6 +43,7 @@ FOLD_SPECS: dict[str, dict] = {
     "fold_all": dict(pattern="*"),
     "fold_unspent": dict(pattern="*", status="unspent"),
     "fold_spent_after": dict(pattern="*", status="spent", spent_after=500),
+    "fold_spent_before": dict(pattern="*", status="spent", spent_before=400),
     "fold_only_shelley": dict(pattern="*/*"),
     "fold_exact_address": dict(pattern=ADDR_EXACT),
     "fold_payment_cred": dict(pattern=f"{PAY_CRED}/*"),
@@ -197,6 +199,13 @@ def queries() -> dict[str, QueryFn]:
     out["q_script_lookup"] = lambda s, d: cp.get_script(
         get_index(s, d), cs.script_hash_of(12)
     )
+    out["q_checkpoint_strict"] = lambda s, d: cp.checkpoint_by_slot(
+        get_index(s, d), 42, strict=True
+    )
+    out["q_checkpoint_nonstrict"] = lambda s, d: cp.checkpoint_by_slot(
+        get_index(s, d), 98765, strict=False
+    )
+    out["q_health"] = lambda s, d: _serve.health(get_index(s, d))
     out["q_rollback_inputs"] = _q_rollback
     out["q_prune_inputs"] = _q_prune_inputs
     out["q_prune_binary_data"] = _q_prune_binary_data
@@ -222,6 +231,19 @@ def oracle_sql() -> dict[str, str]:
     out["q_ancestors"] = oracle.ancestors_sql(500, 3)
     out["q_datum_lookup"] = oracle.datum_lookup_sql(cs.datum_hash_of(17))
     out["q_script_lookup"] = oracle.script_lookup_sql(cs.script_hash_of(12))
+    out["q_checkpoint_strict"] = oracle.PRELUDE + (
+        "SELECT slot_no, header_hash FROM checkpoints WHERE slot_no = 42"
+    )
+    out["q_checkpoint_nonstrict"] = oracle.PRELUDE + (
+        "SELECT slot_no, header_hash FROM checkpoints WHERE slot_no <= 98765 "
+        "ORDER BY slot_no DESC LIMIT 1"
+    )
+    out["q_health"] = oracle.PRELUDE + (
+        "SELECT (SELECT max(slot_no) FROM checkpoints) AS most_recent_checkpoint, "
+        "(SELECT count(*) FROM checkpoints) AS n_checkpoints, "
+        "(SELECT count(*) FROM inputs) AS n_inputs, "
+        "(SELECT count(*) FROM inputs WHERE spent_at IS NULL) AS n_unspent"
+    )
     out["q_rollback_inputs"] = oracle.rolled_back_inputs_sql(ROLLBACK_SLOT)
     out["q_prune_inputs"] = oracle.pruned_inputs_sql(PRUNE_K)
     out["q_prune_binary_data"] = oracle.pruned_binary_data_sql(ROLLBACK_SLOT)

@@ -1,0 +1,123 @@
+"""Tests for copy/export (W8), replica (S7), pattern store (W7/P13 guard),
+collateral semantics (S8) and JSON rendering (C7)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kupo_spark import chainspec as cs
+from kupo_spark.operators.copy import copy_index, open_replica
+from kupo_spark.operators.indexer import build_index, exploded_outputs, spent_refs
+from kupo_spark.operators.pattern_store import PatternStore
+from kupo_spark.operators.serve import health, result_json
+from kupo_spark.patterns import PatternError, pattern_from_text, to_column
+
+
+def test_copy_index_filters_everything(spark, index, tmp_path):
+    pat = f"{cs.payment_credential_of(13)}/*"
+    dest = str(tmp_path / "copy")
+    copy_index(index, [pat], dest, slot_bucket=50)
+    replica = open_replica(spark, dest, slot_bucket=50)
+    # every surviving row matches; the replica session serves it read-only
+    p = pattern_from_text(pat)
+    assert replica.inputs.where(~to_column(p)).count() == 0
+    assert replica.inputs.count() == index.inputs.where(to_column(p)).count()
+    # dictionary GC on the way out: all payloads referenced
+    refs = replica.inputs.where(F.col("datum_hash").isNotNull()).select(
+        F.col("datum_hash").alias("binary_data_hash")
+    )
+    assert replica.binary_data.join(refs, "binary_data_hash", "left_anti").count() == 0
+
+
+def test_pattern_store_guarded_delete(tmp_path):
+    ps = PatternStore(str(tmp_path / "patterns.txt"))
+    ps.add("*/*")
+    cred = "a" * 56
+    ps.add(f"{cred}/*")
+    # deleting a subsumed pattern is allowed ('*/*' includes delegation pats)
+    ps.add(f"*/{'b' * 56}")
+    ps.delete(f"*/{'b' * 56}")
+    # deleting a pattern no active pattern includes is refused
+    with pytest.raises(PatternError):
+        PatternStore(str(tmp_path / "other.txt")).delete("*")
+    assert len(ps.list()) == 2
+    assert ps.matching(f"{cred}/{'c' * 56}")  # payment overlap found
+
+
+def _blocks_with_validity(spark):
+    out = (
+        "array(named_struct('output_index', cast(0 as int), 'address', addr,"
+        " 'coins', cast(9 as bigint),"
+        " 'assets', cast(map() as map<string,map<string,bigint>>),"
+        " 'datum_kind', 'none', 'datum_hash', cast(null as string),"
+        " 'datum_cbor', cast(null as string), 'script_hash', cast(null as string),"
+        " 'script_cbor', cast(null as string)))"
+    )
+    rows = spark.createDataFrame(
+        [
+            (1, 0, "t1", True, ["prev#0"], ["col#0"], "03" + "0" * 58),
+            (1, 1, "t2", False, ["x#0"], ["y#0"], "03" + "1" * 58),
+        ],
+        "slot_no long, transaction_index int, transaction_id string, is_valid boolean,"
+        " inputs array<string>, collateral_inputs array<string>, addr string",
+    )
+    return rows.select(
+        "slot_no",
+        F.expr("md5(concat('blk', slot_no))").alias("header_hash"),
+        "transaction_index",
+        "transaction_id",
+        "is_valid",
+        "inputs",
+        "collateral_inputs",
+        F.expr(out).alias("outputs"),
+        F.expr(f"IF(is_valid, null, element_at({out}, 1))").alias("collateral_return"),
+        F.expr("map(cast(0 as int), 'r0')").alias("spend_redeemers"),
+        F.expr("array(cast(1 as bigint))").alias("metadata_tags"),
+        F.lit(None).cast("string").alias("metadata_cbor"),
+    )
+
+
+def test_invalid_tx_consumes_collateral(spark):
+    blocks = _blocks_with_validity(spark)
+    spends = {r["spent_ref"]: r for r in spent_refs(blocks).collect()}
+    assert "prev#0" in spends  # valid tx spends its inputs
+    assert "y#0" in spends  # invalid tx spends collateral
+    assert "x#0" not in spends  # ...not its inputs
+    assert spends["prev#0"]["spent_with"] == "r0"  # redeemer on valid spend
+    assert spends["y#0"]["spent_with"] is None  # no redeemer on collateral
+
+
+def test_invalid_tx_produces_collateral_return_at_tail_index(spark):
+    blocks = _blocks_with_validity(spark)
+    outs = exploded_outputs(blocks)
+    t2 = outs.where(F.col("transaction_id") == "t2").collect()
+    assert len(t2) == 1
+    # collateral return lands at index |outputs| = 1
+    assert t2[0]["output_index"] == 1
+    t1 = outs.where(F.col("transaction_id") == "t1").collect()
+    assert len(t1) == 1 and t1[0]["output_index"] == 0
+
+
+def test_result_json_shape(index):
+    rows = result_json(index, "*", status="unspent").collect()
+    row = next(r for r in rows if json.loads(r["result"])["value"]["assets"])
+    payload = json.loads(row["result"])
+    assert set(payload.keys()) == {
+        "transaction_index", "transaction_id", "output_index", "address",
+        "value", "datum_hash", "datum_type", "script_hash", "created_at",
+        "spent_at",
+    }
+    assert set(payload["value"].keys()) == {"coins", "assets"}
+    assert payload["spent_at"] is None
+    assert payload["created_at"]["slot_no"] >= 0
+    for k in payload["value"]["assets"]:
+        assert "." in k  # dotted policy.asset keys (Value.hs:60-99)
+
+
+def test_health(index):
+    h = health(index).collect()[0]
+    assert h["n_inputs"] > h["n_unspent"] > 0
+    assert h["most_recent_checkpoint"] == 99

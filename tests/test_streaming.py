@@ -1,0 +1,76 @@
+"""Streaming ingestion tests — micro-batch parity with batch indexing, plus
+the rollback/replay scenario (the analog of the reference's state-machine
+roll-forward/roll-backward sequences, test/Test/Kupo/AppSpec.hs:245)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kupo_spark.chaingen import load_events
+from kupo_spark.operators.indexer import build_index
+from kupo_spark.streaming.indexer import StreamingIndexer, stream_blocks_from_events_dir
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events split into 4 files so availableNow produces multiple
+    micro-batches (spends cross batch boundaries)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_events(spark, SF_DIR)
+    ev.withColumn("part", F.expr("event_id DIV 250")).repartitionByRange(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(spark, events_dir, out_dir, ckpt_dir):
+    ix = StreamingIndexer(str(out_dir))
+    stream = stream_blocks_from_events_dir(spark, events_dir)
+    q = ix.start(stream, str(ckpt_dir))
+    q.awaitTermination(120)
+    return ix
+
+
+def test_streaming_matches_batch(spark, blocks, events_dir, tmp_path):
+    ix = _run_stream(spark, events_dir, tmp_path / "out", tmp_path / "ckpt")
+    streamed = ix.resolved_index(spark)
+    batch = build_index(blocks)
+
+    s_inputs = {tuple(r) for r in streamed.inputs.select(
+        "output_reference", "address", "coins", "created_at", "spent_at", "spent_by"
+    ).collect()}
+    b_inputs = {tuple(r) for r in batch.inputs.select(
+        "output_reference", "address", "coins", "created_at", "spent_at", "spent_by"
+    ).collect()}
+    assert s_inputs == b_inputs
+    assert streamed.checkpoints.count() == batch.checkpoints.count()
+    assert streamed.binary_data.count() == batch.binary_data.count()
+    assert streamed.policies.count() == batch.policies.count()
+
+
+def test_rollback_then_replay_restores_index(spark, blocks, events_dir, tmp_path):
+    ix = _run_stream(spark, events_dir, tmp_path / "out", tmp_path / "ckpt1")
+    full_before = ix.resolved_index(spark).inputs.count()
+
+    # M1: retract past slot 50
+    ix.append_rollback(50)
+    rolled = ix.resolved_index(spark)
+    assert rolled.inputs.where(F.col("created_at") > 50).count() == 0
+    assert rolled.inputs.where(F.col("spent_at") > 50).count() == 0
+    assert rolled.checkpoints.agg(F.max("slot_no")).collect()[0][0] <= 50
+
+    # M5: the producer re-intersects and replays forward — feed the same
+    # events again as a new stream run (fresh checkpoint dir = reconnect)
+    q = ix.start(stream_blocks_from_events_dir(spark, events_dir), str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    replayed = ix.resolved_index(spark)
+    assert replayed.inputs.count() == full_before
+    # spend metadata fully restored
+    batch = build_index(blocks)
+    assert (
+        replayed.inputs.where(F.col("spent_at").isNotNull()).count()
+        == batch.inputs.where(F.col("spent_at").isNotNull()).count()
+    )
