@@ -82,34 +82,41 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> 
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = N_MINHASH, k: int = 3) -> DataFrame:
-    """(doc_id, sig_index, signature): n independent min-hashes over the
-    shingle set.  Hash family = md5(i ‖ shingle); the *lexicographic* min of
-    hex strings is the min-hash — portable across engines, no bigint mixing."""
+def minhash_signatures_wide(docs: DataFrame, n: int = N_MINHASH, k: int = 3) -> DataFrame:
+    """(doc_id, sig_0 … sig_{n-1}): n independent min-hashes over the shingle
+    set, computed as ONE map-side-combinable aggregation (no crossJoin, no
+    per-(doc, i) shuffle — the only shuffle is the groupBy(doc_id), with n
+    partial mins folded map-side).  Hash family = md5(i ‖ shingle); the
+    *lexicographic* min of hex strings is the min-hash — portable across
+    engines, no bigint mixing."""
     sh = shingles(docs, k)
-    idx = sh.sparkSession.range(n).select(F.col("id").cast("int").alias("i"))
-    return (
-        sh.crossJoin(F.broadcast(idx))
-        .select("doc_id", "i", F.expr("md5(concat(cast(i as string), '|', sh))").alias("h"))
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("sig"))
-    )
+    aggs = [
+        F.min(F.expr(f"md5(concat('{i}', '|', sh))")).alias(f"sig_{i}") for i in range(n)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n: int = N_MINHASH, k: int = 3) -> DataFrame:
+    """Narrow (doc_id, i, sig) view of the wide signatures (no extra
+    shuffle — stack is a projection)."""
+    wide = minhash_signatures_wide(docs, n, k)
+    stack = ", ".join(f"{i}, sig_{i}" for i in range(n))
+    return wide.select("doc_id", F.expr(f"stack({n}, {stack}) as (i, sig)"))
 
 
 def lsh_band_keys(
     docs: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND, k: int = 3
 ) -> DataFrame:
     """(doc_id, band, key): band key = md5 of the band's signatures in
-    sig-index order."""
-    sigs = minhash_signatures(docs, bands * rows, k)
-    return (
-        sigs.withColumn("band", F.expr(f"i DIV {rows}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "md5(array_join(transform(array_sort(collect_list(struct(i, sig))), s -> s.sig), ''))"
-            ).alias("key")
-        )
+    sig-index order — derived from the wide signature row by pure
+    projection (zero shuffles beyond the signature groupBy)."""
+    wide = minhash_signatures_wide(docs, bands * rows, k)
+    band_exprs = []
+    for b in range(bands):
+        cols = ", ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_exprs.append(f"{b}, md5(concat({cols}))")
+    return wide.select(
+        "doc_id", F.expr(f"stack({bands}, {', '.join(band_exprs)}) as (band, key)")
     )
 
 
@@ -134,11 +141,19 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """The scale path: LSH candidates, then exact Jaccard verification of
     candidates only."""
-    cand = lsh_candidate_pairs(docs, bands, rows, k)
-    sh = shingles(docs, k)
+    sh = shingles(docs, k).persist()
+    cand = lsh_candidate_pairs(docs, bands, rows, k).persist()
+    cand.count()  # materialize candidates once; they gate everything below
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    # verification touches ONLY candidate documents: semi-join the shingle
+    # table down to candidate ids (broadcast — candidates are rare by
+    # construction) before the pairwise intersection join.
+    ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select("doc_b")
+    ).distinct()
+    sh_cand = sh.join(F.broadcast(ids), "doc_id", "left_semi")
+    a = sh_cand.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh_cand.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
         cand.join(a, "doc_a").join(b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")

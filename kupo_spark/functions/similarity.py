@@ -82,6 +82,63 @@ def lsh_buckets(emb: DataFrame, planes: int = N_PLANES, dim: int = DIM) -> DataF
     return df.select("vec_id", F.expr("concat(" + ", ".join(bits) + ")").alias("bucket"))
 
 
+N_CENTROIDS = 16
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (deterministic centroid set = the first `n_centroids` vectors; swap in
+    k-means output in production — assignment plumbing is identical).
+    Distances are exact integer L2² over the quantized vectors, so the
+    argmin (tie-break on centroid id) is engine-exact."""
+    q = quantized(emb)
+    centroids = q.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cv")
+    )
+    scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2",
+        F.expr("aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
+    """ANN top-k with nprobe=1: candidates share the query's IVF cell.
+    At 100 TB the corpus is stored partitioned by centroid_id, so a probe
+    reads exactly one partition."""
+    q = quantized(emb)
+    assign = ivf_assign(emb, n_centroids)
+    qa = q.join(assign, "vec_id")
+    queries = qa.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "centroid_id"
+    )
+    corpus = qa.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"), "centroid_id")
+    scored = (
+        corpus.join(F.broadcast(queries), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("nq", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("nc", F.expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn(
+            "cosine",
+            F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5, planes: int = N_PLANES
 ) -> DataFrame:

@@ -212,6 +212,26 @@ SELECT vec_id, {bits} AS bucket FROM q
 """
 
 
+def ivf_assign_sql(n_centroids: int = 16) -> str:
+    # L2² on exact ints: |a|² - 2a·b + |b|², all < 2^53 → exact in double
+    d2 = (
+        "list_dot_product(q, q) - 2 * list_dot_product(q, cv) + list_dot_product(cv, cv)"
+    )
+    return f"""
+WITH qv AS (SELECT vec_id, {QUANT} AS q FROM embeddings),
+centroids AS (SELECT vec_id AS centroid_id, q AS cv FROM qv WHERE vec_id < {n_centroids}),
+scored AS (
+  SELECT vec_id, centroid_id, {d2} AS dist2 FROM qv, centroids
+),
+ranked AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+"""
+
+
 def multimodal_features_sql() -> str:
     return """
 SELECT doc_id,

@@ -163,11 +163,19 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda s, d: multimodal.extract_features(multimodal.as_media_table(_docs(s, d))),
         oracle_pipeline.multimodal_features_sql(),
     ),
-    # ANN top-k via LSH buckets: recall depends on bucketing, which is the
-    # point of the operator — checked rows-only (non-SQL-expressible rank
-    # semantics aside, the bucket restriction is already oracle-checked).
+    "q_embedding_ivf_assign": (
+        lambda s, d: similarity.ivf_assign(_embs(s, d)),
+        oracle_pipeline.ivf_assign_sql(16),
+    ),
+    # ANN top-k variants: recall depends on the bucketing/cell assignment,
+    # which is itself oracle-checked above — the top-k searches are checked
+    # rows-only.
     "q_embedding_lsh_topk": (
         lambda s, d: similarity.lsh_topk(_embs(s, d), n_queries=10, k=5),
+        None,
+    ),
+    "q_embedding_ivf_topk": (
+        lambda s, d: similarity.ivf_topk(_embs(s, d), n_queries=10, k=5),
         None,
     ),
 }
