@@ -60,7 +60,7 @@ def main() -> None:
     # --- ingest: chain -> matched index -> partitioned parquet ---
     t0 = time.time()
     blocks = load_blocks(spark, SF_DIR)
-    idx = build_index(blocks, patterns=("*",))
+    idx = build_index(blocks, patterns=("*",), cache=True)
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
     write_index(idx, INDEX_DIR)
     queries["ingest_build_index"] = time.time() - t0

@@ -154,9 +154,15 @@ def build_index(
     blocks: DataFrame,
     patterns: Iterable[Pattern | str] = ("*",),
     prune_utxo: bool = False,
+    cache: bool = False,
 ) -> Index:
+    """``cache=True`` persists the exploded-outputs frame so the six table
+    derivations share one materialization (use when writing a full index;
+    the equivalent of kupo's one-pass Codecs fold, Pattern.hs:523-531)."""
     pats = _as_patterns(patterns)
     outs = exploded_outputs(blocks)
+    if cache:
+        outs = outs.persist()
 
     # W1 INSERT OR IGNORE semantics (Pattern.hs:555-560, SQLite.hs:831-844):
     # kupo emits one match per (pattern, output) and dedups on insert.  Here
