@@ -94,6 +94,33 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, top: int = 3) -> DataFrame:
+    """TF-IDF weighting with the top-`top` terms per document (tie-break on
+    the term).  Classic pre-training-corpus featurization: two aggregations
+    (term frequency per doc, document frequency per term) + a window —
+    df(term) is a broadcast-sized dimension at any corpus size since the
+    vocabulary grows sub-linearly."""
+    tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df_t")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.expr("round(tf * ln(n_docs / df_t), 6)"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text + a 256-way
     shard bucket (the partition key for a distributed dedup join)."""

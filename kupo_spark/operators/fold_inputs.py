@@ -35,6 +35,25 @@ from kupo_spark.patterns import (
 Status = Literal["unspent", "spent"] | None
 Order = Literal["most_recent_first", "oldest_first"]
 
+
+class UnknownPointError(ValueError):
+    """A point-valued range bound does not exist in the index
+    (Http.hs:631-643 answers 400 `queryUnavailableInPresenceOfInvalidPoint`)."""
+
+
+def assert_point(index: Index, slot_no: int, header_hash: str) -> None:
+    """Point assertion for range bounds given as `{slot}.{hash}` points:
+    the point must name a known checkpoint (reference asserts against the
+    checkpoints table before streaming results, Http.hs:631-641)."""
+    hit = (
+        index.checkpoints.where(
+            (F.col("slot_no") == F.lit(slot_no))
+            & (F.col("header_hash") == F.lit(header_hash))
+        ).limit(1).count()
+    )
+    if hit == 0:
+        raise UnknownPointError(f"unknown point {slot_no}.{header_hash}")
+
 RESULT_COLUMNS = [
     "output_reference", "transaction_id", "transaction_index", "output_index",
     "address", "coins", "datum_hash", "script_hash",
@@ -60,9 +79,19 @@ def fold_inputs(
     filter_output_index: int | None = None,
     use_policy_join: bool = True,
     sorted_result: bool = False,
+    created_after_point: tuple[int, str] | None = None,
+    spent_before_point: tuple[int, str] | None = None,
 ) -> DataFrame:
     if isinstance(pattern, str):
         pattern = pattern_from_text(pattern)
+
+    # P16 point-valued bounds: assert the point exists, then use its slot
+    if created_after_point is not None:
+        assert_point(index, *created_after_point)
+        created_after = created_after_point[0]
+    if spent_before_point is not None:
+        assert_point(index, *spent_before_point)
+        spent_before = spent_before_point[0]
 
     df = index.inputs
 

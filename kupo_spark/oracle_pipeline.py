@@ -212,6 +212,29 @@ SELECT vec_id, {bits} AS bucket FROM q
 """
 
 
+def tfidf_sql(top: int = 3) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, count(*) AS df_t FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / dfreq.df_t), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {top}
+"""
+
+
 def ivf_assign_sql(n_centroids: int = 16) -> str:
     # L2² on exact ints: |a|² - 2a·b + |b|², all < 2^53 → exact in double
     d2 = (

@@ -135,6 +135,10 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda s, d: textops.lang_id(_docs(s, d)),
         oracle_pipeline.lang_id_sql(),
     ),
+    "q_text_tfidf": (
+        lambda s, d: textops.tfidf_top_terms(_docs(s, d), top=3),
+        oracle_pipeline.tfidf_sql(3),
+    ),
     "q_text_fingerprint": (
         lambda s, d: textops.fingerprint(_docs(s, d)),
         oracle_pipeline.fingerprint_sql(),
