@@ -75,6 +75,23 @@ def result_json(index: Index, pattern="*", **fold_kwargs) -> DataFrame:
     )
 
 
+def metrics_text(index: Index) -> str:
+    """GET /metrics — Prometheus exposition rendering of the health gauges
+    (reference ``src/Kupo/Data/Health.hs:251+``).  Driver-side formatting of
+    a 1-row aggregate."""
+    row = health(index).collect()[0]
+    lines = []
+    for name, value in [
+        ("kupo_most_recent_checkpoint", row["most_recent_checkpoint"]),
+        ("kupo_checkpoints", row["n_checkpoints"]),
+        ("kupo_inputs", row["n_inputs"]),
+        ("kupo_unspent_inputs", row["n_unspent"]),
+    ]:
+        lines.append(f"# TYPE {name} gauge")
+        lines.append(f"{name} {value}")
+    return "\n".join(lines) + "\n"
+
+
 def health(index: Index) -> DataFrame:
     """GET /health (Http.hs:488-540): most recent checkpoint + counts —
     the sync-progress signal."""

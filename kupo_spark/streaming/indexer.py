@@ -199,6 +199,41 @@ class StreamingIndexer:
         return writer.start()
 
 
+def start_or_resume(
+    indexer: StreamingIndexer, spark: SparkSession, since: int | None = None
+) -> int:
+    """``startOrResume`` (reference ``src/Kupo/App/Configuration.hs:182-241``):
+    pick the point to (re)start indexing from.
+
+    - fresh index + ``since`` → start at `since`;
+    - existing index → resume at the max stored checkpoint; passing a
+      conflicting ``since`` is an error (`--since` is only valid on the
+      first start);
+    - fresh index + no ``since`` → error (the reference demands an explicit
+      starting point).
+    """
+    import glob
+
+    has_data = bool(glob.glob(f"{indexer.out_dir}/checkpoints/*.parquet"))
+    if not has_data:
+        if since is None:
+            raise ValueError("no previous checkpoints: --since required on first start")
+        return since
+    from pyspark.sql import functions as FF
+
+    tip = (
+        spark.read.parquet(f"{indexer.out_dir}/checkpoints")
+        .agg(FF.max("slot_no"))
+        .collect()[0][0]
+    )
+    if since is not None and since != tip:
+        raise ValueError(
+            f"--since {since} conflicts with existing index at {tip} "
+            "(only valid on first start)"
+        )
+    return tip
+
+
 def stream_blocks_from_events_dir(spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream of events → blocks (the chain-sync producer S1/S2
     analog: an ordered stream of decoded blocks)."""

@@ -1,0 +1,34 @@
+"""startOrResume semantics (Configuration.hs:182-241) and metrics text."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kupo_spark.operators.serve import metrics_text
+from kupo_spark.streaming.indexer import StreamingIndexer, start_or_resume
+
+
+def test_start_requires_since_on_fresh_index(spark, tmp_path):
+    ix = StreamingIndexer(str(tmp_path / "fresh"))
+    with pytest.raises(ValueError, match="since required"):
+        start_or_resume(ix, spark)
+    assert start_or_resume(ix, spark, since=0) == 0
+
+
+def test_resume_at_stored_tip(spark, blocks, tmp_path):
+    ix = StreamingIndexer(str(tmp_path / "resume"))
+    ix.process_batch(blocks.where(F.col("slot_no") < 10), 0)
+    assert start_or_resume(ix, spark) == 9
+    # --since only valid on first start
+    with pytest.raises(ValueError, match="only valid on first start"):
+        start_or_resume(ix, spark, since=3)
+    # matching since is tolerated (idempotent restart scripts)
+    assert start_or_resume(ix, spark, since=9) == 9
+
+
+def test_metrics_text(index):
+    text = metrics_text(index)
+    assert "# TYPE kupo_inputs gauge" in text
+    assert "kupo_most_recent_checkpoint 99" in text
+    assert text.endswith("\n")
