@@ -67,8 +67,12 @@ _SCRIPT_CBOR = (
     "CASE WHEN event_id % 6 = 0 THEN concat('script:', md5(concat('scr', cast(event_id % 13 as string)))) END"
 )
 
-_OUTPUTS = f"""
-array(named_struct(
+# Primary output (index 0) carries the value/datum/script payload; every
+# 5th transaction also produces a plain change output at index 1 — so
+# multi-output explode paths and output_index > 0 references are exercised
+# everywhere (reference txs have arbitrary output counts, Generators.hs).
+_OUT0 = f"""
+named_struct(
   'output_index', cast(0 as int),
   'address', {_ADDRESS},
   'coins', cast((event_id % 1000) * 1000 + user_id as bigint),
@@ -78,7 +82,25 @@ array(named_struct(
   'datum_cbor', {_DATUM_CBOR},
   'script_hash', {_SCRIPT_HASH},
   'script_cbor', {_SCRIPT_CBOR}
-))
+)
+"""
+
+_OUT1 = f"""
+named_struct(
+  'output_index', cast(1 as int),
+  'address', {_ADDRESS},
+  'coins', cast((event_id % 777) * 100 + 3 as bigint),
+  'assets', cast(map() as map<string,map<string,bigint>>),
+  'datum_kind', 'none',
+  'datum_hash', cast(null as string),
+  'datum_cbor', cast(null as string),
+  'script_hash', cast(null as string),
+  'script_cbor', cast(null as string)
+)
+"""
+
+_OUTPUTS = f"""
+CASE WHEN event_id % 5 = 0 THEN array({_OUT0}, {_OUT1}) ELSE array({_OUT0}) END
 """
 
 _SPENT_INPUTS = """

@@ -20,12 +20,14 @@ WITH ev AS (
   SELECT event_id AS e, user_id AS u FROM events
 ),
 outs AS (
+  -- output j=0 carries value/datum/script; every 5th tx adds a plain
+  -- change output at index 1 (mirrors chaingen._OUTPUTS)
   SELECT
     e, u,
     e // 10 AS created_at,
     CAST(e % 10 AS INTEGER) AS transaction_index,
     md5('tx' || CAST(e AS VARCHAR)) AS transaction_id,
-    CAST(0 AS INTEGER) AS output_index,
+    CAST(t.j AS INTEGER) AS output_index,
     CASE WHEN u % 4 = 1 THEN
       '01'
       || md5('del' || CAST(u % 53 AS VARCHAR))
@@ -39,16 +41,22 @@ outs AS (
       || md5('pay' || CAST(u % 97 AS VARCHAR))
       || substr(md5('pay2' || CAST(u % 97 AS VARCHAR)), 1, 24)
     END AS address,
-    (e % 1000) * 1000 + u AS coins,
-    CASE WHEN e % 16 >= 11 THEN 'inline'
+    CASE WHEN t.j = 0 THEN (e % 1000) * 1000 + u
+         ELSE (e % 777) * 100 + 3 END AS coins,
+    CASE WHEN t.j <> 0 THEN 'none'
+         WHEN e % 16 >= 11 THEN 'inline'
          WHEN e % 16 >= 6  THEN 'reference'
          ELSE 'none' END AS datum_kind,
-    CASE WHEN e % 16 >= 6 THEN md5('dat' || CAST(e % 211 AS VARCHAR)) END AS datum_hash,
-    CASE WHEN e % 16 >= 11 OR e % 16 = 6
+    CASE WHEN t.j = 0 AND e % 16 >= 6
+         THEN md5('dat' || CAST(e % 211 AS VARCHAR)) END AS datum_hash,
+    CASE WHEN t.j = 0 AND (e % 16 >= 11 OR e % 16 = 6)
          THEN 'cbor:' || md5('dat' || CAST(e % 211 AS VARCHAR)) END AS datum_cbor,
-    CASE WHEN e % 6 = 0 THEN md5('scr' || CAST(e % 13 AS VARCHAR)) END AS script_hash,
-    CASE WHEN e % 6 = 0 THEN 'script:' || md5('scr' || CAST(e % 13 AS VARCHAR)) END AS script_cbor
-  FROM ev
+    CASE WHEN t.j = 0 AND e % 6 = 0
+         THEN md5('scr' || CAST(e % 13 AS VARCHAR)) END AS script_hash,
+    CASE WHEN t.j = 0 AND e % 6 = 0
+         THEN 'script:' || md5('scr' || CAST(e % 13 AS VARCHAR)) END AS script_cbor
+  FROM ev, (SELECT UNNEST([0, 1]) AS j) t
+  WHERE t.j < CASE WHEN e % 5 = 0 THEN 2 ELSE 1 END
 ),
 spend_src AS (
   SELECT
@@ -78,7 +86,8 @@ inputs AS (
     s.spent_by,
     s.spent_input_index,
     s.spent_with
-  FROM outs o LEFT JOIN spend_src s ON s.spent_target = o.e
+  FROM outs o LEFT JOIN spend_src s
+    ON s.spent_target = o.e AND o.output_index = 0
 ),
 checkpoints AS (
   SELECT DISTINCT e // 10 AS slot_no,
@@ -92,7 +101,7 @@ assets_tbl AS (
     md5('ast' || CAST((o.e + 2 * t.j) % 5 AS VARCHAR)) AS asset_name,
     o.e % 100 + 1 + t.j AS quantity
   FROM outs o, (SELECT UNNEST([0, 1]) AS j) t
-  WHERE t.j < o.e % 3
+  WHERE o.output_index = 0 AND t.j < o.e % 3
 ),
 policies AS (
   SELECT DISTINCT output_reference, policy_id FROM assets_tbl
@@ -270,5 +279,5 @@ WHERE EXISTS (
 def metadata_by_slot_sql(slot_no: int) -> str:
     return PRELUDE + f"""
 SELECT transaction_id, 'meta:' || md5('m' || CAST(e AS VARCHAR)) AS metadata_cbor
-FROM outs WHERE created_at = {slot_no} AND e % 4 = 0
+FROM outs WHERE created_at = {slot_no} AND e % 4 = 0 AND output_index = 0
 """

@@ -51,6 +51,30 @@ def test_streaming_matches_batch(spark, blocks, events_dir, tmp_path):
     assert streamed.policies.count() == batch.policies.count()
 
 
+def test_duplicate_batch_replay_is_idempotent_at_resolve(spark, blocks, tmp_path):
+    """foreachBatch may re-deliver a batch after a failure; latest-wins
+    dedup at resolve time absorbs the duplicate appends (the table-format
+    transaction log makes this exactly-once in production)."""
+    ix = StreamingIndexer(str(tmp_path / "dup"))
+    first = blocks.where(F.col("slot_no") < 20)
+    ix.process_batch(first, 0)
+    once = ix.resolved_index(spark).inputs.count()
+    ix.process_batch(first, 0)  # replay the same batch
+    again = ix.resolved_index(spark)
+    assert again.inputs.count() == once
+    assert again.checkpoints.count() == 20
+
+
+def test_multi_output_transactions_indexed(index):
+    from pyspark.sql import functions as FF
+
+    multi = index.inputs.where(FF.col("output_index") == 1)
+    assert multi.count() > 0
+    # change outputs carry no datum/script/assets
+    assert multi.where(FF.col("datum_hash").isNotNull()).count() == 0
+    assert multi.where(FF.expr("size(map_keys(assets)) > 0")).count() == 0
+
+
 def test_rollback_then_replay_restores_index(spark, blocks, events_dir, tmp_path):
     ix = _run_stream(spark, events_dir, tmp_path / "out", tmp_path / "ckpt1")
     full_before = ix.resolved_index(spark).inputs.count()
