@@ -103,9 +103,12 @@ _OUTPUTS = f"""
 CASE WHEN event_id % 5 = 0 THEN array({_OUT0}, {_OUT1}) ELSE array({_OUT0}) END
 """
 
+# tx e spends (e-17)#1 when that change output exists and e ≡ 3 (mod 6),
+# else (e-17)#0 — so index-1 outputs participate in the spend graph too
 _SPENT_INPUTS = """
 IF(event_id % 3 = 0 AND event_id >= 17,
-   array(concat(md5(concat('tx', cast(event_id - 17 as string))), '#0')),
+   array(concat(md5(concat('tx', cast(event_id - 17 as string))), '#',
+                IF((event_id - 17) % 5 = 0 AND event_id % 6 = 3, '1', '0'))),
    cast(array() as array<string>))
 """
 

@@ -61,6 +61,8 @@ outs AS (
 spend_src AS (
   SELECT
     e - 17 AS spent_target,
+    CASE WHEN (e - 17) % 5 = 0 AND e % 6 = 3
+         THEN 1 ELSE 0 END AS spent_target_index,
     e // 10 AS spent_at,
     md5('tx' || CAST(e AS VARCHAR)) AS spent_by,
     CAST(0 AS INTEGER) AS spent_input_index,
@@ -87,7 +89,7 @@ inputs AS (
     s.spent_input_index,
     s.spent_with
   FROM outs o LEFT JOIN spend_src s
-    ON s.spent_target = o.e AND o.output_index = 0
+    ON s.spent_target = o.e AND s.spent_target_index = o.output_index
 ),
 checkpoints AS (
   SELECT DISTINCT e // 10 AS slot_no,

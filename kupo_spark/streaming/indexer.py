@@ -178,6 +178,16 @@ class StreamingIndexer:
             scripts=scripts,
         )
 
+    def compact(self, spark: SparkSession, dest: str, slot_bucket: int = 1000):
+        """Materialize the resolved logs as a normal queryable index
+        (gardener M6 / Delta OPTIMIZE analog: the log history collapses
+        into a fresh base — at scale, run per touched bucket)."""
+        from kupo_spark.operators.indexer import write_index
+
+        resolved = self.resolved_index(spark)
+        write_index(resolved, dest, slot_bucket=slot_bucket)
+        return resolved
+
     # ---- stream wiring --------------------------------------------------
 
     def start(

@@ -75,6 +75,52 @@ def test_multi_output_transactions_indexed(index):
     assert multi.where(FF.expr("size(map_keys(assets)) > 0")).count() == 0
 
 
+def test_stream_resumes_from_checkpoint_on_new_files(spark, blocks, tmp_path):
+    """Second run with the SAME checkpointLocation processes only files
+    added since the first run (startOrResume via the stream checkpoint),
+    and the resolved index ends up complete."""
+    from kupo_spark.chaingen import load_events
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load_events(spark, SF_DIR).persist()
+    ev.where(F.col("event_id") < 500).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "a")
+    )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    ix = StreamingIndexer(str(out))
+
+    def run():
+        q = ix.start(stream_blocks_from_events_dir(spark, f"{src}/*"), str(ckpt))
+        q.awaitTermination(120)
+
+    run()
+    n_first = ix.resolved_index(spark).inputs.count()
+    # new chain suffix arrives
+    ev.where(F.col("event_id") >= 500).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b")
+    )
+    seq_before = ix._next_seq()
+    run()
+    assert ix._next_seq() == seq_before + 1  # exactly one new micro-batch
+    full = ix.resolved_index(spark)
+    batch = build_index(blocks)
+    assert full.inputs.count() == batch.inputs.count() > n_first
+
+
+def test_compact_produces_equivalent_queryable_index(spark, blocks, events_dir, tmp_path):
+    ix = _run_stream(spark, events_dir, tmp_path / "out", tmp_path / "ckpt")
+    from kupo_spark.operators.fold_inputs import fold_inputs
+    from kupo_spark.operators.indexer import read_index
+
+    ix.compact(spark, str(tmp_path / "compacted"), slot_bucket=50)
+    disk = read_index(spark, str(tmp_path / "compacted"), slot_bucket=50)
+    batch = build_index(blocks)
+    a = {tuple(r) for r in fold_inputs(disk, "*", status="unspent").collect()}
+    b = {tuple(r) for r in fold_inputs(batch, "*", status="unspent").collect()}
+    assert a == b
+
+
 def test_rollback_then_replay_restores_index(spark, blocks, events_dir, tmp_path):
     ix = _run_stream(spark, events_dir, tmp_path / "out", tmp_path / "ckpt1")
     full_before = ix.resolved_index(spark).inputs.count()
