@@ -66,6 +66,9 @@ def main() -> None:
     queries["ingest_build_index"] = time.time() - t0
 
     index = read_index(spark, INDEX_DIR)
+    # warm the dimension tables (kupo serves from a warm B-tree; the fair
+    # comparison point is a resident checkpoints/dictionary dimension)
+    index.checkpoints.persist().count()
 
     # --- BASELINE-shaped queries over the materialized index ---
     addr = cs.address_of(42)

@@ -117,6 +117,45 @@ def test_result_json_shape(index):
         assert "." in k  # dotted policy.asset keys (Value.hs:60-99)
 
 
+def test_result_json_golden(index):
+    """Golden serialization vector (the analog of test/vectors/golden/):
+    the exact JSON payload for a fully-determined row — guards field order,
+    null rendering and the dotted-asset encoding against drift."""
+    # e=20, u is whatever the seed=42 data says; pick the row by reference
+    ref = cs.output_reference_of(20)  # e=20: %5==0 (2 outputs), %4==0 (meta)
+    row = next(
+        r for r in result_json(index, "*").collect() if r["output_reference"] == ref
+    )
+    payload = json.loads(row["result"])
+    e = 20
+    assert payload["transaction_id"] == cs.transaction_id_of(e)
+    assert payload["transaction_index"] == e % 10
+    assert payload["output_index"] == 0
+    u = _user_of(index, ref)
+    assert payload["address"] == cs.address_of(u)
+    assert payload["value"]["coins"] == (e % 1000) * 1000 + u
+    assert payload["datum_hash"] is None  # e%16=4 -> none
+    assert payload["script_hash"] is None  # e%6=2 -> none
+    assert payload["created_at"] == {
+        "slot_no": 2,
+        "header_hash": cs.md5_hex("blk2"),
+    }
+    # two policies (e%3=2): dotted keys policy.asset
+    assets = payload["value"]["assets"]
+    assert set(assets) == {
+        f"{cs.policy_id_of(20)}.{cs.asset_name_of(20)}",
+        f"{cs.policy_id_of(21)}.{cs.asset_name_of(22)}",
+    }
+    assert assets[f"{cs.policy_id_of(20)}.{cs.asset_name_of(20)}"] == 20 % 100 + 1
+
+
+def _user_of(index, ref):
+    from pyspark.sql import functions as FF
+
+    coins = index.inputs.where(FF.col("output_reference") == ref).collect()[0]["coins"]
+    return coins % 1000
+
+
 def test_health(index):
     h = health(index).collect()[0]
     assert h["n_inputs"] > h["n_unspent"] > 0

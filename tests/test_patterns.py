@@ -84,6 +84,24 @@ def test_overlaps_algebra():
     assert overlaps(MatchPolicyId(POLICY), MatchAssetId(POLICY, ASSET))
 
 
+def test_includes_implies_overlaps():
+    """Algebra consistency property (Pattern.hs:143-221): subsumption is a
+    special case of overlap, for every pattern-kind pair."""
+    samples = [
+        MatchAny(True), MatchAny(False),
+        MatchExact("01" + CRED_B + "00" + CRED_A), MatchExact("00" + "00" + CRED_A),
+        MatchPayment(CRED_A), MatchDelegation(CRED_B),
+        MatchPaymentAndDelegation(CRED_A, CRED_B),
+        MatchTransactionId(TXID), MatchOutputReference(TXID, 1),
+        MatchPolicyId(POLICY), MatchAssetId(POLICY, ASSET),
+    ]
+    for p in samples:
+        for q in samples:
+            if includes(p, q):
+                assert overlaps(p, q), (p, q)
+            assert includes(p, p)
+
+
 def test_metadata_tag_rejected_at_query_time(index):
     from kupo_spark.operators.fold_inputs import fold_inputs
 
