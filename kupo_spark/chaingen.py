@@ -104,18 +104,30 @@ CASE WHEN event_id % 5 = 0 THEN array({_OUT0}, {_OUT1}) ELSE array({_OUT0}) END
 """
 
 # tx e spends (e-17)#1 when that change output exists and e ≡ 3 (mod 6),
-# else (e-17)#0 — so index-1 outputs participate in the spend graph too
+# else (e-17)#0 — so index-1 outputs participate in the spend graph; txs
+# with e % 21 == 0 additionally spend (e-19)#0 as a SECOND input (covers
+# spent_input_index > 0 and non-zero redeemer keys; targets are disjoint:
+# t+17 spenders need t ≡ 1 (mod 3), t+19 spenders need t ≡ 2 (mod 3)).
 _SPENT_INPUTS = """
-IF(event_id % 3 = 0 AND event_id >= 17,
-   array(concat(md5(concat('tx', cast(event_id - 17 as string))), '#',
-                IF((event_id - 17) % 5 = 0 AND event_id % 6 = 3, '1', '0'))),
-   cast(array() as array<string>))
+CASE WHEN event_id % 21 = 0 AND event_id >= 19 THEN
+  array(concat(md5(concat('tx', cast(event_id - 17 as string))), '#',
+               IF((event_id - 17) % 5 = 0 AND event_id % 6 = 3, '1', '0')),
+        concat(md5(concat('tx', cast(event_id - 19 as string))), '#0'))
+WHEN event_id % 3 = 0 AND event_id >= 17 THEN
+  array(concat(md5(concat('tx', cast(event_id - 17 as string))), '#',
+               IF((event_id - 17) % 5 = 0 AND event_id % 6 = 3, '1', '0')))
+ELSE cast(array() as array<string>) END
 """
 
 _REDEEMERS = """
-IF(event_id % 6 = 0 AND event_id >= 17,
-   map(cast(0 as int), concat('rdmr:', md5(concat('r', cast(event_id as string))))),
-   cast(map() as map<int, string>))
+map_filter(map(
+  cast(0 as int),
+  IF(event_id % 6 = 0 AND event_id >= 17,
+     concat('rdmr:', md5(concat('r', cast(event_id as string)))), NULL),
+  cast(1 as int),
+  IF(event_id % 21 = 0 AND event_id % 2 = 1 AND event_id >= 19,
+     concat('rdmr2:', md5(concat('r2', cast(event_id as string)))), NULL)
+), (k, v) -> v IS NOT NULL)
 """
 
 _META_TAGS = """

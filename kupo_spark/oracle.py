@@ -59,6 +59,7 @@ outs AS (
   WHERE t.j < CASE WHEN e % 5 = 0 THEN 2 ELSE 1 END
 ),
 spend_src AS (
+  -- input 0: (e-17)#{0|1} for every e ≡ 0 (mod 3)
   SELECT
     e - 17 AS spent_target,
     CASE WHEN (e - 17) % 5 = 0 AND e % 6 = 3
@@ -68,6 +69,16 @@ spend_src AS (
     CAST(0 AS INTEGER) AS spent_input_index,
     CASE WHEN e % 2 = 0 THEN 'rdmr:' || md5('r' || CAST(e AS VARCHAR)) END AS spent_with
   FROM ev WHERE e % 3 = 0 AND e >= 17
+  UNION ALL
+  -- input 1: (e-19)#0 for every e ≡ 0 (mod 21)
+  SELECT
+    e - 19,
+    0,
+    e // 10,
+    md5('tx' || CAST(e AS VARCHAR)),
+    CAST(1 AS INTEGER),
+    CASE WHEN e % 2 = 1 THEN 'rdmr2:' || md5('r2' || CAST(e AS VARCHAR)) END
+  FROM ev WHERE e % 21 = 0 AND e >= 19
 ),
 inputs AS (
   SELECT

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kupo_spark.operators.indexer import Index, exploded_outputs, spent_refs
+from kupo_spark.operators.indexer import Index, exploded_outputs, read_index, spent_refs
 from kupo_spark.patterns import any_to_column, pattern_from_text
 
 
@@ -125,9 +125,45 @@ class StreamingIndexer:
             )
         return df
 
+    def _base_seq(self) -> int | None:
+        f = Path(self.out_dir) / "_base_seq"
+        return int(f.read_text()) if f.exists() else None
+
+    def _produced_and_spends(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+        """Log rows newer than the compacted base, layered on the base's
+        resolved rows (re-split into produced/spends so one resolution path
+        serves both).  Base rows carry batch_seq = base_seq: rollbacks
+        recorded before the compact can't touch them (already applied),
+        newer rollbacks apply normally."""
+        out = self.out_dir
+        produced = spark.read.parquet(f"{out}/produced")
+        spends = spark.read.parquet(f"{out}/spends")
+        base_seq = self._base_seq()
+        if base_seq is None:
+            return produced, spends
+        produced = produced.where(F.col("batch_seq") > base_seq)
+        spends = spends.where(F.col("batch_seq") > base_seq)
+        base = read_index(spark, f"{out}/base").inputs.drop("created_bucket")
+        seq = F.lit(base_seq).alias("batch_seq")
+        spend_cols = ["spent_at", "spent_by", "spent_input_index", "spent_with"]
+        base_produced = base.drop(*spend_cols).select("*", seq)
+        base_spends = (
+            base.where(F.col("spent_at").isNotNull())
+            .select(
+                F.col("output_reference").alias("spent_ref"),
+                *spend_cols,
+                seq,
+            )
+        )
+        return (
+            base_produced.unionByName(produced, allowMissingColumns=True),
+            base_spends.unionByName(spends),
+        )
+
     def resolved_index(self, spark: SparkSession) -> Index:
         out = self.out_dir
-        produced = self._alive(spark.read.parquet(f"{out}/produced"), "created_at")
+        produced_log, spends_log = self._produced_and_spends(spark)
+        produced = self._alive(produced_log, "created_at")
         # latest surviving version per output (post-rollback re-index wins)
         w = Window.partitionBy("output_reference").orderBy(F.col("batch_seq").desc())
         produced = (
@@ -135,7 +171,7 @@ class StreamingIndexer:
             .where(F.col("_rn") == 1)
             .drop("_rn", "batch_seq")
         )
-        spends = self._alive(spark.read.parquet(f"{out}/spends"), "spent_at")
+        spends = self._alive(spends_log, "spent_at")
         ws = Window.partitionBy("spent_ref").orderBy(F.col("batch_seq").desc())
         spends = (
             spends.withColumn("_rn", F.row_number().over(ws))
@@ -178,13 +214,32 @@ class StreamingIndexer:
             scripts=scripts,
         )
 
-    def compact(self, spark: SparkSession, dest: str, slot_bucket: int = 1000):
-        """Materialize the resolved logs as a normal queryable index
-        (gardener M6 / Delta OPTIMIZE analog: the log history collapses
-        into a fresh base — at scale, run per touched bucket)."""
+    def compact(
+        self, spark: SparkSession, dest: str | None = None, slot_bucket: int = 1000
+    ):
+        """Materialize the resolved logs as a queryable index (gardener M6 /
+        Delta OPTIMIZE analog).
+
+        With ``dest=None`` the compact is **in-place incremental**: the
+        resolved state becomes ``{out_dir}/base`` and ``_base_seq`` records
+        the fold point — subsequent ``resolved_index()`` reads base + only
+        the newer log rows, so log replay cost stays bounded while ingest
+        keeps appending.  With an explicit ``dest`` it is an export."""
         from kupo_spark.operators.indexer import write_index
 
         resolved = self.resolved_index(spark)
+        if dest is None:
+            base_seq = int(self._seq_file.read_text()) if self._seq_file.exists() else -1
+            tmp = f"{self.out_dir}/base_next"
+            write_index(resolved, tmp, slot_bucket=slot_bucket)
+            final = Path(self.out_dir) / "base"
+            import shutil
+
+            if final.exists():
+                shutil.rmtree(final)
+            Path(tmp).rename(final)
+            (Path(self.out_dir) / "_base_seq").write_text(str(base_seq))
+            return read_index(spark, str(final), slot_bucket=slot_bucket)
         write_index(resolved, dest, slot_bucket=slot_bucket)
         return resolved
 

@@ -70,8 +70,10 @@ def _run_scenario(spark, base_dir, seed, steps=10):
                 spends = []
                 unspent = sorted(r for r, m in model.items() if m["spent"] is None)
                 if unspent and rng.random() < 0.5:
-                    spends = [rng.choice(unspent)]
-                    model[spends[0]]["spent"] = slot
+                    n_spend = min(len(unspent), rng.randint(1, 2))
+                    spends = rng.sample(unspent, n_spend)
+                    for s in spends:
+                        model[s]["spent"] = slot
                 model[f"{txid}#0"] = {"created": slot, "spent": None}
                 txs.append((txid, spends))
             ix.process_batch(_block_df(spark, slot, txs), 0)

@@ -121,6 +121,30 @@ def test_compact_produces_equivalent_queryable_index(spark, blocks, events_dir, 
     assert a == b
 
 
+def test_incremental_compact_then_append_and_rollback(spark, blocks, tmp_path):
+    """In-place compaction folds the logs into a base; later batches and
+    rollbacks layer on top — resolved state must equal a batch rebuild."""
+    from kupo_spark.operators import maintenance as mt
+
+    ix = StreamingIndexer(str(tmp_path / "inc"))
+    ix.process_batch(blocks.where(F.col("slot_no") < 50), 0)
+    ix.compact(spark)  # in-place: logs ≤ base_seq now come from the base
+    ix.process_batch(blocks.where((F.col("slot_no") >= 50) & (F.col("slot_no") < 80)), 0)
+    ix.append_rollback(60)
+
+    resolved = ix.resolved_index(spark)
+    expect = mt.rollback_to(build_index(blocks.where(F.col("slot_no") < 80)), 60)
+    cols = ["output_reference", "coins", "created_at", "spent_at", "spent_by"]
+    a = {tuple(r) for r in resolved.inputs.select(cols).collect()}
+    b = {tuple(r) for r in expect.inputs.select(cols).collect()}
+    assert a == b
+    assert resolved.checkpoints.count() == expect.checkpoints.count()
+    # a second compact folds the rollback in, and the state survives
+    ix.compact(spark)
+    again = {tuple(r) for r in ix.resolved_index(spark).inputs.select(cols).collect()}
+    assert again == b
+
+
 def test_rollback_then_replay_restores_index(spark, blocks, events_dir, tmp_path):
     ix = _run_stream(spark, events_dir, tmp_path / "out", tmp_path / "ckpt1")
     full_before = ix.resolved_index(spark).inputs.count()
