@@ -76,20 +76,25 @@ def main() -> None:
     policy = cs.policy_id_of(3)
     txid = cs.transaction_id_of(123)
 
+    # sorted_result=True: kupo responses are always chain-ordered
+    # (SQLite.hs:948-969) — keep the comparison honest
     shapes = {
-        "q_exact_address": lambda: fold_inputs(index, addr).collect(),
+        "q_exact_address": lambda: fold_inputs(index, addr, sorted_result=True).collect(),
         "q_exact_address_range": lambda: fold_inputs(
-            index, addr, created_after=2000, created_before=6000
+            index, addr, created_after=2000, created_before=6000, sorted_result=True
         ).collect(),
-        "q_delegation": lambda: fold_inputs(index, f"*/{deleg}").collect(),
+        "q_delegation": lambda: fold_inputs(index, f"*/{deleg}", sorted_result=True).collect(),
         "q_delegation_spent_after": lambda: fold_inputs(
-            index, f"*/{deleg}", status="spent", spent_after=5000
+            index, f"*/{deleg}", status="spent", spent_after=5000, sorted_result=True
         ).collect(),
-        "q_policy": lambda: fold_inputs(index, f"{policy}.*").collect(),
+        "q_policy": lambda: fold_inputs(index, f"{policy}.*", sorted_result=True).collect(),
         "q_policy_range": lambda: fold_inputs(
-            index, f"{policy}.*", created_before=6000, spent_after=3000
+            index, f"{policy}.*", created_before=6000, spent_after=3000, sorted_result=True
         ).collect(),
-        "q_transaction_id": lambda: fold_inputs(index, f"*@{txid}").collect(),
+        "q_policy_resolve_hashes": lambda: fold_inputs(
+            index, f"{policy}.*", resolve_hashes=True, sorted_result=True
+        ).collect(),
+        "q_transaction_id": lambda: fold_inputs(index, f"*@{txid}", sorted_result=True).collect(),
         "q_unspent_count": lambda: fold_inputs(index, "*", status="unspent").count(),
     }
     for name, fn in shapes.items():

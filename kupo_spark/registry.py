@@ -224,6 +224,12 @@ def queries() -> dict[str, QueryFn]:
     out["q_metadata_by_slot"] = lambda s, d: mt.metadata_by_slot(
         get_blocks_and_index(s, d)[0], META_SLOT
     )
+    out["q_metadata_by_slot_tx"] = lambda s, d: mt.metadata_by_slot(
+        get_blocks_and_index(s, d)[0], META_SLOT, transaction_id=cs.transaction_id_of(500)
+    )
+    out["q_delete_pattern"] = lambda s, d: mt.delete_by_pattern(
+        get_index(s, d), f"{PAY_CRED}/*"
+    ).inputs.select("output_reference", "address", "coins", "created_at")
     out["q_index_metadata_tag"] = _q_index_metadata_tag
     return out
 
@@ -260,6 +266,15 @@ def oracle_sql() -> dict[str, str]:
     out["q_prune_inputs"] = oracle.pruned_inputs_sql(PRUNE_K)
     out["q_prune_binary_data"] = oracle.pruned_binary_data_sql(ROLLBACK_SLOT)
     out["q_metadata_by_slot"] = oracle.metadata_by_slot_sql(META_SLOT)
+    out["q_metadata_by_slot_tx"] = oracle.PRELUDE + (
+        "SELECT transaction_id, 'meta:' || md5('m' || CAST(e AS VARCHAR)) AS metadata_cbor "
+        f"FROM outs WHERE created_at = {META_SLOT} AND e % 4 = 0 AND output_index = 0 "
+        f"AND transaction_id = '{cs.transaction_id_of(500)}'"
+    )
+    out["q_delete_pattern"] = oracle.PRELUDE + (
+        "SELECT output_reference, address, coins, created_at FROM inputs i "
+        f"WHERE NOT (right(i.address, 56) = '{PAY_CRED}')"
+    )
     out["q_index_metadata_tag"] = oracle.PRELUDE + (
         "SELECT output_reference, transaction_id, address, coins, created_at "
         "FROM inputs i WHERE EXISTS (SELECT 1 FROM outs o "

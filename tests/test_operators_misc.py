@@ -149,6 +149,21 @@ def test_result_json_golden(index):
     assert assets[f"{cs.policy_id_of(20)}.{cs.asset_name_of(20)}"] == 20 % 100 + 1
 
 
+def test_result_json_spent_row(index):
+    rows = result_json(index, "*", status="spent").collect()
+    payload = next(
+        p for p in (json.loads(r["result"]) for r in rows)
+        if p["spent_at"] and p["spent_at"]["redeemer"]
+    )
+    sp = payload["spent_at"]
+    assert set(sp.keys()) == {
+        "slot_no", "header_hash", "transaction_id", "input_index", "redeemer"
+    }
+    assert sp["redeemer"].startswith("rdmr")
+    assert sp["input_index"] in (0, 1)
+    assert sp["header_hash"] == cs.md5_hex(f"blk{sp['slot_no']}")
+
+
 def _user_of(index, ref):
     from pyspark.sql import functions as FF
 
