@@ -170,6 +170,49 @@ def minhash_near_dup_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame, threshold: float = 0.5, max_iters: int = 20
+) -> DataFrame:
+    """Duplicate clusters: connected components over the near-dup pair
+    graph, by iterative min-label propagation (the standard large-graph CC
+    algorithm — each round is one join+aggregate, rounds ≈ graph diameter,
+    which for dedup graphs is tiny).  Singletons keep their own id, so the
+    output is a total map doc_id → canonical cluster id, ready for the
+    keep-one-per-cluster filter."""
+    pairs = minhash_near_dup_pairs(docs, threshold).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select("doc_id").withColumn("cluster", F.col("doc_id")).persist()
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster").alias("neighbor_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    labels.cluster, F.coalesce(F.col("neighbor_min"), labels.cluster)
+                ).alias("cluster"),
+            )
+            .localCheckpoint()  # truncate lineage per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster")
+
+
 SIMHASH_BITS = 16
 
 

@@ -62,6 +62,37 @@ def brute_force_topk(
     )
 
 
+def label_filtered_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 3
+) -> DataFrame:
+    """Filtered ANN: exact top-k restricted to corpus vectors sharing the
+    query's label (the metadata-predicate + vector-search composition; at
+    scale the corpus is partitioned by the filter column so the search
+    reads only matching partitions)."""
+    q = emb.select("vec_id", "label", F.expr(QUANT).alias("q"))
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "label", F.col("q").alias("qv")
+    )
+    corpus = q.select(F.col("vec_id").alias("neighbor_id"), "label", F.col("q").alias("cv"))
+    scored = (
+        corpus.join(F.broadcast(queries), "label")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("nq", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("nc", F.expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn(
+            "cosine",
+            F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def hyperplane_expr(j: int, dim: int = DIM) -> str:
     """Deterministic ±1 hyperplane j: component i = +1 iff the i-th hex
     nibble of md5('hp{j}')‖md5('hp2{j}') is odd."""

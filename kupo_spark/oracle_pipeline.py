@@ -145,6 +145,74 @@ WHERE round(i / (ca.n + cb.n - i), 6) >= {threshold}
 """
 
 
+def near_dup_clusters_sql(threshold: float = 0.5) -> str:
+    """Connected components stated as a recursive transitive closure —
+    DuckDB's recursive CTE is the declarative oracle for the engine's
+    iterative label propagation."""
+    n = N_BANDS * ROWS_PER_BAND
+    return f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, t.i, min(md5(CAST(t.i AS VARCHAR) || '|' || sh)) AS sig
+  FROM shingles, (SELECT unnest(range({n})) AS i) t
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+         md5(string_agg(sig, '' ORDER BY i)) AS key
+  FROM sigs GROUP BY doc_id, i // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN counts ca ON ca.doc_id = inter.doc_a
+  JOIN counts cb ON cb.doc_id = inter.doc_b
+  WHERE round(i / (ca.n + cb.n - i), 6) >= {threshold}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON e.doc_a = r.b
+)
+SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
+"""
+
+
+def embedding_label_topk_sql(n_queries: int = 10, k: int = 3) -> str:
+    """ANN restricted to a metadata predicate (same label) — the filtered-
+    search shape every retrieval pipeline needs."""
+    return f"""
+WITH q AS (SELECT vec_id, label, {QUANT} AS v FROM embeddings),
+queries AS (SELECT vec_id AS query_id, label, v AS qv FROM q WHERE vec_id < {n_queries}),
+corpus AS (SELECT vec_id AS neighbor_id, label, v AS cv FROM q),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine
+  FROM corpus JOIN queries USING (label)
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def simhash_sql(bits: int = SIMHASH_BITS) -> str:
     votes = []
     for j in range(bits):

@@ -167,6 +167,14 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda s, d: multimodal.extract_features(multimodal.as_media_table(_docs(s, d))),
         oracle_pipeline.multimodal_features_sql(),
     ),
+    "q_dedup_clusters": (
+        lambda s, d: dedup.near_dup_clusters(_docs(s, d), threshold=0.5),
+        oracle_pipeline.near_dup_clusters_sql(0.5),
+    ),
+    "q_embedding_label_topk": (
+        lambda s, d: similarity.label_filtered_topk(_embs(s, d), n_queries=10, k=3),
+        oracle_pipeline.embedding_label_topk_sql(10, 3),
+    ),
     "q_embedding_ivf_assign": (
         lambda s, d: similarity.ivf_assign(_embs(s, d)),
         oracle_pipeline.ivf_assign_sql(16),
