@@ -219,6 +219,9 @@ def queries() -> dict[str, QueryFn]:
     out["q_script_lookup"] = lambda s, d: cp.get_script(
         get_index(s, d), cs.script_hash_of(12)
     )
+    out["q_assets_by_policy"] = lambda s, d: get_index(s, d).assets.where(
+        F.col("policy_id") == POLICY
+    ).select("output_reference", "asset_name", "quantity")
     out["q_checkpoint_strict"] = lambda s, d: cp.checkpoint_by_slot(
         get_index(s, d), 42, strict=True
     )
@@ -257,6 +260,10 @@ def oracle_sql() -> dict[str, str]:
     out["q_ancestors"] = oracle.ancestors_sql(500, 3)
     out["q_datum_lookup"] = oracle.datum_lookup_sql(cs.datum_hash_of(17))
     out["q_script_lookup"] = oracle.script_lookup_sql(cs.script_hash_of(12))
+    out["q_assets_by_policy"] = oracle.PRELUDE + (
+        "SELECT output_reference, asset_name, quantity FROM assets_tbl "
+        f"WHERE policy_id = '{POLICY}'"
+    )
     out["q_checkpoint_strict"] = oracle.PRELUDE + (
         "SELECT slot_no, header_hash FROM checkpoints WHERE slot_no = 42"
     )
