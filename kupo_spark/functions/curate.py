@@ -1,0 +1,47 @@
+"""Corpus curation — the end-to-end keep/drop decision a training-data
+pipeline actually ships: exact dedup ∧ near-dup cluster canonicalization ∧
+quality thresholds, composed from the individual operators.
+
+Plan shape: three independent per-doc signals (hash-group canonical,
+connected-component canonical, token stats) joined on doc_id — each signal
+is one scan+agg over the corpus; the join keys are doc ids (uniform), so
+the composition scales exactly as its parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kupo_spark.functions.dedup import exact_duplicates, near_dup_clusters
+from kupo_spark.functions.textops import token_stats
+
+
+def curate(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, keep, drop_reason): keep a document iff it is the canonical
+    representative of BOTH its exact-hash group and its near-dup cluster,
+    and it meets the length floor.  drop_reason names the first failed
+    gate (exact_dup → near_dup → too_short)."""
+    exact = exact_duplicates(docs).select("doc_id", "canonical_doc_id")
+    clusters = near_dup_clusters(docs, threshold=near_dup_threshold)
+    stats = token_stats(docs).select("doc_id", "n_tokens")
+    joined = (
+        docs.select("doc_id")
+        .join(exact, "doc_id")
+        .join(clusters, "doc_id")
+        .join(stats, "doc_id")
+    )
+    reason = (
+        F.when(F.col("canonical_doc_id") != F.col("doc_id"), F.lit("exact_dup"))
+        .when(F.col("cluster") != F.col("doc_id"), F.lit("near_dup"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+    )
+    return joined.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )

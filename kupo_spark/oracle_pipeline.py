@@ -192,6 +192,35 @@ SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
 """
 
 
+def curate_sql(min_tokens: int = 20, threshold: float = 0.5) -> str:
+    clusters = near_dup_clusters_sql(threshold).strip()
+    # reuse the clusters statement as a CTE: strip its WITH RECURSIVE head
+    # and final SELECT into nested form
+    body = clusters[len("WITH RECURSIVE ") :].rsplit("SELECT a AS doc_id", 1)[0]
+    return f"""
+WITH RECURSIVE {body.rstrip()},
+clusters AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+exact AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+joined AS (
+  SELECT d.doc_id, e.canonical_doc_id, c.cluster, s.n_tokens,
+    CASE WHEN e.canonical_doc_id <> d.doc_id THEN 'exact_dup'
+         WHEN c.cluster <> d.doc_id THEN 'near_dup'
+         WHEN s.n_tokens < {min_tokens} THEN 'too_short'
+    END AS drop_reason
+  FROM documents d
+  JOIN exact e USING (doc_id) JOIN clusters c USING (doc_id) JOIN stats s USING (doc_id)
+)
+SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM joined
+"""
+
+
 def embedding_label_topk_sql(n_queries: int = 10, k: int = 3) -> str:
     """ANN restricted to a metadata predicate (same label) — the filtered-
     search shape every retrieval pipeline needs."""

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from kupo_spark import chainspec as cs
 from kupo_spark import oracle, oracle_pipeline
 from kupo_spark.context import get_blocks_and_index, get_index
-from kupo_spark.functions import dedup, multimodal, similarity, textops
+from kupo_spark.functions import curate, dedup, multimodal, similarity, textops
 from kupo_spark.operators import checkpoints as cp
 from kupo_spark.operators import maintenance as mt
 from kupo_spark.operators import serve as _serve
@@ -166,6 +166,10 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_multimodal_features": (
         lambda s, d: multimodal.extract_features(multimodal.as_media_table(_docs(s, d))),
         oracle_pipeline.multimodal_features_sql(),
+    ),
+    "q_curate": (
+        lambda s, d: curate.curate(_docs(s, d), min_tokens=20),
+        oracle_pipeline.curate_sql(20),
     ),
     "q_dedup_clusters": (
         lambda s, d: dedup.near_dup_clusters(_docs(s, d), threshold=0.5),
