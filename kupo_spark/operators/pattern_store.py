@@ -2,18 +2,31 @@
 HTTP pattern endpoints' semantics.
 
 Reference: patterns table (``db/v1.0.0/002.sql``), writes at
-``SQLite.hs:779-792``; ``DELETE /matches/{pattern}`` is guarded by the
-subsumption algebra (only patterns *included* in the active set may be
-deleted — ``src/Kupo/App/Http.hs:686-704`` via ``includes``,
-``Pattern.hs:183-221``); ``GET /patterns/{p}`` lists active patterns
-overlapping p.
+``SQLite.hs:779-792``.  Two distinct delete operations:
+
+* ``DELETE /matches/{pattern}`` (``Http.hs:686-704``) deletes *index rows*
+  and is REFUSED whenever the pattern overlaps any active pattern
+  (``p `overlaps` patterns -> Errors.stillActivePattern``) — deleting rows
+  still covered by an active pattern would silently corrupt the index.
+* ``DELETE /patterns/{p}`` removes the pattern from the active set,
+  unguarded.
+
+``GET /patterns/{p}`` lists active patterns that fully *include* p
+(``Http.hs:416`` uses ``included``, not ``overlaps``).
 """
 
 from __future__ import annotations
 
 from pathlib import Path
 
-from kupo_spark.patterns import Pattern, PatternError, includes, overlaps, pattern_from_text, pattern_to_text
+from kupo_spark.patterns import (
+    Pattern,
+    PatternError,
+    included,
+    overlaps,
+    pattern_from_text,
+    pattern_to_text,
+)
 
 
 class PatternStore:
@@ -44,21 +57,32 @@ class PatternStore:
             self._write(pats)
         return pats
 
-    def delete(self, pattern: Pattern | str) -> list[Pattern]:
-        """Guarded delete: refuse unless the pattern is subsumed by the
-        active set (deleting rows outside every active pattern would corrupt
-        the index — Http.hs:693-704)."""
+    def guard_delete_matches(self, pattern: Pattern | str) -> Pattern:
+        """DELETE /matches/{pattern} guard (Http.hs:697-699): REFUSE when the
+        pattern overlaps ANY active pattern — those rows are still live.
+        Returns the parsed pattern when deletion of its rows is safe."""
         p = pattern_from_text(pattern) if isinstance(pattern, str) else pattern
         pats = self.list()
-        if not any(includes(q, p) for q in pats):
+        if any(overlaps(p, q) for q in pats):
             raise PatternError(
-                f"refusing to delete {pattern_to_text(p)!r}: not included in any active pattern"
+                f"refusing to delete matches of {pattern_to_text(p)!r}: "
+                "still overlaps an active pattern (Errors.stillActivePattern)"
             )
-        remaining = [q for q in pats if q != p]
+        return p
+
+    def remove(self, pattern: Pattern | str) -> list[Pattern]:
+        """DELETE /patterns/{p}: drop the pattern from the active set —
+        unguarded (the index rows stay; they just stop being extended)."""
+        p = pattern_from_text(pattern) if isinstance(pattern, str) else pattern
+        remaining = [q for q in self.list() if q != p]
         self._write(remaining)
         return remaining
 
+    # backwards-compatible alias for the round-1 API
+    delete = remove
+
     def matching(self, pattern: Pattern | str) -> list[Pattern]:
-        """GET /patterns/{p}: active patterns overlapping p."""
+        """GET /patterns/{p}: active patterns that fully INCLUDE p
+        (Http.hs:416 uses `included`, not `overlaps`)."""
         p = pattern_from_text(pattern) if isinstance(pattern, str) else pattern
-        return [q for q in self.list() if overlaps(q, p)]
+        return included(p, self.list())

@@ -131,9 +131,15 @@ class MatchMetadataTag(Pattern):
         return "{%d}" % self.tag
 
 
-def _hex_or_raise(s: str, what: str) -> str:
+def _hex_or_raise(s: str, what: str, length: int | None = None) -> str:
     if not _HEX.match(s):
         raise PatternError(f"invalid {what}: {s!r} is not lowercase hex")
+    if length is not None and len(s) != length:
+        # reference's transactionIdFromText / credential parsers reject
+        # wrong-length digests (Pattern.hs:265-381)
+        raise PatternError(
+            f"invalid {what}: {s!r} has {len(s)} hex chars, expected {length}"
+        )
     return s
 
 
@@ -142,7 +148,7 @@ def _credential(s: str, what: str) -> str:
     key-hash / script hash (P12: keys are blake2b-224-hashed,
     Pattern.hs:265-381)."""
     if _HEX.match(s):
-        return s
+        return _hex_or_raise(s, what, _CRED_LEN)
     from kupo_spark.codecs import credential_from_bech32
 
     cred = credential_from_bech32(s)
@@ -166,7 +172,7 @@ def pattern_from_text(text: str) -> Pattern:
         return MatchMetadataTag(int(m.group(1)))
     if "@" in text:
         left, right = text.split("@", 1)
-        _hex_or_raise(right, "transaction id")
+        _hex_or_raise(right, "transaction id", _TXID_LEN)
         if left == "*":
             return MatchTransactionId(right)
         if not left.isdigit():
@@ -315,81 +321,152 @@ def to_sql(p: Pattern, alias: str = "i") -> str:
 
 
 # ---------------------------------------------------------------------------
-# Pattern algebra — overlaps / includes (Pattern.hs:143-221), used to guard
-# DELETE /matches and to answer GET /patterns/{p}.
+# Pattern algebra — overlaps / includes, mirroring the reference's case
+# tables exactly (Pattern.hs:143-221 via matchingAddress, Pattern.hs:398-417).
+# These feed the DELETE /matches guard and GET /patterns/{p}, so behavioral
+# drift changes endpoint behavior.
 # ---------------------------------------------------------------------------
 
 
+def _payment_part(addr: str) -> str | None:
+    """getPaymentPartBytes (Address.hs:56-61): bootstrap (tag 00) addresses
+    have no payment part; every Shelley-style address ends in the 56-hex
+    payment credential under the reshuffled encoding."""
+    return None if addr.startswith("00") else addr[-56:]
+
+
+def _delegation_part(addr: str) -> str | None:
+    """getDelegationPartBytes (Address.hs:63-70): only tag-01 base addresses
+    carry a delegation part."""
+    return addr[2:58] if addr.startswith("01") else None
+
+
+def matching_address(p: Pattern, addr: str) -> bool:
+    """matchingAddress (Pattern.hs:398-417): does the *address-shaped* part
+    of pattern p match this concrete address?  Non-address patterns never
+    match (the reference's `_nonAddressPattern -> const False`)."""
+    if isinstance(p, MatchAny):
+        return p.include_bootstrap or not addr.startswith("00")
+    if isinstance(p, MatchExact):
+        return p.address == addr
+    if isinstance(p, MatchPayment):
+        return _payment_part(addr) == p.credential
+    if isinstance(p, MatchDelegation):
+        return _delegation_part(addr) == p.credential
+    if isinstance(p, MatchPaymentAndDelegation):
+        return (
+            _payment_part(addr) == p.payment
+            and _delegation_part(addr) == p.delegation
+        )
+    return False
+
+
 def includes(p: Pattern, q: Pattern) -> bool:
-    """True iff every output matched by q is matched by p."""
-    if isinstance(p, MatchAny) and p.include_bootstrap:
-        return True
-    if p == q:
-        return True
-    if isinstance(p, MatchAny):  # */* — everything except bootstrap
-        if isinstance(q, MatchAny):
-            return not q.include_bootstrap
-        if isinstance(q, MatchExact):
-            return not q.address.startswith("00")
-        if isinstance(q, (MatchDelegation, MatchPaymentAndDelegation)):
-            return True  # delegation implies a non-bootstrap (tag 01) address
-        return False
+    """True iff every output matched by q is matched by p
+    (Pattern.hs:179-221, mirrored case-for-case)."""
+    if isinstance(q, MatchExact):
+        # (p, MatchExact addr) -> p `matchingAddress` addr — FIRST case,
+        # takes precedence over everything below.
+        return matching_address(p, q.address)
+    if isinstance(p, MatchAny):
+        if p.include_bootstrap:
+            return True
+        # MatchAny OnlyShelley includes everything except `*`
+        # (reference: y /= MatchAny IncludingBootstrap)
+        return q != MatchAny(include_bootstrap=True)
     if isinstance(p, MatchPayment):
         if isinstance(q, MatchPayment):
             return p.credential == q.credential
         if isinstance(q, MatchPaymentAndDelegation):
             return p.credential == q.payment
-        if isinstance(q, MatchExact):
-            return q.address[-56:] == p.credential
         return False
     if isinstance(p, MatchDelegation):
         if isinstance(q, MatchDelegation):
             return p.credential == q.credential
         if isinstance(q, MatchPaymentAndDelegation):
             return p.credential == q.delegation
-        if isinstance(q, MatchExact):
-            return q.address.startswith("01" + p.credential)
         return False
     if isinstance(p, MatchPaymentAndDelegation):
-        if isinstance(q, MatchExact):
-            return q.address.startswith("01" + p.delegation) and q.address[-56:] == p.payment
-        return False
-    if isinstance(p, MatchTransactionId):
+        return (
+            isinstance(q, MatchPaymentAndDelegation)
+            and p.payment == q.payment
+            and p.delegation == q.delegation
+        )
+    if isinstance(p, MatchOutputReference):
         if isinstance(q, MatchOutputReference):
+            return (p.transaction_id, p.output_index) == (q.transaction_id, q.output_index)
+        # reference: (MatchOutputReference a, MatchTransactionId a') ->
+        #   getTransactionId a == a'  (and NOT the converse)
+        if isinstance(q, MatchTransactionId):
             return p.transaction_id == q.transaction_id
         return False
+    if isinstance(p, MatchTransactionId):
+        return isinstance(q, MatchTransactionId) and p.transaction_id == q.transaction_id
     if isinstance(p, MatchPolicyId):
-        if isinstance(q, MatchAssetId):
+        if isinstance(q, (MatchPolicyId, MatchAssetId)):
             return p.policy_id == q.policy_id
         return False
+    if isinstance(p, MatchAssetId):
+        return isinstance(q, MatchAssetId) and (p.policy_id, p.asset_name) == (
+            q.policy_id,
+            q.asset_name,
+        )
+    if isinstance(p, MatchMetadataTag):
+        return isinstance(q, MatchMetadataTag) and p.tag == q.tag
+    return False
+
+
+def included(p: Pattern, patterns) -> list[Pattern]:
+    """All active patterns that fully include p (Pattern.hs `included`)."""
+    return [q for q in patterns if includes(q, p)]
+
+
+def _overlap_two(p: Pattern, q: Pattern) -> bool:
+    """overlapTwo, one direction (Pattern.hs:147-177)."""
+    if isinstance(p, MatchAny):
+        return True
+    if isinstance(p, MatchExact):
+        return matching_address(q, p.address)
+    if isinstance(p, MatchPayment):
+        if isinstance(q, MatchPayment):
+            return p.credential == q.credential
+        if isinstance(q, MatchPaymentAndDelegation):
+            return p.credential == q.payment
+        return False
+    if isinstance(p, MatchDelegation):
+        if isinstance(q, MatchDelegation):
+            return p.credential == q.credential
+        if isinstance(q, MatchPaymentAndDelegation):
+            return p.credential == q.delegation
+        return False
+    if isinstance(p, MatchPaymentAndDelegation):
+        # pairs sharing EITHER credential overlap (a==a' || b==b')
+        return isinstance(q, MatchPaymentAndDelegation) and (
+            p.payment == q.payment or p.delegation == q.delegation
+        )
+    if isinstance(p, MatchOutputReference):
+        if isinstance(q, MatchOutputReference):
+            return (p.transaction_id, p.output_index) == (q.transaction_id, q.output_index)
+        if isinstance(q, MatchTransactionId):
+            return p.transaction_id == q.transaction_id
+        return False
+    if isinstance(p, MatchTransactionId):
+        return isinstance(q, MatchTransactionId) and p.transaction_id == q.transaction_id
+    if isinstance(p, MatchPolicyId):
+        if isinstance(q, (MatchPolicyId, MatchAssetId)):
+            return p.policy_id == q.policy_id
+        return False
+    if isinstance(p, MatchAssetId):
+        return isinstance(q, MatchAssetId) and (p.policy_id, p.asset_name) == (
+            q.policy_id,
+            q.asset_name,
+        )
+    if isinstance(p, MatchMetadataTag):
+        return isinstance(q, MatchMetadataTag) and p.tag == q.tag
     return False
 
 
 def overlaps(p: Pattern, q: Pattern) -> bool:
-    """True iff some output could be matched by both (conservative,
-    mirroring Pattern.hs:143-177's by-construction cases)."""
-    if includes(p, q) or includes(q, p):
-        return True
-    if isinstance(p, MatchPayment) and isinstance(q, MatchDelegation):
-        return True  # a base address can carry any (payment, delegation) pair
-    if isinstance(q, MatchPayment) and isinstance(p, MatchDelegation):
-        return True
-    if isinstance(p, MatchPaymentAndDelegation) and isinstance(q, MatchPayment):
-        return p.payment == q.credential
-    if isinstance(q, MatchPaymentAndDelegation) and isinstance(p, MatchPayment):
-        return q.payment == p.credential
-    if isinstance(p, MatchPaymentAndDelegation) and isinstance(q, MatchDelegation):
-        return p.delegation == q.credential
-    if isinstance(q, MatchPaymentAndDelegation) and isinstance(p, MatchDelegation):
-        return q.delegation == p.credential
-    # transaction/policy/asset patterns overlap with address patterns in
-    # general (any address can hold any asset / appear in any tx)
-    addr_like = (MatchAny, MatchExact, MatchPayment, MatchDelegation, MatchPaymentAndDelegation)
-    txn_like = (MatchTransactionId, MatchOutputReference, MatchPolicyId, MatchAssetId, MatchMetadataTag)
-    if isinstance(p, txn_like) and isinstance(q, addr_like):
-        return True
-    if isinstance(q, txn_like) and isinstance(p, addr_like):
-        return True
-    if isinstance(p, txn_like) and isinstance(q, txn_like):
-        return True
-    return False
+    """Symmetric closure of overlapTwo — the reference's set-fold checks
+    both directions for each pair (Pattern.hs:144-146)."""
+    return _overlap_two(p, q) or _overlap_two(q, p)

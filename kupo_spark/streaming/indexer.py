@@ -271,9 +271,10 @@ def start_or_resume(
     pick the point to (re)start indexing from.
 
     - fresh index + ``since`` → start at `since`;
-    - existing index → resume at the max stored checkpoint; passing a
-      conflicting ``since`` is an error (`--since` is only valid on the
-      first start);
+    - existing index → resume at the max stored checkpoint; a ``since``
+      MORE RECENT than that checkpoint is an error
+      (``Configuration.hs:203-211``), while an older/equal ``since`` —
+      e.g. re-running the original launch command — resumes normally;
     - fresh index + no ``since`` → error (the reference demands an explicit
       starting point).
     """
@@ -291,10 +292,12 @@ def start_or_resume(
         .agg(FF.max("slot_no"))
         .collect()[0][0]
     )
-    if since is not None and since != tip:
+    if since is not None and since > tip:
+        # errConflictingSinceOptions: only a --since NEWER than the most
+        # recent checkpoint conflicts (Configuration.hs:203-211)
         raise ValueError(
-            f"--since {since} conflicts with existing index at {tip} "
-            "(only valid on first start)"
+            f"--since {since} is more recent than the most recent "
+            f"checkpoint {tip}; remove --since or erase the index"
         )
     return tip
 

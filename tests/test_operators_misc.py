@@ -32,19 +32,40 @@ def test_copy_index_filters_everything(spark, index, tmp_path):
     assert replica.binary_data.join(refs, "binary_data_hash", "left_anti").count() == 0
 
 
-def test_pattern_store_guarded_delete(tmp_path):
+def test_pattern_store_delete_matches_guard(tmp_path):
+    """DELETE /matches is refused while the pattern overlaps any active
+    pattern (Http.hs:697-699); with the common active set {'*'} every
+    delete is refused."""
     ps = PatternStore(str(tmp_path / "patterns.txt"))
-    ps.add("*/*")
+    ps.add("*")
     cred = "a" * 56
-    ps.add(f"{cred}/*")
-    # deleting a subsumed pattern is allowed ('*/*' includes delegation pats)
-    ps.add(f"*/{'b' * 56}")
-    ps.delete(f"*/{'b' * 56}")
-    # deleting a pattern no active pattern includes is refused
     with pytest.raises(PatternError):
-        PatternStore(str(tmp_path / "other.txt")).delete("*")
-    assert len(ps.list()) == 2
-    assert ps.matching(f"{cred}/{'c' * 56}")  # payment overlap found
+        ps.guard_delete_matches(f"{cred}/*")
+    with pytest.raises(PatternError):
+        ps.guard_delete_matches("*")
+    # DELETE /patterns (remove) is unguarded; once '*' is gone, deleting
+    # rows of a non-overlapping pattern is allowed
+    ps.remove("*")
+    ps.add(f"*/{'b' * 56}")
+    # payment-credential pattern does not overlap a delegation pattern
+    # (reference overlapTwo has no payment-vs-delegation case)
+    ps.guard_delete_matches(f"{cred}/*")
+    with pytest.raises(PatternError):
+        ps.guard_delete_matches(f"*/{'b' * 56}")
+
+
+def test_pattern_store_matching_uses_includes(tmp_path):
+    """GET /patterns/{p} returns active patterns that fully INCLUDE p
+    (Http.hs:416), not merely overlapping ones."""
+    ps = PatternStore(str(tmp_path / "patterns.txt"))
+    cred = "a" * 56
+    deleg = "b" * 56
+    ps.add(f"{cred}/*")
+    ps.add(f"*/{deleg}")
+    got = {p.to_text() for p in ps.matching(f"{cred}/{deleg}")}
+    assert got == {f"{cred}/*", f"*/{deleg}"}
+    # a mere overlap (shared payment, different query kind) is NOT listed
+    assert ps.matching(f"*/{'c' * 56}") == []
 
 
 def _blocks_with_validity(spark):

@@ -65,23 +65,47 @@ def test_exact_address_parse():
 
 
 def test_includes_algebra():
+    """Mirrors the reference case table (Pattern.hs:179-221) exactly."""
     assert includes(MatchAny(True), MatchExact("00" + "0" * 58))
     assert includes(MatchAny(False), MatchDelegation(CRED_B))
     assert not includes(MatchAny(False), MatchExact("00" + "0" * 58))
+    # MatchAny OnlyShelley includes every non-`*` pattern, even non-address
+    # kinds (reference: `y /= MatchAny IncludingBootstrap`)
+    assert includes(MatchAny(False), MatchPayment(CRED_A))
+    assert includes(MatchAny(False), MatchTransactionId(TXID))
+    assert includes(MatchAny(False), MatchPolicyId(POLICY))
+    assert not includes(MatchAny(False), MatchAny(True))
     assert includes(MatchPayment(CRED_A), MatchPaymentAndDelegation(CRED_A, CRED_B))
     assert not includes(MatchPayment(CRED_A), MatchPaymentAndDelegation(CRED_B, CRED_A))
-    assert includes(MatchTransactionId(TXID), MatchOutputReference(TXID, 1))
+    # reference direction: (MatchOutputReference a, MatchTransactionId a')
+    assert includes(MatchOutputReference(TXID, 1), MatchTransactionId(TXID))
+    assert not includes(MatchTransactionId(TXID), MatchOutputReference(TXID, 1))
     assert includes(MatchPolicyId(POLICY), MatchAssetId(POLICY, ASSET))
     addr01 = "01" + CRED_B + "00" + CRED_A
     assert includes(MatchDelegation(CRED_B), MatchExact(addr01))
     assert includes(MatchPaymentAndDelegation(CRED_A, CRED_B), MatchExact(addr01))
+    # bootstrap addresses have no payment part (Address.hs:56-61)
+    assert not includes(MatchPayment(CRED_A), MatchExact("00" + "00" + CRED_A))
 
 
 def test_overlaps_algebra():
-    assert overlaps(MatchPayment(CRED_A), MatchDelegation(CRED_B))
+    """Mirrors overlapTwo (Pattern.hs:147-177): payment-vs-delegation do NOT
+    overlap; pairs sharing either credential DO."""
+    assert not overlaps(MatchPayment(CRED_A), MatchDelegation(CRED_B))
     assert overlaps(MatchAny(True), MatchPolicyId(POLICY))
     assert not overlaps(MatchPayment(CRED_A), MatchPayment(CRED_B))
     assert overlaps(MatchPolicyId(POLICY), MatchAssetId(POLICY, ASSET))
+    assert overlaps(
+        MatchPaymentAndDelegation(CRED_A, CRED_B),
+        MatchPaymentAndDelegation(CRED_A, "f" * 56),
+    )
+    assert overlaps(
+        MatchPaymentAndDelegation(CRED_A, CRED_B),
+        MatchPaymentAndDelegation("f" * 56, CRED_B),
+    )
+    assert overlaps(MatchPayment(CRED_A), MatchPaymentAndDelegation(CRED_A, CRED_B))
+    assert overlaps(MatchOutputReference(TXID, 1), MatchTransactionId(TXID))
+    assert not overlaps(MatchTransactionId(TXID), MatchPolicyId(POLICY))
 
 
 def test_includes_implies_overlaps():
@@ -100,6 +124,19 @@ def test_includes_implies_overlaps():
             if includes(p, q):
                 assert overlaps(p, q), (p, q)
             assert includes(p, p)
+
+
+def test_parse_rejects_wrong_lengths():
+    """transactionIdFromText / credential parsers reject wrong-length
+    digests (Pattern.hs:265-381)."""
+    with pytest.raises(PatternError):
+        pattern_from_text("0@abc")
+    with pytest.raises(PatternError):
+        pattern_from_text("ff/*")
+    with pytest.raises(PatternError):
+        pattern_from_text("*/ff")
+    with pytest.raises(PatternError):
+        pattern_from_text("ff/" + CRED_B)
 
 
 def test_metadata_tag_rejected_at_query_time(index):

@@ -20,11 +20,14 @@ def test_resume_at_stored_tip(spark, blocks, tmp_path):
     ix = StreamingIndexer(str(tmp_path / "resume"))
     ix.process_batch(blocks.where(F.col("slot_no") < 10), 0)
     assert start_or_resume(ix, spark) == 9
-    # --since only valid on first start
-    with pytest.raises(ValueError, match="only valid on first start"):
-        start_or_resume(ix, spark, since=3)
-    # matching since is tolerated (idempotent restart scripts)
+    # an older/equal --since resumes from the checkpoint — re-running the
+    # original launch command is a supported operational pattern
+    # (Configuration.hs:203-211)
+    assert start_or_resume(ix, spark, since=3) == 9
     assert start_or_resume(ix, spark, since=9) == 9
+    # only a since NEWER than the most recent checkpoint conflicts
+    with pytest.raises(ValueError, match="more recent"):
+        start_or_resume(ix, spark, since=10)
 
 
 def test_metrics_text(index):
