@@ -16,14 +16,21 @@ from kupo_spark.operators.indexer import Index
 
 
 def sample_distances(k: int = LONGEST_ROLLBACK) -> list[int]:
-    """Distances-from-tip sampled by listCheckpointsDesc: dense near the tip
-    (0,10,…,90) then halving out to k (SQLite.hs:722-733)."""
-    dists = list(range(0, 100, 10))
-    d = k
-    while d > 100:
-        dists.append(d)
-        d //= 2
-    return sorted(set(dists))
+    """Distances-from-tip sampled by listCheckpointsDesc — the reference's
+    exact list (SQLite.hs:724-729)::
+
+        points = [ 0, 10 .. k `div` 2^n ]
+                 ++ [ k `div` (2^e) | e <- [ n-1, n-2 .. 0 ] ]
+          where n = ceiling (log k)   -- natural log
+
+    Duplicate *slots* are dropped downstream (nubOn checkpointSlotNo),
+    matching ``list_checkpoints``' dropDuplicates."""
+    import math
+
+    n = math.ceil(math.log(k))
+    dense = list(range(0, k // (2**n) + 1, 10))
+    halvings = [k // (2**e) for e in range(n - 1, -1, -1)]
+    return dense + halvings
 
 
 def max_checkpoint(index: Index) -> DataFrame:

@@ -150,8 +150,13 @@ def fold_inputs_sql(
     filter_asset_name: str | None = None,
     filter_transaction_id: str | None = None,
     filter_output_index: int | None = None,
+    with_prelude: bool = True,
 ) -> str:
-    """Reference foldInputsQry (SQLite.hs:919-1003) over the PRELUDE CTEs."""
+    """Reference foldInputsQry (SQLite.hs:919-1003) over the PRELUDE CTEs.
+
+    ``with_prelude=False`` emits only the SELECT body, so several fold
+    bodies can be UNION'd under one shared PRELUDE (merged driver rows).
+    """
     if isinstance(pattern, str):
         pattern = pattern_from_text(pattern)
     select = FOLD_SELECT
@@ -193,13 +198,39 @@ def fold_inputs_sql(
         where.append(f"i.transaction_id = '{filter_transaction_id}'")
         if filter_output_index is not None:
             where.append(f"i.output_index = {filter_output_index}")
-    return PRELUDE + f"SELECT {select}{joins} WHERE " + " AND ".join(f"({w})" for w in where)
+    body = f"SELECT {select}{joins} WHERE " + " AND ".join(f"({w})" for w in where)
+    return (PRELUDE + body) if with_prelude else body
+
+
+def merged_fold_sql(arms: list[tuple[str, dict]]) -> str:
+    """Several fold bodies UNION ALL'd under one PRELUDE, each tagged with a
+    marker column ``q`` — the oracle side of a merged driver row."""
+    parts = [
+        f"SELECT t{i}.*, '{marker}' AS q FROM ("
+        + fold_inputs_sql(**spec, with_prelude=False)
+        + f") t{i}"
+        for i, (marker, spec) in enumerate(arms)
+    ]
+    return PRELUDE + " UNION ALL ".join(parts)
 
 
 def count_inputs_sql(pattern: Pattern | str = "*") -> str:
     if isinstance(pattern, str):
         pattern = pattern_from_text(pattern)
     return PRELUDE + f"SELECT COUNT(*) AS n FROM inputs i WHERE {to_sql(pattern)}"
+
+
+def count_inputs_multi_sql(arms: list[tuple[str, Pattern | str]]) -> str:
+    """A1 for several patterns in one statement, tagged by marker."""
+    parts = []
+    for marker, pattern in arms:
+        if isinstance(pattern, str):
+            pattern = pattern_from_text(pattern)
+        parts.append(
+            f"SELECT '{marker}' AS pattern, COUNT(*) AS n FROM inputs i "
+            f"WHERE {to_sql(pattern)}"
+        )
+    return PRELUDE + " UNION ALL ".join(parts)
 
 
 def count_policies_sql(pattern: Pattern | str = "*") -> str:
@@ -218,8 +249,23 @@ def max_checkpoint_sql() -> str:
     )
 
 
-def list_checkpoints_sql(distances: list[int]) -> str:
-    dlist = ", ".join(str(d) for d in distances)
+def reference_checkpoint_distances(k: int) -> list[int]:
+    """The reference's exact distance-from-tip list (SQLite.hs:724-729):
+    ``[0, 10 .. k div 2^n] ++ [k div 2^e | e <- [n-1, n-2 .. 0]]`` with
+    ``n = ceiling (log k)`` (natural log).  Re-stated here independently of
+    ``operators.checkpoints.sample_distances`` so the oracle cannot be
+    self-confirming — both sides must land on the same published list.
+    """
+    import math
+
+    n = math.ceil(math.log(k))
+    dense = list(range(0, k // (2**n) + 1, 10))
+    halvings = [k // (2**e) for e in range(n - 1, -1, -1)]
+    return dense + halvings
+
+
+def list_checkpoints_sql(k: int) -> str:
+    dlist = ", ".join(str(d) for d in reference_checkpoint_distances(k))
     return PRELUDE + f"""
 , tip AS (SELECT max(slot_no) AS tip FROM checkpoints),
 sampled AS (

@@ -39,29 +39,43 @@ PRUNE_K = cs.LONGEST_ROLLBACK
 META_SLOT = 50
 
 # ---- fold-query specs: one kwargs dict drives both engines ----------------
+#
+# The driver runs at most 50 CORRECTNESS queries (r01 recorded exactly the
+# first 50 registered), so related shapes are MERGED into single driver rows:
+# each merged row unions several fold bodies tagged by a marker column `q`,
+# certifying every arm's semantics under one slot.
 FOLD_SPECS: dict[str, dict] = {
     "fold_all": dict(pattern="*"),
     "fold_unspent": dict(pattern="*", status="unspent"),
-    "fold_spent_after": dict(pattern="*", status="spent", spent_after=500),
-    "fold_spent_before": dict(pattern="*", status="spent", spent_before=400),
     "fold_only_shelley": dict(pattern="*/*"),
     "fold_exact_address": dict(pattern=ADDR_EXACT),
     "fold_payment_cred": dict(pattern=f"{PAY_CRED}/*"),
     "fold_delegation": dict(pattern=f"*/{DELEG_CRED}"),
     "fold_payment_and_delegation": dict(pattern=f"{PAY_CRED_U5}/{DELEG_CRED}"),
-    "fold_transaction_id": dict(pattern=f"*@{TXID}"),
-    "fold_output_reference": dict(pattern=f"0@{TXID}"),
     "fold_policy": dict(pattern=f"{POLICY}.*"),
     "fold_asset": dict(pattern=f"{POLICY}.{ASSET}"),
     "fold_created_range": dict(pattern="*", created_after=200, created_before=400),
     "fold_mixed_range": dict(pattern=f"{PAY_CRED}/*", created_before=800, spent_after=300),
     "fold_resolve_hashes": dict(pattern=f"{PAY_CRED}/*", resolve_hashes=True),
-    "fold_residual_policy": dict(
-        pattern="*", filter_policy_id=POLICY, filter_asset_name=ASSET
-    ),
-    "fold_residual_txid": dict(
-        pattern="*", filter_transaction_id=TXID, filter_output_index=0
-    ),
+}
+
+#: merged fold rows: name → [(marker, spec), ...]
+MERGED_FOLD_SPECS: dict[str, list[tuple[str, dict]]] = {
+    # P15 spent-window bounds (spent_after / spent_before)
+    "fold_spent_window": [
+        ("after", dict(pattern="*", status="spent", spent_after=500)),
+        ("before", dict(pattern="*", status="spent", spent_before=400)),
+    ],
+    # P7 `*@txid` + P8 `ix@txid`
+    "fold_by_reference": [
+        ("txid", dict(pattern=f"*@{TXID}")),
+        ("outref", dict(pattern=f"0@{TXID}")),
+    ],
+    # P14 residual query-param filters (policy+asset / txid+index)
+    "fold_residual": [
+        ("policy", dict(pattern="*", filter_policy_id=POLICY, filter_asset_name=ASSET)),
+        ("txid", dict(pattern="*", filter_transaction_id=TXID, filter_output_index=0)),
+    ],
 }
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -197,19 +211,38 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+def _merged_fold(spark: SparkSession, sf_dir: str, arms: list[tuple[str, dict]]) -> DataFrame:
+    idx = get_index(spark, sf_dir)
+    df = None
+    for marker, spec in arms:
+        arm = fold_inputs(idx, **spec).withColumn("q", F.lit(marker))
+        df = arm if df is None else df.unionByName(arm)
+    return df
+
+
 def queries() -> dict[str, QueryFn]:
+    """≤50 entries (the driver's CORRECTNESS run caps there): chain-core
+    queries first, merged rows for related shapes, LLM-pipeline ops last."""
     out: dict[str, QueryFn] = {}
-    for name, (fn, _sql) in PIPELINE_QUERIES.items():
-        out[name] = fn
 
     for name, spec in FOLD_SPECS.items():
         def fn(spark, sf_dir, _spec=spec):
             return fold_inputs(get_index(spark, sf_dir), **_spec)
         out[f"q_{name}"] = fn
 
-    out["q_count_inputs"] = lambda s, d: count_inputs(get_index(s, d), "*")
-    out["q_count_inputs_payment"] = lambda s, d: count_inputs(
-        get_index(s, d), f"{PAY_CRED}/*"
+    for name, arms in MERGED_FOLD_SPECS.items():
+        def mfn(spark, sf_dir, _arms=arms):
+            return _merged_fold(spark, sf_dir, _arms)
+        out[f"q_{name}"] = mfn
+
+    # A1 for both the wildcard and a payment-credential pattern, one row
+    out["q_count_inputs"] = lambda s, d: (
+        count_inputs(get_index(s, d), "*")
+        .withColumn("pattern", F.lit("all"))
+        .unionByName(
+            count_inputs(get_index(s, d), f"{PAY_CRED}/*")
+            .withColumn("pattern", F.lit("payment"))
+        )
     )
     out["q_count_policies"] = lambda s, d: count_policies(
         get_index(s, d), f"{PAY_CRED}/*"
@@ -217,63 +250,91 @@ def queries() -> dict[str, QueryFn]:
     out["q_max_checkpoint"] = lambda s, d: cp.max_checkpoint(get_index(s, d))
     out["q_list_checkpoints"] = lambda s, d: cp.list_checkpoints(get_index(s, d))
     out["q_ancestors"] = lambda s, d: cp.ancestors(get_index(s, d), 500, 3)
-    out["q_datum_lookup"] = lambda s, d: cp.get_binary_data(
-        get_index(s, d), cs.datum_hash_of(17)
-    )
-    out["q_script_lookup"] = lambda s, d: cp.get_script(
-        get_index(s, d), cs.script_hash_of(12)
+    # O4 both dictionary lookups (datum + script), one row
+    out["q_binary_lookup"] = lambda s, d: (
+        cp.get_binary_data(get_index(s, d), cs.datum_hash_of(17))
+        .select(
+            F.lit("datum").alias("kind"),
+            F.col("binary_data_hash").alias("hash"),
+            F.col("binary_data").alias("payload"),
+        )
+        .unionByName(
+            cp.get_script(get_index(s, d), cs.script_hash_of(12)).select(
+                F.lit("script").alias("kind"),
+                F.col("script_hash").alias("hash"),
+                F.col("script").alias("payload"),
+            )
+        )
     )
     out["q_assets_by_policy"] = lambda s, d: get_index(s, d).assets.where(
         F.col("policy_id") == POLICY
     ).select("output_reference", "asset_name", "quantity")
-    out["q_checkpoint_strict"] = lambda s, d: cp.checkpoint_by_slot(
-        get_index(s, d), 42, strict=True
-    )
-    out["q_checkpoint_nonstrict"] = lambda s, d: cp.checkpoint_by_slot(
-        get_index(s, d), 98765, strict=False
+    # GET /checkpoints/{slot} strict + nonstrict, one row
+    out["q_checkpoint_lookup"] = lambda s, d: (
+        cp.checkpoint_by_slot(get_index(s, d), 42, strict=True)
+        .withColumn("mode", F.lit("strict"))
+        .unionByName(
+            cp.checkpoint_by_slot(get_index(s, d), 98765, strict=False)
+            .withColumn("mode", F.lit("nonstrict"))
+        )
     )
     out["q_health"] = lambda s, d: _serve.health(get_index(s, d))
     out["q_rollback_inputs"] = _q_rollback
     out["q_prune_inputs"] = _q_prune_inputs
     out["q_prune_binary_data"] = _q_prune_binary_data
-    out["q_metadata_by_slot"] = lambda s, d: mt.metadata_by_slot(
-        get_blocks_and_index(s, d)[0], META_SLOT
-    )
-    out["q_metadata_by_slot_tx"] = lambda s, d: mt.metadata_by_slot(
-        get_blocks_and_index(s, d)[0], META_SLOT, transaction_id=cs.transaction_id_of(500)
+    # GET /metadata/{slot} with and without the transaction_id filter
+    out["q_metadata_by_slot"] = lambda s, d: (
+        mt.metadata_by_slot(get_blocks_and_index(s, d)[0], META_SLOT)
+        .withColumn("q", F.lit("slot"))
+        .unionByName(
+            mt.metadata_by_slot(
+                get_blocks_and_index(s, d)[0],
+                META_SLOT,
+                transaction_id=cs.transaction_id_of(500),
+            ).withColumn("q", F.lit("tx"))
+        )
     )
     out["q_delete_pattern"] = lambda s, d: mt.delete_by_pattern(
         get_index(s, d), f"{PAY_CRED}/*"
     ).inputs.select("output_reference", "address", "coins", "created_at")
     out["q_index_metadata_tag"] = _q_index_metadata_tag
+
+    for name, (fn, _sql) in PIPELINE_QUERIES.items():
+        out[name] = fn
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for name, (_fn, sql) in PIPELINE_QUERIES.items():
-        if sql is not None:
-            out[name] = sql
     for name, spec in FOLD_SPECS.items():
         out[f"q_{name}"] = oracle.fold_inputs_sql(**spec)
-    out["q_count_inputs"] = oracle.count_inputs_sql("*")
-    out["q_count_inputs_payment"] = oracle.count_inputs_sql(f"{PAY_CRED}/*")
+    for name, arms in MERGED_FOLD_SPECS.items():
+        out[f"q_{name}"] = oracle.merged_fold_sql(arms)
+    out["q_count_inputs"] = oracle.count_inputs_multi_sql(
+        [("all", "*"), ("payment", f"{PAY_CRED}/*")]
+    )
     out["q_count_policies"] = oracle.count_policies_sql(f"{PAY_CRED}/*")
     out["q_max_checkpoint"] = oracle.max_checkpoint_sql()
-    out["q_list_checkpoints"] = oracle.list_checkpoints_sql(cp.sample_distances())
+    out["q_list_checkpoints"] = oracle.list_checkpoints_sql(cs.LONGEST_ROLLBACK)
     out["q_ancestors"] = oracle.ancestors_sql(500, 3)
-    out["q_datum_lookup"] = oracle.datum_lookup_sql(cs.datum_hash_of(17))
-    out["q_script_lookup"] = oracle.script_lookup_sql(cs.script_hash_of(12))
+    out["q_binary_lookup"] = oracle.PRELUDE + (
+        "SELECT 'datum' AS kind, binary_data_hash AS hash, binary_data AS payload "
+        f"FROM binary_data WHERE binary_data_hash = '{cs.datum_hash_of(17)}' "
+        "UNION ALL "
+        "SELECT 'script', script_hash, script "
+        f"FROM scripts WHERE script_hash = '{cs.script_hash_of(12)}'"
+    )
     out["q_assets_by_policy"] = oracle.PRELUDE + (
         "SELECT output_reference, asset_name, quantity FROM assets_tbl "
         f"WHERE policy_id = '{POLICY}'"
     )
-    out["q_checkpoint_strict"] = oracle.PRELUDE + (
-        "SELECT slot_no, header_hash FROM checkpoints WHERE slot_no = 42"
-    )
-    out["q_checkpoint_nonstrict"] = oracle.PRELUDE + (
+    out["q_checkpoint_lookup"] = oracle.PRELUDE + (
+        "SELECT slot_no, header_hash, 'strict' AS mode "
+        "FROM checkpoints WHERE slot_no = 42 "
+        "UNION ALL "
+        "SELECT slot_no, header_hash, 'nonstrict' FROM ("
         "SELECT slot_no, header_hash FROM checkpoints WHERE slot_no <= 98765 "
-        "ORDER BY slot_no DESC LIMIT 1"
+        "ORDER BY slot_no DESC LIMIT 1) t"
     )
     out["q_health"] = oracle.PRELUDE + (
         "SELECT (SELECT max(slot_no) FROM checkpoints) AS most_recent_checkpoint, "
@@ -284,9 +345,12 @@ def oracle_sql() -> dict[str, str]:
     out["q_rollback_inputs"] = oracle.rolled_back_inputs_sql(ROLLBACK_SLOT)
     out["q_prune_inputs"] = oracle.pruned_inputs_sql(PRUNE_K)
     out["q_prune_binary_data"] = oracle.pruned_binary_data_sql(ROLLBACK_SLOT)
-    out["q_metadata_by_slot"] = oracle.metadata_by_slot_sql(META_SLOT)
-    out["q_metadata_by_slot_tx"] = oracle.PRELUDE + (
-        "SELECT transaction_id, 'meta:' || md5('m' || CAST(e AS VARCHAR)) AS metadata_cbor "
+    out["q_metadata_by_slot"] = oracle.PRELUDE + (
+        "SELECT transaction_id, 'meta:' || md5('m' || CAST(e AS VARCHAR)) AS metadata_cbor, "
+        f"'slot' AS q FROM outs "
+        f"WHERE created_at = {META_SLOT} AND e % 4 = 0 AND output_index = 0 "
+        "UNION ALL "
+        "SELECT transaction_id, 'meta:' || md5('m' || CAST(e AS VARCHAR)), 'tx' "
         f"FROM outs WHERE created_at = {META_SLOT} AND e % 4 = 0 AND output_index = 0 "
         f"AND transaction_id = '{cs.transaction_id_of(500)}'"
     )
@@ -299,6 +363,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM inputs i WHERE EXISTS (SELECT 1 FROM outs o "
         "WHERE o.transaction_id = i.transaction_id AND o.e % 4 = 0)"
     )
+    for name, (_fn, sql) in PIPELINE_QUERIES.items():
+        if sql is not None:
+            out[name] = sql
     return out
 
 
