@@ -309,6 +309,69 @@ SELECT vec_id, {bits} AS bucket FROM q
 """
 
 
+def lsh_topk_sql(n_queries: int = 10, k: int = 5, planes: int = N_PLANES, dim: int = DIM) -> str:
+    """Bucket-restricted exact top-k: the LSH bucket CTE (itself oracle-
+    checked by lsh_buckets_sql) spliced into the brute-force ranking, so the
+    candidate set — and therefore the full result — is deterministic."""
+    bits = " || ".join(
+        f"CASE WHEN list_dot_product(v, {_hyperplane_sql(j, dim)}) >= 0 THEN '1' ELSE '0' END"
+        for j in range(planes)
+    )
+    return f"""
+WITH qtab AS (SELECT vec_id, {QUANT} AS v FROM embeddings),
+b AS (SELECT vec_id, {bits} AS bucket FROM qtab),
+qb AS (SELECT qtab.vec_id, qtab.v, b.bucket FROM qtab JOIN b USING (vec_id)),
+queries AS (SELECT vec_id AS query_id, v AS qv, bucket FROM qb WHERE vec_id < {n_queries}),
+corpus AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM qb),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine
+  FROM corpus JOIN queries USING (bucket)
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_topk_sql(n_queries: int = 10, k: int = 5, n_centroids: int = 16) -> str:
+    """Cell-restricted (nprobe=1) exact top-k: the IVF assignment CTE
+    (oracle-checked by ivf_assign_sql) spliced into the brute-force ranking."""
+    d2 = (
+        "list_dot_product(q, q) - 2 * list_dot_product(q, cv) + list_dot_product(cv, cv)"
+    )
+    return f"""
+WITH qtab AS (SELECT vec_id, {QUANT} AS q FROM embeddings),
+centroids AS (SELECT vec_id AS centroid_id, q AS cv FROM qtab WHERE vec_id < {n_centroids}),
+assign_scored AS (
+  SELECT vec_id, centroid_id, {d2} AS dist2 FROM qtab, centroids
+),
+assign_ranked AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
+  FROM assign_scored
+),
+assigned AS (SELECT vec_id, centroid_id FROM assign_ranked WHERE rn = 1),
+qa AS (SELECT qtab.vec_id, qtab.q AS v, a.centroid_id FROM qtab JOIN assigned a USING (vec_id)),
+queries AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM qa WHERE vec_id < {n_queries}),
+corpus AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM qa),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine
+  FROM corpus JOIN queries USING (centroid_id)
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def tfidf_sql(top: int = 3) -> str:
     return f"""
 WITH tok AS (

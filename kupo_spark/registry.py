@@ -197,16 +197,16 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda s, d: similarity.ivf_assign(_embs(s, d)),
         oracle_pipeline.ivf_assign_sql(16),
     ),
-    # ANN top-k variants: recall depends on the bucketing/cell assignment,
-    # which is itself oracle-checked above — the top-k searches are checked
-    # rows-only.
+    # ANN top-k variants: the candidate set is the (oracle-checked) bucket /
+    # IVF cell, so the bucket-restricted exact top-k is fully deterministic —
+    # the oracle splices the bucket CTE into the brute-force ranking.
     "q_embedding_lsh_topk": (
         lambda s, d: similarity.lsh_topk(_embs(s, d), n_queries=10, k=5),
-        None,
+        oracle_pipeline.lsh_topk_sql(10, 5),
     ),
     "q_embedding_ivf_topk": (
         lambda s, d: similarity.ivf_topk(_embs(s, d), n_queries=10, k=5),
-        None,
+        oracle_pipeline.ivf_topk_sql(10, 5),
     ),
 }
 
