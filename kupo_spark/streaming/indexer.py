@@ -21,18 +21,32 @@ Design: a **log-structured index** (retraction-as-data):
 
 At scale this is exactly the Delta/Iceberg model (append + compact); the
 spent-resolution join moves out of the ingest hot path into resolve/compact,
-so ingest itself is shuffle-free per batch.  On a transactional table format
-the same ``foreachBatch`` body becomes MERGEs and the logs become the table
-history; dataflow and semantics are unchanged.  (Parquet appends are not
-idempotent under batch replay; production deployments get exactly-once from
-the table format's transaction log — kupo itself relies on SQLite
-transactions the same way, ``SQLite.hs:1112-1128``.)
+so ingest itself is shuffle-free per batch.
+
+**Exactly-once commits.**  Each micro-batch is published with an atomic
+commit protocol — the Spark-native analog of kupo's per-batch SQLite
+transaction (``SQLite.hs:1112-1128``) and of a Delta ``_delta_log`` entry:
+
+  1. all five log tables are written under ``_staging/<seq>/``;
+  2. each staged table is renamed into its ``<table>/batch_seq=<seq>/``
+     partition directory (rename = atomic, torn part-files never appear
+     under a table root);
+  3. a manifest file ``manifest/<seq>.json`` recording
+     ``(seq, batch_id, dedup key)`` is written via tmp-file + rename —
+     this rename IS the commit point.
+
+Readers resolve visibility from the manifest: partition dirs without a
+manifest entry (a crash between steps 2 and 3) are filtered out by the
+``batch_seq`` partition column — an O(#crashes) predicate, pruned at the
+scan.  A replayed ``foreachBatch`` delivery (same stream checkpoint + same
+batch_id) finds its dedup key already manifested and returns without
+writing, so the log — not merely the resolved view — is exactly-once.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import shutil
 import time
 from pathlib import Path
 
@@ -43,6 +57,8 @@ from pyspark.sql.window import Window
 from kupo_spark.operators.indexer import Index, exploded_outputs, read_index, spent_refs
 from kupo_spark.patterns import any_to_column, pattern_from_text
 
+LOG_TABLES = ("produced", "spends", "checkpoints", "binary_data", "scripts")
+
 
 class StreamingIndexer:
     def __init__(self, out_dir: str, patterns=("*",)):
@@ -52,36 +68,90 @@ class StreamingIndexer:
         ]
         Path(out_dir).mkdir(parents=True, exist_ok=True)
         self._seq_file = Path(out_dir) / "_last_seq"
+        self._manifest_dir = Path(out_dir) / "manifest"
+        self._manifest_dir.mkdir(exist_ok=True)
 
-    # ---- sequencing -----------------------------------------------------
+    # ---- sequencing + commit log ----------------------------------------
+
+    def _committed(self) -> list[dict]:
+        """All committed batch manifests, oldest first.  One small json per
+        batch; a production deployment folds old entries into the compacted
+        base the way Delta checkpoints its log."""
+        return [
+            json.loads(p.read_text())
+            for p in sorted(self._manifest_dir.glob("*.json"))
+        ]
 
     def _next_seq(self) -> int:
         last = -1
         if self._seq_file.exists():
             last = int(self._seq_file.read_text() or -1)
+        # crash-safe floor: the manifest (and rollback log) are the durable
+        # record; _last_seq is only a fast path
+        for m in self._committed():
+            last = max(last, m["seq"])
+        for r in self._rollbacks():
+            last = max(last, r["batch_seq"])
         return last + 1
 
     def _commit_seq(self, seq: int) -> None:
         self._seq_file.write_text(str(seq))
 
+    def _uncommitted_seqs(self) -> list[int]:
+        """Partition dirs present on disk but absent from the commit log —
+        the residue of a crash between publish (step 2) and the manifest
+        rename (step 3).  Normally empty, so the reader-side visibility
+        predicate is O(#crashes), not O(#batches)."""
+        committed = {m["seq"] for m in self._committed()}
+        present: set[int] = set()
+        for name in LOG_TABLES:
+            t = Path(self.out_dir) / name
+            if t.exists():
+                present.update(
+                    int(p.name.split("=", 1)[1])
+                    for p in t.iterdir()
+                    if p.name.startswith("batch_seq=")
+                )
+        return sorted(present - committed)
+
+    def _read_log(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read one log table at committed visibility: `batch_seq` comes in
+        as a partition column and uncommitted partitions (crash residue) are
+        filtered out — the predicate prunes whole directories at the scan."""
+        df = spark.read.parquet(f"{self.out_dir}/{name}")
+        bad = self._uncommitted_seqs()
+        if bad:
+            df = df.where(~F.col("batch_seq").isin(bad))
+        return df
+
     # ---- the foreachBatch body (rollForwardAll, App.hs:512-577) ---------
 
-    def process_batch(self, blocks: DataFrame, _batch_id: int) -> None:
+    def process_batch(
+        self, blocks: DataFrame, batch_id: int, dedup_scope: str | None = None
+    ) -> None:
+        """One atomic ingest transaction.  With ``dedup_scope`` set (the
+        streaming path passes its checkpoint location), a replayed delivery
+        of the same (scope, batch_id) is a no-op — exactly-once at the log
+        level.  Without a scope (direct calls), every invocation writes."""
+        key = None if dedup_scope is None else f"{dedup_scope}:{batch_id}"
+        if key is not None and any(m.get("key") == key for m in self._committed()):
+            return
+
         seq = self._next_seq()
-        tag = F.lit(seq).alias("batch_seq")
+        out = Path(self.out_dir)
+        stage = out / "_staging" / str(seq)
+        if stage.exists():
+            shutil.rmtree(stage)
 
         outs = exploded_outputs(blocks)
-        produced = outs.where(any_to_column(self.patterns, at_ingest=True))
-        produced.withColumn("batch_seq", F.lit(seq)).drop("metadata_tags").write.mode(
-            "append"
-        ).parquet(f"{self.out_dir}/produced")
-
-        spent_refs(blocks).select("*", tag).write.mode("append").parquet(
-            f"{self.out_dir}/spends"
+        produced = outs.where(any_to_column(self.patterns, at_ingest=True)).drop(
+            "metadata_tags"
         )
-        blocks.select("slot_no", "header_hash").dropDuplicates(["slot_no"]).select(
-            "*", tag
-        ).write.mode("append").parquet(f"{self.out_dir}/checkpoints")
+        produced.write.mode("overwrite").parquet(str(stage / "produced"))
+        spent_refs(blocks).write.mode("overwrite").parquet(str(stage / "spends"))
+        blocks.select("slot_no", "header_hash").dropDuplicates(["slot_no"]).write.mode(
+            "overwrite"
+        ).parquet(str(stage / "checkpoints"))
 
         # W3 dictionaries (gate: only blocks with >= 1 match, App.hs:530-542)
         dict_src = outs
@@ -93,12 +163,24 @@ class StreamingIndexer:
         dict_src.where(F.col("datum_cbor").isNotNull()).select(
             F.col("datum_hash").alias("binary_data_hash"),
             F.col("datum_cbor").alias("binary_data"),
-            tag,
-        ).write.mode("append").parquet(f"{self.out_dir}/binary_data")
+        ).write.mode("overwrite").parquet(str(stage / "binary_data"))
         dict_src.where(F.col("script_cbor").isNotNull()).select(
-            "script_hash", F.col("script_cbor").alias("script"), tag
-        ).write.mode("append").parquet(f"{self.out_dir}/scripts")
+            "script_hash", F.col("script_cbor").alias("script")
+        ).write.mode("overwrite").parquet(str(stage / "scripts"))
 
+        # publish: rename staged tables into partition dirs, then commit via
+        # the manifest rename — the batch is invisible until that instant
+        for name in LOG_TABLES:
+            dst = out / name / f"batch_seq={seq}"
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            if dst.exists():  # leftover of a crashed, never-manifested attempt
+                shutil.rmtree(dst)
+            (stage / name).rename(dst)
+        shutil.rmtree(stage, ignore_errors=True)
+
+        tmp = self._manifest_dir / f".tmp-{seq}"
+        tmp.write_text(json.dumps({"seq": seq, "batch_id": batch_id, "key": key}))
+        tmp.rename(self._manifest_dir / f"{seq:012d}.json")
         self._commit_seq(seq)
 
     # ---- rollback (M1/M5): retraction-as-data ---------------------------
@@ -136,8 +218,8 @@ class StreamingIndexer:
         recorded before the compact can't touch them (already applied),
         newer rollbacks apply normally."""
         out = self.out_dir
-        produced = spark.read.parquet(f"{out}/produced")
-        spends = spark.read.parquet(f"{out}/spends")
+        produced = self._read_log(spark, "produced")
+        spends = self._read_log(spark, "spends")
         base_seq = self._base_seq()
         if base_seq is None:
             return produced, spends
@@ -161,7 +243,6 @@ class StreamingIndexer:
         )
 
     def resolved_index(self, spark: SparkSession) -> Index:
-        out = self.out_dir
         produced_log, spends_log = self._produced_and_spends(spark)
         produced = self._alive(produced_log, "created_at")
         # latest surviving version per output (post-rollback re-index wins)
@@ -183,17 +264,17 @@ class StreamingIndexer:
         ).drop("spent_ref")
 
         checkpoints = (
-            self._alive(spark.read.parquet(f"{out}/checkpoints"), "slot_no")
+            self._alive(self._read_log(spark, "checkpoints"), "slot_no")
             .dropDuplicates(["slot_no"])
             .drop("batch_seq")
         )
         binary_data = (
-            spark.read.parquet(f"{out}/binary_data")
+            self._read_log(spark, "binary_data")
             .dropDuplicates(["binary_data_hash"])
             .drop("batch_seq")
         )
         scripts = (
-            spark.read.parquet(f"{out}/scripts")
+            self._read_log(spark, "scripts")
             .dropDuplicates(["script_hash"])
             .drop("batch_seq")
         )
@@ -254,8 +335,15 @@ class StreamingIndexer:
         """Attach to a streaming blocks DataFrame.  availableNow mirrors
         kupo's --until/serve-only mode (App.hs:580-592); continuous triggers
         mirror the live chain-sync loop."""
+        # The stream checkpoint dir scopes batch-id dedup: a failure replay
+        # inside THIS query re-delivers the same (scope, batch_id) and is
+        # skipped, while an intentional re-run with a fresh checkpoint dir
+        # (kupo's reconnect-and-replay after rollback) reprocesses.
+        def body(df: DataFrame, batch_id: int) -> None:
+            self.process_batch(df, batch_id, dedup_scope=checkpoint_dir)
+
         writer = (
-            blocks_stream.writeStream.foreachBatch(self.process_batch)
+            blocks_stream.writeStream.foreachBatch(body)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("update")
         )
@@ -278,9 +366,7 @@ def start_or_resume(
     - fresh index + no ``since`` → error (the reference demands an explicit
       starting point).
     """
-    import glob
-
-    has_data = bool(glob.glob(f"{indexer.out_dir}/checkpoints/*.parquet"))
+    has_data = bool(indexer._committed())
     if not has_data:
         if since is None:
             raise ValueError("no previous checkpoints: --since required on first start")
@@ -288,7 +374,7 @@ def start_or_resume(
     from pyspark.sql import functions as FF
 
     tip = (
-        spark.read.parquet(f"{indexer.out_dir}/checkpoints")
+        indexer._read_log(spark, "checkpoints")
         .agg(FF.max("slot_no"))
         .collect()[0][0]
     )

@@ -51,11 +51,35 @@ def test_streaming_matches_batch(spark, blocks, events_dir, tmp_path):
     assert streamed.policies.count() == batch.policies.count()
 
 
-def test_duplicate_batch_replay_is_idempotent_at_resolve(spark, blocks, tmp_path):
-    """foreachBatch may re-deliver a batch after a failure; latest-wins
-    dedup at resolve time absorbs the duplicate appends (the table-format
-    transaction log makes this exactly-once in production)."""
+def _index_fingerprint(ix, spark):
+    cols = ["output_reference", "address", "coins", "created_at", "spent_at", "spent_by"]
+    resolved = ix.resolved_index(spark)
+    return frozenset(tuple(r) for r in resolved.inputs.select(cols).collect())
+
+
+def test_scoped_batch_replay_is_exactly_once_at_log_level(spark, blocks, tmp_path):
+    """A failure replay inside one streaming query re-delivers the same
+    (checkpoint scope, batch_id); the manifest dedup key makes the second
+    delivery a no-op — the LOG itself is exactly-once, the kupo SQLite
+    transaction guarantee (SQLite.hs:1112-1128)."""
     ix = StreamingIndexer(str(tmp_path / "dup"))
+    first = blocks.where(F.col("slot_no") < 20)
+    ix.process_batch(first, 0, dedup_scope="ckpt-a")
+    committed = len(ix._committed())
+    fp_once = _index_fingerprint(ix, spark)
+    ix.process_batch(first, 0, dedup_scope="ckpt-a")  # failure replay
+    assert len(ix._committed()) == committed  # nothing written
+    assert _index_fingerprint(ix, spark) == fp_once
+    # a DIFFERENT scope (fresh checkpoint dir = intentional reprocess) writes
+    ix.process_batch(first, 0, dedup_scope="ckpt-b")
+    assert len(ix._committed()) == committed + 1
+    assert _index_fingerprint(ix, spark) == fp_once  # resolve dedups versions
+
+
+def test_unscoped_batch_replay_is_idempotent_at_resolve(spark, blocks, tmp_path):
+    """Direct process_batch calls (no scope) append a new version; latest-wins
+    dedup at resolve time absorbs the duplicate."""
+    ix = StreamingIndexer(str(tmp_path / "dup2"))
     first = blocks.where(F.col("slot_no") < 20)
     ix.process_batch(first, 0)
     once = ix.resolved_index(spark).inputs.count()
@@ -63,6 +87,30 @@ def test_duplicate_batch_replay_is_idempotent_at_resolve(spark, blocks, tmp_path
     again = ix.resolved_index(spark)
     assert again.inputs.count() == once
     assert again.checkpoints.count() == 20
+
+
+def test_crashed_publish_is_invisible_until_manifested(spark, blocks, tmp_path):
+    """Simulate a crash between publish (partition dirs renamed in) and the
+    manifest commit: the orphan partitions must be invisible to readers, and
+    the next ingest must reuse the seq and overwrite the residue."""
+    import shutil
+
+    ix = StreamingIndexer(str(tmp_path / "crash"))
+    ix.process_batch(blocks.where(F.col("slot_no") < 20), 0)
+    fp_committed = _index_fingerprint(ix, spark)
+
+    # forge crash residue: copy each table's seq-0 dir to seq-1, no manifest
+    for name in ("produced", "spends", "checkpoints", "binary_data", "scripts"):
+        src = tmp_path / "crash" / name / "batch_seq=0"
+        shutil.copytree(src, tmp_path / "crash" / name / "batch_seq=1")
+    assert ix._uncommitted_seqs() == [1]
+    assert _index_fingerprint(ix, spark) == fp_committed  # residue filtered
+    assert ix.resolved_index(spark).checkpoints.count() == 20
+
+    # recovery: the next batch takes seq 1, clobbers the residue, commits
+    ix.process_batch(blocks.where((F.col("slot_no") >= 20) & (F.col("slot_no") < 30)), 1)
+    assert ix._uncommitted_seqs() == []
+    assert ix.resolved_index(spark).checkpoints.count() == 30
 
 
 def test_multi_output_transactions_indexed(index):
