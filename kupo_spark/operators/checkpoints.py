@@ -39,8 +39,9 @@ def max_checkpoint(index: Index) -> DataFrame:
 
 
 def list_checkpoints(index: Index, k: int = LONGEST_ROLLBACK) -> DataFrame:
-    """O3: for each sampled distance d, the latest checkpoint at
-    slot_no <= tip - d; distinct, newest first."""
+    """O3: for each sampled distance d, the OLDEST checkpoint within that
+    distance of the tip — ``slot_no >= tip - d ORDER BY slot_no ASC LIMIT 1``
+    (SQLite.hs:1006-1010) — distinct on slot."""
     cps = index.checkpoints
     dists = sample_distances(k)
     spark = cps.sparkSession
@@ -49,9 +50,9 @@ def list_checkpoints(index: Index, k: int = LONGEST_ROLLBACK) -> DataFrame:
     slots = (
         F.broadcast(dist_df)
         .crossJoin(F.broadcast(tip))
-        .join(cps, cps.slot_no <= F.col("tip") - F.col("d"), "inner")
+        .join(cps, cps.slot_no >= F.col("tip") - F.col("d"), "inner")
         .groupBy("d")
-        .agg(F.max("slot_no").alias("slot_no"))
+        .agg(F.min("slot_no").alias("slot_no"))
         .select("slot_no")
         .dropDuplicates(["slot_no"])
     )

@@ -270,7 +270,9 @@ def list_checkpoints_sql(k: int) -> str:
 , tip AS (SELECT max(slot_no) AS tip FROM checkpoints),
 sampled AS (
   SELECT DISTINCT (
-    SELECT max(slot_no) FROM checkpoints, tip WHERE slot_no <= tip.tip - t.d
+    -- oldest checkpoint within distance d of the tip (SQLite.hs:1006-1010:
+    -- slot_no >= tip - ? ORDER BY slot_no ASC LIMIT 1)
+    SELECT min(slot_no) FROM checkpoints, tip WHERE slot_no >= tip.tip - t.d
   ) AS slot_no
   FROM (SELECT UNNEST([{dlist}]) AS d) t
 )
