@@ -30,13 +30,19 @@ ROWS_PER_BAND = 3
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
-    """Exact dedup: canonical doc per content hash + group size."""
-    h = docs.select("doc_id", F.expr("md5(text)").alias("content_hash"))
-    groups = h.groupBy("content_hash").agg(
-        F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("group_size")
-    )
-    return h.join(groups, "content_hash").select(
-        "doc_id", "content_hash", "canonical_doc_id", "group_size"
+    """Exact dedup: canonical doc per content hash + group size.
+
+    One shuffle total: the window partitions by the digest, so group stats
+    ride the same Exchange the rows already need — no agg + re-join (which
+    would shuffle the digest table twice)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash")
+    return docs.select("doc_id", F.expr("md5(text)").alias("content_hash")).select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+        F.count("*").over(w).alias("group_size"),
     )
 
 
@@ -59,9 +65,36 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFrame:
-    """Exact near-dup pairs by k-shingle Jaccard ≥ threshold."""
-    sh = shingles(docs, k).persist()
+def drop_frequent_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Remove shingles whose document frequency exceeds ``max_df``.
+
+    A shingle shared by a large fraction of the corpus ("of the and") carries
+    no dedup signal but makes the posting-list self-join quadratic in its df —
+    THE scale hazard of exact Jaccard.  Hot shingles are few by definition
+    (heavy hitters), so the filter is a broadcast anti-join; the df aggregate
+    is a map-side-combinable count."""
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """Exact near-dup pairs by k-shingle Jaccard ≥ threshold.
+
+    With ``max_df`` set, shingles with document frequency above it are
+    dropped BEFORE the self-join (and the per-doc set sizes are computed on
+    the capped shingle space, keeping the Jaccard internally consistent) —
+    bounding the posting-list blow-up by max_df² per shingle."""
+    sh = shingles(docs, k)
+    if max_df is not None:
+        sh = drop_frequent_shingles(sh, max_df)
+    sh = sh.persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -95,18 +95,33 @@ FROM documents
 """
 
 
-def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+def ngram_jaccard_sql(threshold: float = 0.5, max_df: int | None = None) -> str:
+    if max_df is None:
+        capped = "shingles"
+        counts = "counts"
+        cap_cte = ""
+    else:
+        # frequent-shingle cap: df > max_df carries no dedup signal; set
+        # sizes recomputed on the capped space (dedup.drop_frequent_shingles)
+        capped = "capped"
+        counts = "counts_capped"
+        cap_cte = f""",
+capped AS (
+  SELECT s.* FROM shingles s
+  WHERE s.sh NOT IN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) > {max_df})
+),
+counts_capped AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1)"""
     return f"""
-WITH {SHINGLES_CTE},
+WITH {SHINGLES_CTE}{cap_cte},
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM {capped} a JOIN {capped} b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, round(i / (ca.n + cb.n - i), 6) AS jaccard
 FROM inter
-JOIN counts ca ON ca.doc_id = inter.doc_a
-JOIN counts cb ON cb.doc_id = inter.doc_b
+JOIN {counts} ca ON ca.doc_id = inter.doc_a
+JOIN {counts} cb ON cb.doc_id = inter.doc_b
 WHERE round(i / (ca.n + cb.n - i), 6) >= {threshold}
 """
 

@@ -158,8 +158,10 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         oracle_pipeline.fingerprint_sql(),
     ),
     "q_dedup_ngram_jaccard": (
-        lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.5),
-        oracle_pipeline.ngram_jaccard_sql(0.5),
+        # max_df guards the posting-list self-join against stopword-shingle
+        # blow-up; the oracle applies the identical cap
+        lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d), threshold=0.5, max_df=100),
+        oracle_pipeline.ngram_jaccard_sql(0.5, max_df=100),
     ),
     "q_dedup_minhash_lsh": (
         lambda s, d: dedup.minhash_near_dup_pairs(_docs(s, d), threshold=0.5),

@@ -93,3 +93,37 @@ def test_topk_no_python_in_plan(spark):
     plan = formatted_plan(brute_force_topk(emb))
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_duplicates_single_shuffle(spark):
+    """One window over the digest = one Exchange; the agg + re-join version
+    would shuffle the digest table twice."""
+    from kupo_spark.functions.dedup import exact_duplicates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import re
+
+    plan = formatted_plan(exact_duplicates(docs))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_frequent_shingle_cap_bounds_hot_key(spark):
+    """A stopword-heavy corpus (one shingle shared by every doc) must not
+    produce a quadratic posting list once the df cap is on."""
+    from kupo_spark.functions.dedup import drop_frequent_shingles, ngram_jaccard_pairs, shingles
+
+    n = 40
+    rows = [(i, f"of the and unique{i} token{i} filler{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    sh = shingles(docs)
+    capped = drop_frequent_shingles(sh, max_df=10)
+    # the hot shingle ('of the and', df = 40) is gone; doc-unique ones stay
+    assert capped.where("sh = 'of the and'").count() == 0
+    assert capped.count() == sh.count() - n
+
+    # uncapped: every pair shares the hot shingle -> n*(n-1)/2 intersection
+    # rows; capped: no shared shingles at all -> zero candidate pairs
+    assert ngram_jaccard_pairs(docs, threshold=0.01).count() == n * (n - 1) // 2
+    assert ngram_jaccard_pairs(docs, threshold=0.01, max_df=10).count() == 0
