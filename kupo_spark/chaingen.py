@@ -136,7 +136,15 @@ IF(event_id % 4 = 0,
    array(cast(event_id % 10 as bigint)))
 """
 
-_META_CBOR = "CASE WHEN event_id % 4 = 0 THEN concat('meta:', md5(concat('m', cast(event_id as string)))) END"
+# real canonical CBOR (hex), generated by the SQL expression shared with the
+# DuckDB oracle — kupo_spark.metadata.metadata_cbor_sql documents the layout
+def _meta_cbor_expr() -> str:
+    from kupo_spark.metadata import metadata_cbor_sql
+
+    return f"CASE WHEN event_id % 4 = 0 THEN {metadata_cbor_sql('event_id')} END"
+
+
+_META_CBOR = _meta_cbor_expr()
 
 
 def blocks_from_events(events: DataFrame) -> DataFrame:

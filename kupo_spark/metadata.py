@@ -1,0 +1,174 @@
+"""Recursive transaction metadata (C8) — model, codec, JSON rendering.
+
+Reference: ``Kupo/Data/Cardano/Metadata.hs``:
+
+* the model is ``Metadatum = I Integer | S Text | B Bytes | List [..] |
+  Map [(k, v)]`` under a top-level ``Map Word64 Metadatum`` of labels
+  (``Metadata.hs:42-56``);
+* ``metadataToJson`` renders the recursive schema ``{"int": n} |
+  {"string": s} | {"bytes": base16} | {"list": [..]} | {"map": [{"k":..,
+  "v":..}]}`` (``Metadata.hs:73-96``), and ``metadataFromJson`` parses it
+  back (``Metadata.hs:102-152``);
+* ``GET /metadata/{slot}`` rows render as ``{"hash": blake2b-256,
+  "raw": base16 CBOR, "schema": {label: metadatum}}``
+  (``metadataToJson'``, ``Metadata.hs:154-160``).
+
+The wire form is standard Cardano metadata CBOR — ``{* label => metadatum}``
+with metadatum encoded directly as the corresponding CBOR item
+(shelley.cddl ``transaction_metadata``) — handled by :mod:`kupo_spark.cbor`.
+
+**Synthetic-chain integration.**  The chain derivation generates REAL
+metadata CBOR per transaction as a hex column, via a SQL expression shared
+verbatim between Spark and the DuckDB oracle (one spec, two engines — the
+whole CBOR uint/head encoder is expressible in portable SQL because the
+payload structure is fixed).  The Python model here decodes those bytes,
+so codec fidelity is cross-checked three ways: Spark SQL == DuckDB SQL ==
+this decoder.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from kupo_spark import cbor
+
+# ---------------------------------------------------------------------------
+# shared SQL: CBOR encoder for the synthetic metadata payload
+# ---------------------------------------------------------------------------
+
+
+def cbor_uint_sql(expr: str) -> str:
+    """Portable SQL emitting the minimal-width CBOR head for a uint
+    (RFC 8949 §3: immediate / 1-, 2-, 4-, 8-byte argument)."""
+    h = f"lower(hex({expr}))"
+    return (
+        f"CASE WHEN {expr} < 24 THEN lpad({h}, 2, '0') "
+        f"WHEN {expr} < 256 THEN '18' || lpad({h}, 2, '0') "
+        f"WHEN {expr} < 65536 THEN '19' || lpad({h}, 4, '0') "
+        f"WHEN {expr} < 4294967296 THEN '1a' || lpad({h}, 8, '0') "
+        f"ELSE '1b' || lpad({h}, 16, '0') END"
+    )
+
+
+def metadata_cbor_sql(e: str = "e") -> str:
+    """Hex CBOR of the synthetic transaction metadata for event ``e``
+    (present when e % 4 = 0, mirroring chaingen's metadata gate):
+
+    ``{ e % 10: [ I(e), B(md5₂), {S "k": I(e % 7)} ], 674: B(md5₄) }``
+
+    Labels ascend (e % 10 < 674), maps/arrays definite-length, heads
+    minimal-width — i.e. canonical CBOR, byte-identical to
+    ``cbor.encode(mk_*)`` of the same structure (pinned by tests).
+    """
+    md5 = f"md5('m' || CAST({e} AS STRING))"  # STRING parses in Spark AND DuckDB
+    label = f"lpad(lower(hex({e} % 10)), 2, '0')"  # labels 0-9: immediate head
+    inner = (
+        "'83'"  # array(3)
+        f" || {cbor_uint_sql(e)}"  # I(e)
+        f" || '42' || substr({md5}, 1, 4)"  # B(2 bytes)
+        f" || 'a1' || '616b' || lpad(lower(hex({e} % 7)), 2, '0')"  # {"k": e%7}
+    )
+    tag674 = f"'1902a2' || '44' || substr({md5}, 1, 8)"  # 674 => B(4 bytes)
+    return f"'a2' || {label} || {inner} || {tag674}"
+
+
+# ---------------------------------------------------------------------------
+# model: CBOR node → Metadatum JSON schema (Metadata.hs:73-96)
+# ---------------------------------------------------------------------------
+
+
+class MetadataError(ValueError):
+    pass
+
+
+def metadatum_to_json(node) -> dict:
+    kind, _ai, payload = node
+    if kind == "uint":
+        return {"int": cbor.to_plain(node)}
+    if kind == "nint":
+        return {"int": cbor.to_plain(node)}
+    if kind == "text":
+        return {"string": cbor.to_plain(node)}
+    if kind == "bytes":
+        return {"bytes": cbor.to_plain(node).hex()}
+    if kind == "array":
+        return {"list": [metadatum_to_json(i) for i in payload]}
+    if kind == "map":
+        return {
+            "map": [
+                {"k": metadatum_to_json(k), "v": metadatum_to_json(v)}
+                for k, v in payload
+            ]
+        }
+    raise MetadataError(f"not a metadatum: {kind}")
+
+
+def metadatum_from_json(obj: dict):
+    """Inverse parser (Metadata.hs:102-152) → canonical CBOR node."""
+    if not isinstance(obj, dict) or len(obj) != 1:
+        raise MetadataError(f"not a metadatum object: {obj!r}")
+    (key, val), = obj.items()
+    if key == "int":
+        return cbor.mk_uint(val) if val >= 0 else cbor.mk_nint(val)
+    if key == "string":
+        return cbor.mk_text(val)
+    if key == "bytes":
+        return cbor.mk_bytes(bytes.fromhex(val))
+    if key == "list":
+        return cbor.mk_array([metadatum_from_json(i) for i in val])
+    if key == "map":
+        return cbor.mk_map(
+            [
+                (metadatum_from_json(p["k"]), metadatum_from_json(p["v"]))
+                for p in val
+            ]
+        )
+    raise MetadataError(f"unknown metadatum key: {key}")
+
+
+def schema_to_json(raw: bytes) -> dict[str, dict]:
+    """Decode metadata CBOR → ``{label(decimal text): metadatum json}``,
+    labels ascending (``encodeMap show``, Data.Map order)."""
+    node = cbor.decode(raw)
+    if node[0] != "map":
+        raise MetadataError("metadata must be a label map")
+    out: list[tuple[int, dict]] = []
+    for k, v in node[2]:
+        if k[0] != "uint":
+            raise MetadataError("metadata label must be a uint")
+        out.append((k[2], metadatum_to_json(v)))
+    return {str(lbl): js for lbl, js in sorted(out)}
+
+
+def schema_from_json(schema: dict[str, dict]) -> bytes:
+    """Parse the JSON schema back to canonical metadata CBOR."""
+    pairs = [
+        (cbor.mk_uint(int(lbl)), metadatum_from_json(v))
+        for lbl, v in sorted(schema.items(), key=lambda kv: int(kv[0]))
+    ]
+    return cbor.encode(cbor.mk_map(pairs))
+
+
+def metadata_hash(raw: bytes) -> str:
+    """blake2b-256 of the raw auxiliary-data bytes (hashTxAuxData)."""
+    return hashlib.blake2b(raw, digest_size=32).hexdigest()
+
+
+def labels(raw: bytes) -> list[int]:
+    node = cbor.decode(raw)
+    return sorted(k[2] for k, _ in node[2])
+
+
+def render_metadata(raw: bytes) -> dict:
+    """``metadataToJson'`` (Metadata.hs:154-160): hash ‖ raw ‖ schema."""
+    return {
+        "hash": metadata_hash(raw),
+        "raw": raw.hex(),
+        "schema": schema_to_json(raw),
+    }
+
+
+def render_metadata_text(hex_cbor: str) -> str:
+    """JSON text of :func:`render_metadata`, stable field order."""
+    return json.dumps(render_metadata(bytes.fromhex(hex_cbor)), separators=(",", ":"))

@@ -119,3 +119,30 @@ def metadata_by_slot(blocks: DataFrame, slot_no: int, transaction_id: str | None
     if transaction_id is not None:
         df = df.where(F.col("transaction_id") == F.lit(transaction_id))
     return df.select("transaction_id", "metadata_cbor")
+
+
+def metadata_by_slot_rendered(
+    blocks: DataFrame, slot_no: int, transaction_id: str | None = None
+) -> DataFrame:
+    """GET /metadata/{slot} response shape: each row rendered as the
+    reference's ``{"hash", "raw", "schema"}`` JSON (``metadataToJson'``,
+    Metadata.hs:154-160) — recursive schema rendering is Python-side
+    (Arrow-batched pandas UDF), the lookup itself stays JVM-side."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # explicit returnType, no type hints: `from __future__ import
+    # annotations` stringifies hints, which breaks pandas_udf's lazy hint
+    # resolution for locally-defined functions
+    def _render_batch(hex_cbor):
+        from kupo_spark.metadata import render_metadata_text
+
+        return pandas.Series([render_metadata_text(h) for h in hex_cbor])
+
+    _render = pandas_udf(_render_batch, returnType=StringType())
+
+    rows = metadata_by_slot(blocks, slot_no, transaction_id)
+    return rows.select(
+        "transaction_id", _render(F.col("metadata_cbor")).alias("metadata_json")
+    )

@@ -338,7 +338,9 @@ WHERE EXISTS (
 
 
 def metadata_by_slot_sql(slot_no: int) -> str:
+    from kupo_spark.metadata import metadata_cbor_sql
+
     return PRELUDE + f"""
-SELECT transaction_id, 'meta:' || md5('m' || CAST(e AS VARCHAR)) AS metadata_cbor
+SELECT transaction_id, {metadata_cbor_sql('e')} AS metadata_cbor
 FROM outs WHERE created_at = {slot_no} AND e % 4 = 0 AND output_index = 0
 """

@@ -347,12 +347,15 @@ def oracle_sql() -> dict[str, str]:
     out["q_rollback_inputs"] = oracle.rolled_back_inputs_sql(ROLLBACK_SLOT)
     out["q_prune_inputs"] = oracle.pruned_inputs_sql(PRUNE_K)
     out["q_prune_binary_data"] = oracle.pruned_binary_data_sql(ROLLBACK_SLOT)
+    from kupo_spark.metadata import metadata_cbor_sql
+
+    _mc = metadata_cbor_sql("e")
     out["q_metadata_by_slot"] = oracle.PRELUDE + (
-        "SELECT transaction_id, 'meta:' || md5('m' || CAST(e AS VARCHAR)) AS metadata_cbor, "
+        f"SELECT transaction_id, {_mc} AS metadata_cbor, "
         f"'slot' AS q FROM outs "
         f"WHERE created_at = {META_SLOT} AND e % 4 = 0 AND output_index = 0 "
         "UNION ALL "
-        "SELECT transaction_id, 'meta:' || md5('m' || CAST(e AS VARCHAR)), 'tx' "
+        f"SELECT transaction_id, {_mc}, 'tx' "
         f"FROM outs WHERE created_at = {META_SLOT} AND e % 4 = 0 AND output_index = 0 "
         f"AND transaction_id = '{cs.transaction_id_of(500)}'"
     )
