@@ -1,0 +1,447 @@
+"""Ogmios chain-sync source (S2) — protocol-faithful nextBlock decoding.
+
+Reference: ``Kupo/Data/Ogmios.hs`` (the 566-line JSON decoder kupo validates
+against ``test/vectors/ogmios``).  This module decodes the same Ogmios v6
+JSON-RPC ``nextBlock`` response documents into the engine's PartialBlock
+shape, Spark-first:
+
+* the **bulk structure** (envelope, transactions, inputs, outputs, values,
+  redeemers) is typed out in one ``from_json`` schema and transformed with
+  built-in functions — whole-stage-codegen, no Python;
+* the **union-typed / recursive subtrees** the protocol has (``tip`` being
+  ``"origin" | {slot, id, height}``, native-script clause trees, the
+  ``{"cbor": ..} | {"json": ..}`` metadatum forms) are carried as Spark
+  ``VARIANT`` columns — still JVM-side — and only the byte-level codec work
+  (blake2b hashing, native-script → CBOR, metadatum assembly) crosses into
+  Python via Arrow-batched pandas UDFs on already-pruned columns;
+* decode semantics mirror the reference decoder exactly:
+  - effective inputs come from the ``spends`` input source — ``inputs`` or
+    ``collaterals`` (``Ogmios.hs:215-218``);
+  - with ``spends == "collaterals"`` the regular outputs are DROPPED and
+    only ``collateralReturn`` survives, at output index ``len(outputs)``
+    (``Ogmios.hs:234-238`` / ``withReferences`` offset);
+  - ``datumHash`` ⇒ reference datum, bare ``datum`` ⇒ inline
+    (``Ogmios.hs:284-291``);
+  - only ``purpose == "spend"`` redeemers are kept, keyed by input index
+    (``Ogmios.hs:379-392``);
+  - value is ``{"ada": {"lovelace": n}}`` plus policy→asset→quantity maps
+    (``Ogmios.hs:495-524``);
+  - scripts are ``native`` clause trees or ``plutus:v{1,2,3}`` CBOR with
+    the language tag prefixed (``Ogmios.hs:316-337``).
+
+Witness datums (``tx.datums``) are folded onto the outputs that reference
+them by hash, matching how the engine models W3 dictionaries on outputs;
+witness scripts are exposed separately via :func:`witness_scripts`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pandas
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kupo_spark import cbor
+
+# ---------------------------------------------------------------------------
+# the nextBlock response schema (Ogmios.hs:176-246)
+# ---------------------------------------------------------------------------
+
+_OUTPUT = (
+    "struct<"
+    "address: string, "
+    "value: map<string, map<string, bigint>>, "
+    "datumHash: string, "
+    "datum: string, "
+    "script: variant"
+    ">"
+)
+
+_TX = (
+    "struct<"
+    "id: string, "
+    "spends: string, "
+    "inputs: array<struct<transaction: struct<id: string>, index: int>>, "
+    "collaterals: array<struct<transaction: struct<id: string>, index: int>>, "
+    f"outputs: array<{_OUTPUT}>, "
+    f"collateralReturn: {_OUTPUT}, "
+    "datums: map<string, string>, "
+    "redeemers: array<struct<validator: struct<purpose: string, index: int>, "
+    "redeemer: string>>, "
+    "scripts: map<string, variant>, "
+    "metadata: struct<hash: string, labels: map<string, variant>>"
+    ">"
+)
+
+NEXT_BLOCK_DDL = (
+    "jsonrpc string, method string, "
+    "result struct<"
+    "direction: string, "
+    "tip: variant, "
+    "point: variant, "
+    "block: struct<"
+    "type: string, era: string, id: string, slot: bigint, height: bigint, "
+    f"transactions: array<{_TX}>"
+    ">>"
+)
+
+
+def decode_next_block(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse raw nextBlock JSON documents; one row per response."""
+    return df.select(F.from_json(value_col, NEXT_BLOCK_DDL).alias("r")).select(
+        "r.result.*"
+    )
+
+
+# ---------------------------------------------------------------------------
+# edge kernels: blake2b + CBOR byte work (Arrow-batched, pruned inputs)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_STRUCT = StructType(
+    [StructField("script_hash", StringType()), StructField("script_cbor", StringType())]
+)
+
+_NATIVE_TAGS = {"all": 1, "any": 2}
+
+
+def _native_to_node(clause: dict):
+    """Native-script clause tree → timelock CBOR node (shelley.cddl
+    ``native_script``; clause names per Ogmios.hs:340-365)."""
+    c = clause["clause"]
+    if c == "signature":
+        return cbor.mk_array([cbor.mk_uint(0), cbor.mk_bytes(bytes.fromhex(clause["from"]))])
+    if c in _NATIVE_TAGS:
+        subs = [_native_to_node(s) for s in clause["from"]]
+        return cbor.mk_array([cbor.mk_uint(_NATIVE_TAGS[c]), cbor.mk_array(subs)])
+    if c == "some":
+        subs = [_native_to_node(s) for s in clause["from"]]
+        return cbor.mk_array(
+            [cbor.mk_uint(3), cbor.mk_uint(clause["atLeast"]), cbor.mk_array(subs)]
+        )
+    if c == "after":  # RequireTimeStart (invalid_before)
+        return cbor.mk_array([cbor.mk_uint(4), cbor.mk_uint(clause["slot"])])
+    if c == "before":  # RequireTimeExpire (invalid_hereafter)
+        return cbor.mk_array([cbor.mk_uint(5), cbor.mk_uint(clause["slot"])])
+    raise ValueError(f"unrecognized native script clause: {c}")
+
+
+_PLUTUS_TAG = {"plutus:v1": "01", "plutus:v2": "02", "plutus:v3": "03"}
+
+
+def _pack_script(script: dict) -> tuple[str, str]:
+    """Script JSON → (blake2b-224 hash hex, language-tagged CBOR hex) —
+    decodeScript (Ogmios.hs:316-337) + the ledger's tag ‖ bytes hashing."""
+    lang = script["language"]
+    if lang == "native":
+        body = b"\x00" + cbor.encode(_native_to_node(script["json"]))
+    else:
+        body = bytes.fromhex(_PLUTUS_TAG[lang] + script["cbor"])
+    return hashlib.blake2b(body, digest_size=28).hexdigest(), body.hex()
+
+
+def _pack_script_batch(script_json: pandas.Series) -> pandas.DataFrame:
+    hashes, cbors = [], []
+    for txt in script_json:
+        if txt is None:
+            hashes.append(None)
+            cbors.append(None)
+        else:
+            h, c = _pack_script(json.loads(txt))
+            hashes.append(h)
+            cbors.append(c)
+    return pandas.DataFrame({"script_hash": hashes, "script_cbor": cbors})
+
+
+pack_script = pandas_udf(_pack_script_batch, returnType=_SCRIPT_STRUCT)
+
+
+def _blake2b256_batch(hex_payload: pandas.Series) -> pandas.Series:
+    return pandas.Series(
+        [
+            None
+            if h is None
+            else hashlib.blake2b(bytes.fromhex(h), digest_size=32).hexdigest()
+            for h in hex_payload
+        ]
+    )
+
+
+blake2b_256_hex = pandas_udf(_blake2b256_batch, returnType=StringType())
+
+
+def _metadatum_from_json_value(v):
+    """valueToMetadatum (Ogmios.hs:545-560): object → Map with string keys,
+    array → List, number → I, string → S."""
+    if isinstance(v, dict):
+        return cbor.mk_map(
+            [(cbor.mk_text(k), _metadatum_from_json_value(x)) for k, x in v.items()]
+        )
+    if isinstance(v, list):
+        return cbor.mk_array([_metadatum_from_json_value(x) for x in v])
+    if isinstance(v, bool):
+        raise ValueError("impossible: bool in metadatum")
+    if isinstance(v, int):
+        return cbor.mk_uint(v) if v >= 0 else cbor.mk_nint(v)
+    if isinstance(v, str):
+        return cbor.mk_text(v)
+    raise ValueError(f"impossible: {type(v)} in metadatum")
+
+
+def _pack_metadata_batch(labels_json: pandas.Series) -> pandas.Series:
+    """labels ``{label: {"cbor": hex} | {"json": value}}`` → metadata CBOR
+    hex ``{label => metadatum}`` (decodeMetadata, Ogmios.hs:526-560)."""
+
+    def pack(txt):
+        if txt is None:
+            return None
+        labels = json.loads(txt)
+        pairs = []
+        for lbl, form in sorted(labels.items(), key=lambda kv: int(kv[0])):
+            if "cbor" in form and form["cbor"] is not None:
+                node = cbor.decode(bytes.fromhex(form["cbor"]))
+            else:
+                node = _metadatum_from_json_value(form["json"])
+            pairs.append((cbor.mk_uint(int(lbl)), node))
+        return cbor.encode(cbor.mk_map(pairs)).hex()
+
+    return pandas.Series([pack(t) for t in labels_json])
+
+
+pack_metadata = pandas_udf(_pack_metadata_batch, returnType=StringType())
+
+
+# ---------------------------------------------------------------------------
+# nextBlock responses → PartialBlock rows (the engine's blocks shape)
+# ---------------------------------------------------------------------------
+
+
+def partial_blocks(decoded: DataFrame) -> DataFrame:
+    """RollForward responses → one row per transaction in the engine's
+    blocks schema (``sources.json_blocks.BLOCK_SCHEMA`` semantics)."""
+    fwd = decoded.where(F.col("direction") == "forward").select("block")
+    tx = fwd.select(
+        F.col("block.slot").alias("slot_no"),
+        F.col("block.id").alias("header_hash"),
+        F.posexplode_outer("block.transactions").alias("transaction_index", "tx"),
+    ).where(F.col("tx").isNotNull())
+
+    collateral_mode = F.col("tx.spends") == F.lit("collaterals")
+
+    eff_inputs = F.when(collateral_mode, F.col("tx.collaterals")).otherwise(
+        F.col("tx.inputs")
+    )
+    inputs = F.transform(
+        F.coalesce(eff_inputs, F.array()),
+        lambda i: F.concat(i["transaction"]["id"], F.lit("#"), i["index"].cast("string")),
+    )
+
+    # collateral mode: regular outputs dropped, collateralReturn survives at
+    # index len(outputs) (withReferences offset, Ogmios.hs:234-238)
+    raw_outs = F.when(
+        collateral_mode,
+        F.when(
+            F.col("tx.collateralReturn").isNotNull(),
+            F.array(
+                F.struct(
+                    F.size(F.coalesce(F.col("tx.outputs"), F.array()))
+                    .cast("int")
+                    .alias("output_index"),
+                    F.col("tx.collateralReturn").alias("o"),
+                )
+            ),
+        ).otherwise(F.array()),
+    ).otherwise(
+        F.transform(
+            F.coalesce(F.col("tx.outputs"), F.array()),
+            lambda o, j: F.struct(j.cast("int").alias("output_index"), o.alias("o")),
+        )
+    )
+
+    tx = tx.select(
+        "slot_no",
+        "header_hash",
+        "transaction_index",
+        F.col("tx.id").alias("transaction_id"),
+        inputs.alias("inputs"),
+        raw_outs.alias("raw_outs"),
+        F.map_from_entries(
+            F.transform(
+                F.filter(
+                    F.coalesce(F.col("tx.redeemers"), F.array()),
+                    lambda r: r["validator"]["purpose"] == F.lit("spend"),
+                ),
+                lambda r: F.struct(
+                    r["validator"]["index"].alias("key"), r["redeemer"].alias("value")
+                ),
+            )
+        ).alias("spend_redeemers"),
+        F.col("tx.datums").alias("witness_datums"),
+        F.when(
+            F.col("tx.metadata").isNotNull(),
+            F.sort_array(
+                F.transform(
+                    F.map_keys(F.col("tx.metadata.labels")), lambda k: k.cast("long")
+                )
+            ),
+        ).alias("metadata_tags"),
+        F.when(
+            F.col("tx.metadata").isNotNull(),
+            pack_metadata(F.to_json(F.col("tx.metadata.labels"))),
+        ).alias("metadata_cbor"),
+    )
+
+    # explode outputs to attach datum/script codec columns, then regroup
+    out = tx.select(
+        "slot_no",
+        "header_hash",
+        "transaction_index",
+        "transaction_id",
+        "inputs",
+        "spend_redeemers",
+        "metadata_tags",
+        "metadata_cbor",
+        F.explode_outer("raw_outs").alias("po"),
+        "witness_datums",
+    )
+    o = F.col("po.o")
+    datum_kind = (
+        F.when(o.isNull(), F.lit(None).cast("string"))
+        .when(o["datumHash"].isNotNull(), F.lit("reference"))
+        .when(o["datum"].isNotNull(), F.lit("inline"))
+        .otherwise(F.lit("none"))
+    )
+    # inline datums hash to blake2b-256 of the raw bytes; reference datums
+    # pick up witnessed bytes from tx.datums when provided
+    datum_hash = F.when(o["datumHash"].isNotNull(), o["datumHash"]).otherwise(
+        F.when(o["datum"].isNotNull(), blake2b_256_hex(o["datum"]))
+    )
+    datum_cbor = F.when(o["datum"].isNotNull(), o["datum"]).otherwise(
+        F.when(
+            o["datumHash"].isNotNull(),
+            F.element_at(F.col("witness_datums"), o["datumHash"]),
+        )
+    )
+    packed_script = F.when(
+        o["script"].isNotNull(), pack_script(F.to_json(o["script"]))
+    )
+
+    out = out.select(
+        "slot_no",
+        "header_hash",
+        "transaction_index",
+        "transaction_id",
+        "inputs",
+        "spend_redeemers",
+        "metadata_tags",
+        "metadata_cbor",
+        F.when(
+            o.isNotNull(),
+            F.struct(
+                F.col("po.output_index").alias("output_index"),
+                o["address"].alias("address"),
+                F.element_at(F.element_at(o["value"], "ada"), "lovelace").alias("coins"),
+                F.map_filter(
+                    F.coalesce(
+                        o["value"],
+                        F.lit(None).cast("map<string, map<string, bigint>>"),
+                    ),
+                    lambda k, _v: k != F.lit("ada"),
+                ).alias("assets"),
+                datum_kind.alias("datum_kind"),
+                datum_hash.alias("datum_hash"),
+                datum_cbor.alias("datum_cbor"),
+                packed_script["script_hash"].alias("script_hash"),
+                packed_script["script_cbor"].alias("script_cbor"),
+            ),
+        ).alias("out"),
+    )
+
+    # maps aren't orderable → group on the scalar tx key, carry the rest
+    grouped = (
+        out.groupBy("slot_no", "header_hash", "transaction_index", "transaction_id")
+        .agg(
+            F.first("inputs").alias("inputs"),
+            F.array_sort(
+                F.collect_list("out"), lambda a, b: a["output_index"] - b["output_index"]
+            ).alias("outputs"),
+            F.first("spend_redeemers").alias("spend_redeemers"),
+            F.first("metadata_tags", ignorenulls=False).alias("metadata_tags"),
+            F.first("metadata_cbor", ignorenulls=False).alias("metadata_cbor"),
+        )
+        .select(
+            "slot_no",
+            "header_hash",
+            "transaction_index",
+            "transaction_id",
+            "inputs",
+            "outputs",
+            "spend_redeemers",
+            "metadata_tags",
+            "metadata_cbor",
+        )
+    )
+    return grouped
+
+
+def rollback_points(decoded: DataFrame) -> DataFrame:
+    """RollBackward responses → (slot_no, header_hash) retraction points
+    ('origin' → slot 0, no hash)."""
+    bwd = decoded.where(F.col("direction") == "backward")
+    is_origin = F.try_variant_get(F.col("point"), "$", "string") == F.lit("origin")
+    return bwd.select(
+        F.when(is_origin, F.lit(0))
+        .otherwise(F.try_variant_get(F.col("point"), "$.slot", "long"))
+        .alias("slot_no"),
+        F.when(is_origin, F.lit(None).cast("string"))
+        .otherwise(F.try_variant_get(F.col("point"), "$.id", "string"))
+        .alias("header_hash"),
+    )
+
+
+def tips(decoded: DataFrame) -> DataFrame:
+    """The tip carried on every response ('origin' → slot 0)."""
+    is_origin = F.try_variant_get(F.col("tip"), "$", "string") == F.lit("origin")
+    return decoded.select(
+        F.when(is_origin, F.lit(0))
+        .otherwise(F.try_variant_get(F.col("tip"), "$.slot", "long"))
+        .alias("slot_no"),
+        F.try_variant_get(F.col("tip"), "$.id", "string").alias("header_hash"),
+        F.try_variant_get(F.col("tip"), "$.height", "long").alias("height"),
+    )
+
+
+def witness_scripts(decoded: DataFrame) -> DataFrame:
+    """Transaction-level witness scripts (``tx.scripts``) → one
+    (script_hash, script_cbor) dictionary row per script, for the W3
+    scripts table.  Keys are the ledger script hashes; values re-packed
+    through the same codec as per-output scripts."""
+    rows = (
+        decoded.where(F.col("direction") == "forward")
+        .select(F.explode("block.transactions").alias("tx"))
+        .select(F.explode("tx.scripts").alias("script_hash", "script"))
+    )
+    packed = rows.select(
+        "script_hash", pack_script(F.to_json(F.col("script"))).alias("p")
+    )
+    return packed.select(
+        "script_hash", F.col("p.script_cbor").alias("script_cbor")
+    ).dropDuplicates(["script_hash"])
+
+
+def read_ogmios_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read an NDJSON log of nextBlock responses → blocks."""
+    return partial_blocks(decode_next_block(spark.read.text(path)))
+
+
+def stream_ogmios_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Stream the same NDJSON shape (file source; a websocket bridge lands
+    files/offsets upstream, as with any Spark streaming ingest)."""
+    return partial_blocks(decode_next_block(spark.readStream.text(path)))

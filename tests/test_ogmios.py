@@ -1,0 +1,277 @@
+"""Ogmios nextBlock decoding (S2) — era-spanning vectors authored to the
+Ogmios v6 response schema the reference decoder consumes
+(``Kupo/Data/Ogmios.hs``; the reference's own vector files are a git
+submodule not present in the checkout, so the shapes are re-derived from
+the decoder source and pinned here as golden)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kupo_spark.sources.ogmios import (
+    decode_next_block,
+    partial_blocks,
+    rollback_points,
+    tips,
+    witness_scripts,
+)
+
+TX0 = "a" * 64
+TX1 = "b" * 64
+TX2 = "c" * 64
+TX3 = "d" * 64
+HDR = "9" * 64
+POLICY = "f" * 56
+KEYHASH = "3c07030e36bfffe67e2e2ec09e5293d384637cd2f004356ef320f3fe"
+DATUM = "d87980"  # Plutus unit constructor
+DATUM_HASH = hashlib.blake2b(bytes.fromhex(DATUM), digest_size=32).hexdigest()
+WITNESS_HASH = "e" * 64
+
+
+def _resp(result):
+    return json.dumps(
+        {"jsonrpc": "2.0", "method": "nextBlock", "result": result}
+    )
+
+
+def _tip(slot=120, height=12):
+    return {"slot": slot, "id": HDR, "height": height}
+
+
+# era-spanning transactions in one praos block:
+#  - tx 0 (shelley-era shape): plain ADA output, no script data
+#  - tx 1 (mary): multiasset value + metadata (cbor AND json label forms)
+#  - tx 2 (alonzo): witnessed datum by hash, spend + mint redeemers,
+#    native witness script
+#  - tx 3 (babbage/conway): FAILED collateral tx — spends collaterals,
+#    outputs dropped, collateralReturn at offset index; inline datum +
+#    plutus:v3 reference script on the returned output
+VECTORS = [
+    _resp(
+        {
+            "direction": "forward",
+            "tip": _tip(),
+            "block": {
+                "type": "praos",
+                "era": "conway",
+                "id": HDR,
+                "slot": 100,
+                "height": 10,
+                "transactions": [
+                    {
+                        "id": TX0,
+                        "spends": "inputs",
+                        "inputs": [{"transaction": {"id": "0" * 64}, "index": 3}],
+                        "outputs": [
+                            {
+                                "address": "addr1simple",
+                                "value": {"ada": {"lovelace": 1000000}},
+                            }
+                        ],
+                    },
+                    {
+                        "id": TX1,
+                        "spends": "inputs",
+                        "inputs": [{"transaction": {"id": TX0}, "index": 0}],
+                        "outputs": [
+                            {
+                                "address": "addr1multi",
+                                "value": {
+                                    "ada": {"lovelace": 2000000},
+                                    POLICY: {"746f6b656e": 5, "": 1},
+                                },
+                            }
+                        ],
+                        "metadata": {
+                            "hash": "1" * 64,
+                            "labels": {
+                                "674": {"cbor": "6474657374"},
+                                "1": {"json": {"msg": ["hello", 42]}},
+                            },
+                        },
+                    },
+                    {
+                        "id": TX2,
+                        "spends": "inputs",
+                        "inputs": [
+                            {"transaction": {"id": TX0}, "index": 1},
+                            {"transaction": {"id": TX1}, "index": 0},
+                        ],
+                        "outputs": [
+                            {
+                                "address": "addr1datum",
+                                "value": {"ada": {"lovelace": 3}},
+                                "datumHash": WITNESS_HASH,
+                            },
+                            {
+                                "address": "addr1plain",
+                                "value": {"ada": {"lovelace": 4}},
+                            },
+                        ],
+                        "datums": {WITNESS_HASH: "182a"},
+                        "redeemers": [
+                            {
+                                "validator": {"purpose": "spend", "index": 1},
+                                "redeemer": "d87980",
+                            },
+                            {
+                                "validator": {"purpose": "mint", "index": 0},
+                                "redeemer": "40",
+                            },
+                        ],
+                        "scripts": {
+                            "5" * 56: {
+                                "language": "native",
+                                "json": {"clause": "signature", "from": KEYHASH},
+                            }
+                        },
+                    },
+                    {
+                        "id": TX3,
+                        "spends": "collaterals",
+                        "collaterals": [{"transaction": {"id": TX2}, "index": 0}],
+                        "outputs": [
+                            {"address": "dropped1", "value": {"ada": {"lovelace": 1}}},
+                            {"address": "dropped2", "value": {"ada": {"lovelace": 2}}},
+                        ],
+                        "collateralReturn": {
+                            "address": "addr1return",
+                            "value": {"ada": {"lovelace": 5000000}},
+                            "datum": DATUM,
+                            "script": {"language": "plutus:v3", "cbor": "4e4d01"},
+                        },
+                    },
+                ],
+            },
+        }
+    ),
+    _resp(
+        {
+            "direction": "backward",
+            "tip": _tip(),
+            "point": {"slot": 90, "id": "8" * 64},
+        }
+    ),
+    _resp({"direction": "backward", "tip": "origin", "point": "origin"}),
+]
+
+
+@pytest.fixture(scope="module")
+def decoded(spark):
+    df = spark.createDataFrame([(v,) for v in VECTORS], "value STRING")
+    return decode_next_block(df)
+
+
+@pytest.fixture(scope="module")
+def blocks_rows(decoded):
+    rows = partial_blocks(decoded).orderBy("transaction_index").collect()
+    return {r.transaction_id: r for r in rows}
+
+
+def test_all_transactions_decoded(blocks_rows):
+    assert set(blocks_rows) == {TX0, TX1, TX2, TX3}
+    for r in blocks_rows.values():
+        assert r.slot_no == 100
+        assert r.header_hash == HDR
+
+
+def test_simple_transaction(blocks_rows):
+    r = blocks_rows[TX0]
+    assert r.inputs == ["0" * 64 + "#3"]
+    (o,) = r.outputs
+    assert (o.output_index, o.address, o.coins) == (0, "addr1simple", 1000000)
+    assert o.assets == {}
+    assert o.datum_kind == "none"
+    assert r.metadata_tags is None and r.metadata_cbor is None
+
+
+def test_multiasset_value_and_metadata(blocks_rows):
+    r = blocks_rows[TX1]
+    (o,) = r.outputs
+    assert o.coins == 2000000
+    assert o.assets == {POLICY: {"746f6b656e": 5, "": 1}}
+    assert r.metadata_tags == [1, 674]
+    # {1: {"msg": ["hello", 42]}, 674: "test"} — json form converted via
+    # valueToMetadatum, cbor form decoded verbatim; labels ascending
+    expected = (
+        "a2"
+        + "01" + "a1" + "636d7367" + "82" + "6568656c6c6f" + "182a"
+        + "1902a2" + "6474657374"
+    )
+    assert r.metadata_cbor == expected
+
+
+def test_witnessed_datum_and_spend_redeemers(blocks_rows):
+    r = blocks_rows[TX2]
+    assert r.inputs == [TX0 + "#1", TX1 + "#0"]
+    o0, o1 = r.outputs
+    assert (o0.datum_kind, o0.datum_hash, o0.datum_cbor) == (
+        "reference",
+        WITNESS_HASH,
+        "182a",  # witness bytes folded onto the referencing output
+    )
+    assert o1.datum_kind == "none"
+    assert r.spend_redeemers == {1: "d87980"}  # mint redeemer filtered out
+
+
+def test_collateral_mode(blocks_rows):
+    """spends == collaterals: inputs come from collaterals, regular outputs
+    are dropped, collateralReturn lands at index len(outputs)."""
+    r = blocks_rows[TX3]
+    assert r.inputs == [TX2 + "#0"]
+    (o,) = r.outputs
+    assert o.output_index == 2  # after the two dropped outputs
+    assert o.address == "addr1return"
+    assert (o.datum_kind, o.datum_hash, o.datum_cbor) == (
+        "inline",
+        DATUM_HASH,
+        DATUM,
+    )
+    # plutus:v3 → '03' tag ‖ cbor, hash = blake2b-224 of tagged bytes
+    body = bytes.fromhex("034e4d01")
+    assert o.script_cbor == body.hex()
+    assert o.script_hash == hashlib.blake2b(body, digest_size=28).hexdigest()
+
+
+def test_witness_scripts_native_packing(decoded):
+    rows = witness_scripts(decoded).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.script_hash == "5" * 56
+    # native signature clause → [0, keyhash], tag '00' prefix
+    body = bytes.fromhex("8200" + "581c" + KEYHASH)
+    assert r.script_cbor == "00" + body.hex()
+
+
+def test_rollback_points(decoded):
+    pts = {
+        (r.slot_no, r.header_hash) for r in rollback_points(decoded).collect()
+    }
+    assert pts == {(90, "8" * 64), (0, None)}
+
+
+def test_tips(decoded):
+    ts = {(r.slot_no, r.height) for r in tips(decoded).collect()}
+    assert ts == {(120, 12), (0, None)}
+
+
+def test_decoded_blocks_feed_the_indexer(decoded):
+    from kupo_spark.operators.indexer import build_index
+
+    blocks = partial_blocks(decoded)
+    index = build_index(blocks)
+    inputs = index.inputs.collect()
+    assert len(inputs) == 5  # tx0·1 + tx1·1 + tx2·2 + collateralReturn·1
+    by_ref = {r.output_reference: r for r in inputs}
+    # tx1's only output was spent by tx2 (input index 1, with redeemer)
+    spent = by_ref[f"{TX1}#0"]
+    assert spent.spent_by == TX2
+    assert spent.spent_with == "d87980"
+    # witnessed datum landed in the binary_data dictionary
+    assert index.binary_data.where(
+        F.col("binary_data_hash") == WITNESS_HASH
+    ).count() == 1
