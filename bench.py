@@ -51,6 +51,19 @@ def timed(fn) -> float:
     return sum(times) / len(times)
 
 
+def timed_warm(fn, runs: int = 9) -> float:
+    """Steady-state latency: median over `runs` after one warmup — the
+    per-query number a long-lived serving session delivers."""
+    fn()
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("kupo-bench")
@@ -110,7 +123,44 @@ def main() -> None:
         lambda: similarity.brute_force_topk(embs, n_queries=10, k=5).collect()
     )
 
-    value = sum(v for k, v in queries.items() if k != "ingest_build_index")
+    # --- warm serving path (operators/serving.py): steady-state latency of
+    # the point-lookup shapes kupo serves from a warm B-tree.  Reported
+    # next to the cold numbers; `spark_job_floor` is the latency of the
+    # smallest possible job in this session (1-row cached collect) — the
+    # scheduler floor the warm numbers should sit near.
+    from kupo_spark.operators.serving import Serving  # noqa: E402
+
+    serving = Serving(index, partitions=8).warm()
+    floor_df = spark.range(1).coalesce(1).persist()
+    floor_df.count()
+    queries["spark_job_floor"] = timed_warm(lambda: floor_df.collect())
+    # steady state (prepared-plan cache, kupo's compiled-statement analog)
+    queries["q_exact_address_warm"] = timed_warm(
+        lambda: serving.fold_rows(addr)
+    )
+    queries["q_exact_address_range_warm"] = timed_warm(
+        lambda: serving.fold_rows(addr, created_after=2000, created_before=6000)
+    )
+    queries["q_transaction_id_warm"] = timed_warm(
+        lambda: serving.fold_rows(f"*@{txid}")
+    )
+    queries["q_delegation_warm"] = timed_warm(
+        lambda: serving.fold_rows(f"*/{deleg}")
+    )
+    # first-sight latency (plan built per request: + ~60 ms Catalyst)
+    queries["q_transaction_id_warm_fresh"] = timed_warm(
+        lambda: serving.fold(f"*@{txid}", use_plan_cache=False).collect()
+    )
+
+    # warm/floor entries are diagnostics alongside the cold suite; the
+    # headline `value` stays the cold sum (comparable across rounds)
+    value = sum(
+        v
+        for k, v in queries.items()
+        if k != "ingest_build_index"
+        and "_warm" not in k
+        and k != "spark_job_floor"
+    )
     print(
         json.dumps(
             {
