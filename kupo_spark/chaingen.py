@@ -57,15 +57,20 @@ _DATUM_HASH = "CASE WHEN event_id % 16 >= 6 THEN md5(concat('dat', cast(event_id
 
 # payload is known for inline datums and for 'reference with payload'
 # (kupo's ref-data variant, Generators.hs:169-176 frequency mix)
-_DATUM_CBOR = """
-CASE WHEN event_id % 16 >= 11 OR event_id % 16 = 6
-     THEN concat('cbor:', md5(concat('dat', cast(event_id % 211 as string)))) END
-"""
+# real canonical CBOR payloads (hex), from the SQL generators shared with
+# the DuckDB oracle (kupo_spark.metadata.datum_cbor_sql / script_cbor_sql)
+def _payload_exprs() -> tuple[str, str]:
+    from kupo_spark.metadata import datum_cbor_sql, script_cbor_sql
 
+    return (
+        "CASE WHEN event_id % 16 >= 11 OR event_id % 16 = 6 "
+        f"THEN {datum_cbor_sql('event_id')} END",
+        f"CASE WHEN event_id % 6 = 0 THEN {script_cbor_sql('event_id')} END",
+    )
+
+
+_DATUM_CBOR, _SCRIPT_CBOR = _payload_exprs()
 _SCRIPT_HASH = "CASE WHEN event_id % 6 = 0 THEN md5(concat('scr', cast(event_id % 13 as string))) END"
-_SCRIPT_CBOR = (
-    "CASE WHEN event_id % 6 = 0 THEN concat('script:', md5(concat('scr', cast(event_id % 13 as string)))) END"
-)
 
 # Primary output (index 0) carries the value/datum/script payload; every
 # 5th transaction also produces a plain change output at index 1 — so

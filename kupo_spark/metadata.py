@@ -51,6 +51,24 @@ def cbor_uint_sql(expr: str) -> str:
     )
 
 
+def datum_cbor_sql(e: str = "e") -> str:
+    """Hex CBOR of the synthetic datum payload — a real Plutus-data shape,
+    tag 121 (constructor 0) over ``[ I(e % 211), B(md5₄) ]``.  A function
+    of ``e % 211`` only, so equal datum hashes always carry equal bytes
+    (content-addressed storage invariant of the binary_data table)."""
+    k = f"({e} % 211)"
+    md5 = f"md5('dat' || CAST({k} AS STRING))"
+    return f"'d879' || '82' || {cbor_uint_sql(k)} || '44' || substr({md5}, 1, 8)"
+
+
+def script_cbor_sql(e: str = "e") -> str:
+    """Hex of the synthetic script payload — the ledger's language-tagged
+    form: ``'02'`` (plutus:v2) ‖ CBOR bytes item (4 bytes from md5).
+    A function of ``e % 13`` only (content-addressed by script_hash)."""
+    md5 = f"md5('scr' || CAST({e} % 13 AS STRING))"
+    return f"'02' || '44' || substr({md5}, 1, 8)"
+
+
 def metadata_cbor_sql(e: str = "e") -> str:
     """Hex CBOR of the synthetic transaction metadata for event ``e``
     (present when e % 4 = 0, mirroring chaingen's metadata gate):

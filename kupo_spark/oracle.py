@@ -50,11 +50,11 @@ outs AS (
     CASE WHEN t.j = 0 AND e % 16 >= 6
          THEN md5('dat' || CAST(e % 211 AS VARCHAR)) END AS datum_hash,
     CASE WHEN t.j = 0 AND (e % 16 >= 11 OR e % 16 = 6)
-         THEN 'cbor:' || md5('dat' || CAST(e % 211 AS VARCHAR)) END AS datum_cbor,
+         THEN {datum_cbor} END AS datum_cbor,
     CASE WHEN t.j = 0 AND e % 6 = 0
          THEN md5('scr' || CAST(e % 13 AS VARCHAR)) END AS script_hash,
     CASE WHEN t.j = 0 AND e % 6 = 0
-         THEN 'script:' || md5('scr' || CAST(e % 13 AS VARCHAR)) END AS script_cbor
+         THEN {script_cbor} END AS script_cbor
   FROM ev, (SELECT UNNEST([0, 1]) AS j) t
   WHERE t.j < CASE WHEN e % 5 = 0 THEN 2 ELSE 1 END
 ),
@@ -128,6 +128,19 @@ scripts AS (
   FROM outs WHERE script_cbor IS NOT NULL
 )
 """
+
+
+def _splice_payloads(prelude: str) -> str:
+    # real-CBOR payload expressions shared with chaingen (plain .replace —
+    # the CTE text contains literal braces that str.format would trip on)
+    from kupo_spark.metadata import datum_cbor_sql, script_cbor_sql
+
+    return prelude.replace("{datum_cbor}", datum_cbor_sql("e")).replace(
+        "{script_cbor}", script_cbor_sql("e")
+    )
+
+
+PRELUDE = _splice_payloads(PRELUDE)
 
 FOLD_SELECT = (
     "i.output_reference, i.transaction_id, i.transaction_index, i.output_index, "

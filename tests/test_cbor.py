@@ -177,3 +177,41 @@ def test_diagnostic_kernel(spark):
     out = [r[0] for r in df.select(cbor_diagnostic("b")).collect()]
     assert out[0] == "[_ 1, 2]"
     assert out[1] == '{"a": h\'ffee\'}'
+
+
+def test_chain_datum_payloads_are_real_plutus_cbor(spark, blocks):
+    """Every synthetic datum payload decodes as tag-121 (constructor 0)
+    Plutus data; equal hashes carry equal bytes (content-addressing)."""
+    rows = (
+        blocks.selectExpr("explode(outputs) o")
+        .where("o.datum_cbor IS NOT NULL")
+        .selectExpr("o.datum_hash h", "o.datum_cbor c")
+        .distinct()
+        .collect()
+    )
+    assert rows
+    by_hash = {}
+    for r in rows:
+        node = cbor.decode(bytes.fromhex(r.c))
+        assert node[0] == "tag" and node[2][0] == 121
+        inner = node[2][1]
+        assert inner[0] == "array" and len(inner[2]) == 2
+        assert by_hash.setdefault(r.h, r.c) == r.c
+    # hashes are content-addressed: 211 residue classes at most
+    assert len(by_hash) <= 211
+
+
+def test_chain_script_payloads_are_language_tagged_cbor(spark, blocks):
+    rows = (
+        blocks.selectExpr("explode(outputs) o")
+        .where("o.script_cbor IS NOT NULL")
+        .selectExpr("o.script_cbor c")
+        .distinct()
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        raw = bytes.fromhex(r.c)
+        assert raw[0] == 0x02  # plutus:v2 language tag
+        node = cbor.decode(raw[1:])
+        assert node[0] == "bytes" and len(node[2]) == 4
