@@ -57,11 +57,16 @@ def rollback_to(index: Index, slot_no: int) -> Index:
 
 def prune_inputs(index: Index, k: int = LONGEST_ROLLBACK) -> Index:
     """M2: GC spent rows beyond the rollback horizon:
-    spent_at < tip - k (SQLite.hs:876-883)."""
-    tip_row = index.checkpoints.agg(F.max("slot_no")).collect()[0][0]
-    horizon = (tip_row or 0) - k
-    inputs = index.inputs.where(
-        F.col("spent_at").isNull() | (F.col("spent_at") >= F.lit(horizon))
+    spent_at < tip - k (SQLite.hs:876-883).  The horizon is a broadcast
+    1-row aggregate rather than a driver-side collect, so a GC pass that
+    composes into a larger pipeline stays a single plan."""
+    horizon = index.checkpoints.agg(
+        (F.coalesce(F.max("slot_no"), F.lit(0)) - F.lit(k)).alias("_horizon")
+    )
+    inputs = (
+        index.inputs.join(F.broadcast(horizon))
+        .where(F.col("spent_at").isNull() | (F.col("spent_at") >= F.col("_horizon")))
+        .drop("_horizon")
     )
     surviving = inputs.select("output_reference")
     return Index(
