@@ -9,9 +9,9 @@ any ranking-relevant signal.
 
 Scale design:
 - brute-force top-k: broadcast the (small) query set against the corpus —
-  one scan, no shuffle of the corpus, per-partition top-k via window rank
-  (at 100 TB: replace the window by an `aggregate`-style partial top-k and a
-  final merge; the broadcast-queries pattern is unchanged).
+  one scan, no shuffle of the corpus; ranking is a two-stage partial top-k
+  (see :func:`topk_merge`) so no single reducer ever holds a whole corpus's
+  scores for one query.
 - sign-LSH: 6 deterministic hyperplanes (±1 components derived from md5
   nibble parity) → 64 buckets; candidates share a bucket.  Bucketing is a
   narrow projection; the ANN join shuffles only bucket-mates.
@@ -27,9 +27,59 @@ QUANT = "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5)
 N_PLANES = 6
 DIM = 64
 
+#: fan-out of the partial top-k stage; at 100 TB raise to ≈ the cluster's
+#: core count so every partial-rank group is a comfortable reducer.
+TOPK_BUCKETS = 64
+
+
+def topk_merge(scored: DataFrame, k: int, buckets: int = TOPK_BUCKETS) -> DataFrame:
+    """Exact per-query top-k as partial top-k + tiny merge.
+
+    A single ``Window.partitionBy("query_id")`` over the scored corpus ranks
+    every candidate for a query in ONE task — the reducer holds O(corpus)
+    rows per query.  Instead:
+
+    1. *partial*: rank within ``(query_id, hash(neighbor_id) % buckets)`` —
+       each group sees ~corpus/buckets rows, giving `buckets`-way parallelism
+       and bounded reducer memory — and keep each group's local top-k;
+    2. *merge*: rank the surviving ``buckets × k`` rows per query — a tiny,
+       broadcast-sized window.
+
+    Both stages order by the same ``(cosine DESC, neighbor_id ASC)`` key, so
+    the result is bit-identical to the single-window ranking.
+    """
+    order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    partial = Window.partitionBy("query_id", "part_bucket").orderBy(*order)
+    merge = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("part_bucket", F.pmod(F.hash("neighbor_id"), F.lit(buckets)))
+        .withColumn("_prank", F.row_number().over(partial))
+        .where(F.col("_prank") <= k)
+        .withColumn("rank", F.row_number().over(merge))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
 
 def quantized(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.expr(QUANT).alias("q"))
+
+
+def _with_cosine(paired: DataFrame) -> DataFrame:
+    """Add the exact-integer cosine to a (qv, cv)-paired candidate frame.
+
+    Dot and norms are exact int64 sums over the quantized vectors; the final
+    division/sqrt is one fixed IEEE-double expression, so Spark and DuckDB
+    agree bit-for-bit and round(·, 6) is stable."""
+    return (
+        paired.withColumn("dot", F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("nq", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn("nc", F.expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+        .withColumn(
+            "cosine",
+            F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
+        )
+    )
 
 
 def brute_force_topk(
@@ -43,23 +93,10 @@ def brute_force_topk(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
     corpus = q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"))
-    scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("dot", F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn("nq", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn("nc", F.expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn(
-            "cosine",
-            F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
-        )
+    scored = _with_cosine(
+        corpus.crossJoin(F.broadcast(queries)).where(F.col("neighbor_id") != F.col("query_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return topk_merge(scored, k)
 
 
 def label_filtered_topk(
@@ -74,23 +111,10 @@ def label_filtered_topk(
         F.col("vec_id").alias("query_id"), "label", F.col("q").alias("qv")
     )
     corpus = q.select(F.col("vec_id").alias("neighbor_id"), "label", F.col("q").alias("cv"))
-    scored = (
-        corpus.join(F.broadcast(queries), "label")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("dot", F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn("nq", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn("nc", F.expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn(
-            "cosine",
-            F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
-        )
+    scored = _with_cosine(
+        corpus.join(F.broadcast(queries), "label").where(F.col("neighbor_id") != F.col("query_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return topk_merge(scored, k)
 
 
 def hyperplane_expr(j: int, dim: int = DIM) -> str:
@@ -151,23 +175,10 @@ def ivf_topk(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "centroid_id"
     )
     corpus = qa.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"), "centroid_id")
-    scored = (
-        corpus.join(F.broadcast(queries), "centroid_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("dot", F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn("nq", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn("nc", F.expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn(
-            "cosine",
-            F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
-        )
+    scored = _with_cosine(
+        corpus.join(F.broadcast(queries), "centroid_id").where(F.col("neighbor_id") != F.col("query_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return topk_merge(scored, k)
 
 
 def lsh_topk(
@@ -181,20 +192,7 @@ def lsh_topk(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "bucket"
     )
     corpus = qb.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"), "bucket")
-    scored = (
-        corpus.join(F.broadcast(queries), "bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("dot", F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn("nq", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn("nc", F.expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn(
-            "cosine",
-            F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
-        )
+    scored = _with_cosine(
+        corpus.join(F.broadcast(queries), "bucket").where(F.col("neighbor_id") != F.col("query_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return topk_merge(scored, k)
