@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kupo_spark import chainspec as cs
-from kupo_spark import oracle, oracle_pipeline
+from kupo_spark import oracle, oracle_pipeline, oracle_sources
 from kupo_spark.context import get_blocks_and_index, get_index
 from kupo_spark.functions import curate, dedup, multimodal, similarity, textops
 from kupo_spark.operators import checkpoints as cp
@@ -121,6 +121,49 @@ def _q_prune_binary_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_index_metadata_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _tag_index(spark, sf_dir)
     return idx.inputs.select("output_reference", "transaction_id", "address", "coins", "created_at")
+
+
+def _source_fold(idx, datum_hash_col) -> DataFrame:
+    """Common projection certifying a protocol source's decode → index →
+    fold path: every indexed output with its spend resolution and the
+    multiasset decode collapsed to (count, total quantity)."""
+    per_assets = idx.assets.groupBy("output_reference").agg(
+        F.count("*").alias("n_assets"), F.sum("quantity").alias("asset_qty")
+    )
+    return idx.inputs.join(per_assets, "output_reference", "left").select(
+        "output_reference", "transaction_id", "transaction_index", "output_index",
+        "address", "coins", "created_at", "datum_kind",
+        datum_hash_col,
+        "datum_cbor", "spent_at", "spent_by", "spent_input_index", "spent_with",
+        F.coalesce("n_assets", F.lit(0)).alias("n_assets"),
+        F.coalesce("asset_qty", F.lit(0)).alias("asset_qty"),
+    )
+
+
+def _q_ogmios_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 hard signal: NDJSON nextBlock log → protocol decode → index;
+    the oracle restates the decode semantics in SQL over the same JSON.
+    Inline datum hashes are computed (blake2b) — not SQL-expressible — so
+    the projection carries the hash only for reference datums."""
+    from kupo_spark.sources.ogmios import read_ogmios_jsonl
+
+    idx = build_index(read_ogmios_jsonl(spark, oracle_sources.OGMIOS_LOG))
+    return _source_fold(
+        idx,
+        F.when(F.col("datum_kind") == "reference", F.col("datum_hash")).alias(
+            "ref_datum_hash"
+        ),
+    )
+
+
+def _q_hydra_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 hard signal: ServerOutput log (genesis UTxO + Conway tx CBOR) →
+    decode → index; the oracle reads golden rows authored by the fixture
+    generator from the abstract tx spec (CBOR is not SQL-decodable)."""
+    from kupo_spark.sources.hydra import read_hydra_jsonl
+
+    idx = build_index(read_hydra_jsonl(spark, oracle_sources.HYDRA_LOG))
+    return _source_fold(idx, F.col("datum_hash"))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,6 +343,8 @@ def queries() -> dict[str, QueryFn]:
         get_index(s, d), f"{PAY_CRED}/*"
     ).inputs.select("output_reference", "address", "coins", "created_at")
     out["q_index_metadata_tag"] = _q_index_metadata_tag
+    out["q_ogmios_fold"] = _q_ogmios_fold
+    out["q_hydra_fold"] = _q_hydra_fold
 
     for name, (fn, _sql) in PIPELINE_QUERIES.items():
         out[name] = fn
@@ -368,6 +413,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM inputs i WHERE EXISTS (SELECT 1 FROM outs o "
         "WHERE o.transaction_id = i.transaction_id AND o.e % 4 = 0)"
     )
+    out["q_ogmios_fold"] = oracle_sources.ogmios_fold_sql()
+    out["q_hydra_fold"] = oracle_sources.hydra_fold_sql()
     for name, (_fn, sql) in PIPELINE_QUERIES.items():
         if sql is not None:
             out[name] = sql
