@@ -168,23 +168,33 @@ def lsh_candidate_pairs(
     )
 
 
+#: candidate-id broadcast cutoff: above this many distinct candidate doc
+#: ids the semi-join falls back to a shuffle (a dup-saturated corpus — e.g.
+#: crawl snapshots — makes candidates O(corpus), which would blow a
+#: broadcast; the count is free because candidates are already materialized)
+BROADCAST_ID_LIMIT = 2_000_000
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame, threshold: float = 0.5, bands: int = N_BANDS,
     rows: int = ROWS_PER_BAND, k: int = 3,
+    broadcast_id_limit: int = BROADCAST_ID_LIMIT,
 ) -> DataFrame:
     """The scale path: LSH candidates, then exact Jaccard verification of
     candidates only."""
     sh = shingles(docs, k).persist()
     cand = lsh_candidate_pairs(docs, bands, rows, k).persist()
-    cand.count()  # materialize candidates once; they gate everything below
+    n_cand = cand.count()  # materialize candidates once; they gate everything below
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # verification touches ONLY candidate documents: semi-join the shingle
-    # table down to candidate ids (broadcast — candidates are rare by
-    # construction) before the pairwise intersection join.
+    # table down to candidate ids before the pairwise intersection join —
+    # broadcast when candidates are sparse (the common case), shuffle
+    # semi-join when a dup-saturated corpus makes them corpus-sized.
     ids = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select("doc_b")
     ).distinct()
-    sh_cand = sh.join(F.broadcast(ids), "doc_id", "left_semi")
+    ids = F.broadcast(ids) if 2 * n_cand <= broadcast_id_limit else ids
+    sh_cand = sh.join(ids, "doc_id", "left_semi")
     a = sh_cand.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh_cand.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
@@ -204,20 +214,25 @@ def minhash_near_dup_pairs(
 
 
 def near_dup_clusters(
-    docs: DataFrame, threshold: float = 0.5, max_iters: int = 20
+    docs: DataFrame, threshold: float = 0.5, max_iters: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """Duplicate clusters: connected components over the near-dup pair
     graph, by iterative min-label propagation (the standard large-graph CC
     algorithm — each round is one join+aggregate, rounds ≈ graph diameter,
     which for dedup graphs is tiny).  Singletons keep their own id, so the
     output is a total map doc_id → canonical cluster id, ready for the
-    keep-one-per-cluster filter."""
+    keep-one-per-cluster filter.
+
+    The driver-side convergence count is an extra job per probe, so it runs
+    only every ``check_every`` rounds — a converged extra round is a cheap
+    no-op join, while a skipped count at 100 TB is a whole scan saved."""
     pairs = minhash_near_dup_pairs(docs, threshold).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
     labels = docs.select("doc_id").withColumn("cluster", F.col("doc_id")).persist()
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neigh = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy("doc_a")
@@ -233,15 +248,17 @@ def near_dup_clusters(
             )
             .localCheckpoint()  # truncate lineage per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
+        converged = False
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.cluster") != F.col("o.cluster"))
+                .count()
+            ) == 0
         labels.unpersist()
         labels = new_labels.persist()
-        if changed == 0:
+        if converged:
             break
     return labels.select("doc_id", "cluster")
 
