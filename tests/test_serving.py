@@ -81,3 +81,33 @@ def test_resolve_hashes_on_hot_view(serving, index):
         for r in fold_inputs(index, pol, resolve_hashes=True).collect()
     }
     assert hot == cold
+
+
+def test_fold_stream_matches_collect_both_orders(serving):
+    addr = f"*/{cs.delegation_credential_of(5)}"
+    want = [tuple(r) for r in serving.fold_rows(addr)]
+    got = [tuple(r) for r in serving.fold_stream(addr)]
+    assert got == want and len(got) > 5
+    want_old = [tuple(r) for r in serving.fold_rows(addr, order="oldest_first")]
+    got_old = [tuple(r) for r in serving.fold_stream(addr, order="oldest_first")]
+    assert got_old == want_old
+
+
+def test_fold_pages_keyset_pagination(serving):
+    """Pages concatenate to the full ordered result, with no row repeated
+    or skipped across page borders; both orders."""
+    addr = f"*/{cs.delegation_credential_of(5)}"
+    for order in ("most_recent_first", "oldest_first"):
+        want = [tuple(r) for r in serving.fold_rows(addr, order=order)]
+        pages = list(serving.fold_pages(addr, page_size=7, order=order))
+        assert all(len(p) <= 7 for p in pages)
+        got = [tuple(r) for page in pages for r in page]
+        assert got == want
+
+
+def test_etag_304_cycle(serving):
+    pat = f"*/{cs.delegation_credential_of(5)}"
+    status, tag, rows = serving.fold_rows_if_none_match(None, pat)
+    assert status == 200 and rows
+    status2, tag2, rows2 = serving.fold_rows_if_none_match(tag, pat)
+    assert (status2, rows2) == (304, None) and tag2 == tag
