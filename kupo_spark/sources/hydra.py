@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from kupo_spark import cbor
-from kupo_spark.codecs import address_from_bech32, reshuffle_address
+from kupo_spark.codecs import address_from_bech32, base58_decode, reshuffle_address
 
 # ---------------------------------------------------------------------------
 # ServerOutput envelope (decodeHydraMessage, Hydra.hs:124-137)
@@ -105,8 +105,15 @@ def _set_items(node) -> list:
 
 
 def _engine_address(raw: bytes) -> str:
-    """Ledger address bytes → reshuffled engine hex (Database.hs:536-599)."""
+    """Ledger address bytes → reshuffled engine hex (Database.hs:536-599).
+
+    Byron bootstrap addresses (header nibble 0x8) are a variable-length
+    CBOR structure, not header‖credentials — slicing them at fixed offsets
+    would fabricate garbage credentials, so they are stored whole under
+    tag 00, matching the reference's addressToRow bootstrap arm."""
     header = raw[0]
+    if header >> 4 == 0x8:
+        return "00" + raw.hex()
     payment = raw[1:29]
     delegation = raw[29:57] if len(raw) >= 57 else None
     return reshuffle_address(header, payment, delegation or None)
@@ -246,6 +253,21 @@ def _decode_tx(tx_hex: str) -> dict:
     }
 
 
+def _genesis_address(text: str) -> str:
+    """Genesis UTxO address text → engine hex.  bech32 (Shelley) decodes to
+    the reshuffled form; base58 (Byron bootstrap) is stored whole under
+    tag 00; anything else is an error, never silently passed through as an
+    unmatchable text column."""
+    engine = address_from_bech32(text)
+    if engine is not None:
+        return engine
+    raw = base58_decode(text)
+    # a Byron address is CBOR `[tag24(payload), crc]` — 0x82 array header
+    if raw is not None and len(raw) > 0 and raw[0] == 0x82:
+        return "00" + raw.hex()
+    raise ValueError(f"undecodable genesis address: {text!r}")
+
+
 def _genesis_txs(utxo_json: str) -> list[dict]:
     """HeadIsOpen `utxo` map → synthetic genesis transactions, grouped by
     transaction id with outputs at their original indices (Hydra.hs:141-176).
@@ -262,7 +284,7 @@ def _genesis_txs(utxo_json: str) -> list[dict]:
             value = o.get("value", {})
             out = {
                 "output_index": ix,
-                "address": address_from_bech32(o["address"]) or o["address"],
+                "address": _genesis_address(o["address"]),
                 "coins": value.get("lovelace", 0),
                 "assets": {
                     pol: {name: int(q) for name, q in amap.items()}
@@ -387,9 +409,12 @@ def partial_blocks(decoded: DataFrame) -> DataFrame:
         F.col("tx.transaction_id").alias("transaction_id"),
         F.col("tx.inputs").alias("inputs"),
         F.col("tx.outputs").alias("outputs"),
+        # empty map (not NULL) when a tx has no spend redeemers — the Ogmios
+        # source emits the same shape, so consumers see one schema
         F.map_from_entries(
-            F.when(
-                F.size("tx.spend_redeemers") > 0, F.col("tx.spend_redeemers")
+            F.coalesce(
+                F.col("tx.spend_redeemers"),
+                F.expr("array()").cast("array<struct<key: int, value: string>>"),
             )
         ).alias("spend_redeemers"),
         F.lit(None).cast("array<long>").alias("metadata_tags"),

@@ -223,15 +223,44 @@ pack_metadata = pandas_udf(_pack_metadata_batch, returnType=StringType())
 # ---------------------------------------------------------------------------
 
 
+def _known_spends():
+    """The only input sources the protocol defines (Ogmios.hs:235-237 fails
+    the parse on anything else); a NULL ``spends`` is the pre-Alonzo absent
+    field."""
+    return F.col("tx.spends").isNull() | F.col("tx.spends").isin(
+        "inputs", "collaterals"
+    )
+
+
+def rejected_transactions(decoded: DataFrame) -> DataFrame:
+    """Transactions whose ``spends`` names an unknown input source — the
+    reference decoder fails the whole parse ("unrecognized input source");
+    here the malformed rows are routed to this error lane instead of being
+    silently decoded as inputs-mode."""
+    fwd = decoded.where(F.col("direction") == "forward").select("block")
+    tx = fwd.select(
+        F.col("block.slot").alias("slot_no"),
+        F.posexplode_outer("block.transactions").alias("transaction_index", "tx"),
+    ).where(F.col("tx").isNotNull() & ~_known_spends())
+    return tx.select(
+        "slot_no",
+        "transaction_index",
+        F.col("tx.id").alias("transaction_id"),
+        F.col("tx.spends").alias("spends"),
+    )
+
+
 def partial_blocks(decoded: DataFrame) -> DataFrame:
     """RollForward responses → one row per transaction in the engine's
-    blocks schema (``sources.json_blocks.BLOCK_SCHEMA`` semantics)."""
+    blocks schema (``sources.json_blocks.BLOCK_SCHEMA`` semantics).
+    Transactions with an unrecognized ``spends`` value are excluded (see
+    :func:`rejected_transactions`)."""
     fwd = decoded.where(F.col("direction") == "forward").select("block")
     tx = fwd.select(
         F.col("block.slot").alias("slot_no"),
         F.col("block.id").alias("header_hash"),
         F.posexplode_outer("block.transactions").alias("transaction_index", "tx"),
-    ).where(F.col("tx").isNotNull())
+    ).where(F.col("tx").isNotNull() & _known_spends())
 
     collateral_mode = F.col("tx.spends") == F.lit("collaterals")
 

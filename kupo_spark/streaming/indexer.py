@@ -70,17 +70,25 @@ class StreamingIndexer:
         self._seq_file = Path(out_dir) / "_last_seq"
         self._manifest_dir = Path(out_dir) / "manifest"
         self._manifest_dir.mkdir(exist_ok=True)
+        self._committed_cache: list[dict] | None = None
 
     # ---- sequencing + commit log ----------------------------------------
 
     def _committed(self) -> list[dict]:
         """All committed batch manifests, oldest first.  One small json per
         batch; a production deployment folds old entries into the compacted
-        base the way Delta checkpoints its log."""
-        return [
-            json.loads(p.read_text())
-            for p in sorted(self._manifest_dir.glob("*.json"))
-        ]
+        base the way Delta checkpoints its log.
+
+        The directory is scanned once per indexer (startup recovery) and the
+        in-memory list is appended to on every successful commit — without
+        the cache each micro-batch re-reads every manifest file and the
+        commit-log overhead grows O(n²) over the stream's lifetime."""
+        if self._committed_cache is None:
+            self._committed_cache = [
+                json.loads(p.read_text())
+                for p in sorted(self._manifest_dir.glob("*.json"))
+            ]
+        return self._committed_cache
 
     def _next_seq(self) -> int:
         last = -1
@@ -178,9 +186,11 @@ class StreamingIndexer:
             (stage / name).rename(dst)
         shutil.rmtree(stage, ignore_errors=True)
 
+        entry = {"seq": seq, "batch_id": batch_id, "key": key}
         tmp = self._manifest_dir / f".tmp-{seq}"
-        tmp.write_text(json.dumps({"seq": seq, "batch_id": batch_id, "key": key}))
+        tmp.write_text(json.dumps(entry))
         tmp.rename(self._manifest_dir / f"{seq:012d}.json")
+        self._committed().append(entry)  # keep the cache current post-commit
         self._commit_seq(seq)
 
     # ---- rollback (M1/M5): retraction-as-data ---------------------------

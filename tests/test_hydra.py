@@ -242,7 +242,8 @@ def test_snapshot_plain_transaction(blocks):
     r = blocks[(7, 1)]
     assert r.transaction_id == PLAIN_ID
     assert r.inputs == [f"{TXID_A}#3"]
-    assert r.spend_redeemers is None
+    # empty map, not NULL — same shape as the Ogmios source for this case
+    assert dict(r.spend_redeemers) == {}
     [o] = r.outputs
     assert (o.address, o.coins, o.datum_kind) == (ENT_ADDR_ENGINE, 777, "none")
 
@@ -297,3 +298,28 @@ def test_resume_filter_rejects_foreign_head(decoded):
     blocks = partial_blocks(decoded)
     with pytest.raises(IntersectionNotFound):
         resume_filter(blocks, [(7, "ff" * 32)]).collect()
+
+
+def test_bootstrap_address_stored_whole():
+    """Byron bootstrap addresses (header nibble 0x8) are variable-length
+    CBOR — they must be stored verbatim under tag 00, never sliced at
+    credential offsets (addressToRow's bootstrap arm)."""
+    from kupo_spark.sources.hydra import _engine_address
+
+    byron = bytes.fromhex("82d818582183581c") + bytes(28) + bytes.fromhex("a0001a12345678")
+    assert _engine_address(byron) == "00" + byron.hex()
+    # shelley addresses keep the reshuffled form
+    assert _engine_address(ENT_ADDR_RAW) == ENT_ADDR_ENGINE
+
+
+def test_genesis_address_decode_paths():
+    from kupo_spark.codecs import base58_encode
+    from kupo_spark.sources.hydra import _genesis_address
+
+    assert _genesis_address(bech32_encode("addr", ENT_ADDR_RAW)) == ENT_ADDR_ENGINE
+    byron = cbor.encode(
+        cbor.mk_array([cbor.mk_tag(24, cbor.mk_bytes(b"\x00" * 8)), cbor.mk_uint(7)])
+    )
+    assert _genesis_address(base58_encode(byron)) == "00" + byron.hex()
+    with pytest.raises(ValueError, match="undecodable genesis address"):
+        _genesis_address("addr1notanaddress")

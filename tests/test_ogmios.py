@@ -275,3 +275,40 @@ def test_decoded_blocks_feed_the_indexer(decoded):
     assert index.binary_data.where(
         F.col("binary_data_hash") == WITNESS_HASH
     ).count() == 1
+
+
+def test_unknown_input_source_routed_to_error_lane(spark):
+    """A tx whose `spends` is neither 'inputs' nor 'collaterals' must not be
+    silently decoded as inputs-mode (the reference decoder fails the parse,
+    Ogmios.hs:235-237): it is excluded from blocks and surfaced on the
+    rejected lane.  NULL spends (pre-Alonzo absent field) stays valid."""
+    from kupo_spark.sources.ogmios import rejected_transactions
+
+    def _plain_output(n):
+        return {"address": f"addr1plain{n}", "value": {"ada": {"lovelace": n}}}
+
+    docs = [
+        _resp(
+            {
+                "direction": "forward",
+                "tip": _tip(),
+                "block": {
+                    "type": "praos", "era": "conway", "id": HDR,
+                    "slot": 77, "height": 7,
+                    "transactions": [
+                        {"id": TX0, "spends": "witnesses",
+                         "inputs": [], "outputs": [_plain_output(1)]},
+                        {"id": TX1, "spends": "inputs",
+                         "inputs": [], "outputs": [_plain_output(2)]},
+                        {"id": TX2,
+                         "inputs": [], "outputs": [_plain_output(3)]},
+                    ],
+                },
+            }
+        )
+    ]
+    dec = decode_next_block(spark.createDataFrame([(d,) for d in docs], "value string"))
+    blocks = partial_blocks(dec)
+    assert {r.transaction_id for r in blocks.collect()} == {TX1, TX2}
+    rej = rejected_transactions(dec).collect()
+    assert [(r.transaction_id, r.spends) for r in rej] == [(TX0, "witnesses")]
