@@ -115,14 +115,21 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures_wide(docs: DataFrame, n: int = N_MINHASH, k: int = 3) -> DataFrame:
+def minhash_signatures_wide(
+    docs: DataFrame, n: int = N_MINHASH, k: int = 3, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig_0 … sig_{n-1}): n independent min-hashes over the shingle
     set, computed as ONE map-side-combinable aggregation (no crossJoin, no
     per-(doc, i) shuffle — the only shuffle is the groupBy(doc_id), with n
     partial mins folded map-side).  Hash family = md5(i ‖ shingle); the
     *lexicographic* min of hex strings is the min-hash — portable across
-    engines, no bigint mixing."""
-    sh = shingles(docs, k)
+    engines, no bigint mixing.
+
+    ``sh`` lets a caller that already materialized the shingle table (the
+    verification path needs it too) share it instead of re-running the
+    explode + distinct shuffle."""
+    if sh is None:
+        sh = shingles(docs, k)
     aggs = [
         F.min(F.expr(f"md5(concat('{i}', '|', sh))")).alias(f"sig_{i}") for i in range(n)
     ]
@@ -138,12 +145,13 @@ def minhash_signatures(docs: DataFrame, n: int = N_MINHASH, k: int = 3) -> DataF
 
 
 def lsh_band_keys(
-    docs: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND, k: int = 3
+    docs: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND, k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, key): band key = md5 of the band's signatures in
     sig-index order — derived from the wide signature row by pure
     projection (zero shuffles beyond the signature groupBy)."""
-    wide = minhash_signatures_wide(docs, bands * rows, k)
+    wide = minhash_signatures_wide(docs, bands * rows, k, sh=sh)
     band_exprs = []
     for b in range(bands):
         cols = ", ".join(f"sig_{b * rows + r}" for r in range(rows))
@@ -154,10 +162,11 @@ def lsh_band_keys(
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND, k: int = 3
+    docs: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND, k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs sharing at least one LSH band."""
-    bk = lsh_band_keys(docs, bands, rows, k)
+    bk = lsh_band_keys(docs, bands, rows, k, sh=sh)
     a = bk.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = bk.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
@@ -182,8 +191,11 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """The scale path: LSH candidates, then exact Jaccard verification of
     candidates only."""
+    # ONE shingle table feeds both candidate generation (via the signature
+    # agg) and verification — without sharing it, the explode + distinct
+    # shuffle (the pipeline's most expensive stage) runs twice
     sh = shingles(docs, k).persist()
-    cand = lsh_candidate_pairs(docs, bands, rows, k).persist()
+    cand = lsh_candidate_pairs(docs, bands, rows, k, sh=sh).persist()
     n_cand = cand.count()  # materialize candidates once; they gate everything below
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # verification touches ONLY candidate documents: semi-join the shingle
