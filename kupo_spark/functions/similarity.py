@@ -140,36 +140,91 @@ def lsh_buckets(emb: DataFrame, planes: int = N_PLANES, dim: int = DIM) -> DataF
 N_CENTROIDS = 16
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest centroid
-    (deterministic centroid set = the first `n_centroids` vectors; swap in
-    k-means output in production — assignment plumbing is identical).
-    Distances are exact integer L2² over the quantized vectors, so the
-    argmin (tie-break on centroid id) is engine-exact."""
-    q = quantized(emb)
-    centroids = q.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cv")
-    )
+def nearest_centroid(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): argmin-L2² assignment against a broadcast
+    centroid set.  Distances are exact integer sums over the quantized
+    vectors; the argmin is a map-side-combinable ``min(struct(dist2,
+    centroid_id))`` (lexicographic struct min = argmin with centroid-id
+    tie-break) — no window, no per-vector reducer."""
     scored = q.crossJoin(F.broadcast(centroids)).withColumn(
         "dist2",
         F.expr("aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "centroid_id")
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "centroid_id")).alias("m")
+    ).select("vec_id", F.col("m.centroid_id").alias("centroid_id"))
+
+
+#: exact floor-mean of a bigint sum: subtract the positive mod first so the
+#: double division is exact (numerator divisible by c), identical in DuckDB
+_FLOOR_MEAN = "cast((s - ((s % c + c) % c)) / c as bigint)"
+
+
+def kmeans_centroids(
+    emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 2
+) -> DataFrame:
+    """(centroid_id, cv): k-means centroids after ``iters`` Lloyd rounds in
+    quantized integer space.
+
+    Seeds are the first `n_centroids` vectors (deterministic).  Each round:
+    exact-int argmin assignment against the broadcast centroids, then the
+    new centroid is the per-dimension floor-mean — posexplode + sum/count
+    (map-side-combinable; dim× row inflation, k×dim-row output), the shape
+    that survives a 100 TB corpus.  All arithmetic is exact (int sums,
+    mod-adjusted floor division), so an oracle engine re-derives
+    bit-identical centroids; empty cells drop out in both engines alike."""
+    q = quantized(emb)
+    cent = q.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cv")
     )
+    for _ in range(iters):
+        assigned = nearest_centroid(q, cent)
+        sums = (
+            q.join(assigned, "vec_id")
+            .select("centroid_id", F.posexplode("q").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+        )
+        cent = (
+            sums.withColumn("m", F.expr(_FLOOR_MEAN))
+            .groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), p -> p.m)"
+                ).alias("cv")
+            )
+        )
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = N_CENTROIDS, kmeans_iters: int = 0
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+    ``kmeans_iters=0`` uses the deterministic seed set (the first
+    `n_centroids` vectors); ``kmeans_iters>0`` trains the centroids with
+    that many Lloyd rounds first (:func:`kmeans_centroids`).  Either way
+    distances are exact integer L2², so the argmin (tie-break on centroid
+    id) is engine-exact."""
+    q = quantized(emb)
+    if kmeans_iters > 0:
+        centroids = kmeans_centroids(emb, n_centroids, kmeans_iters)
+    else:
+        centroids = q.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("q").alias("cv")
+        )
+    return nearest_centroid(q, centroids)
 
 
 def ivf_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, n_centroids: int = N_CENTROIDS
+    emb: DataFrame, n_queries: int = 10, k: int = 5,
+    n_centroids: int = N_CENTROIDS, kmeans_iters: int = 0,
 ) -> DataFrame:
     """ANN top-k with nprobe=1: candidates share the query's IVF cell.
     At 100 TB the corpus is stored partitioned by centroid_id, so a probe
     reads exactly one partition."""
     q = quantized(emb)
-    assign = ivf_assign(emb, n_centroids)
+    assign = ivf_assign(emb, n_centroids, kmeans_iters)
     qa = q.join(assign, "vec_id")
     queries = qa.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "centroid_id"

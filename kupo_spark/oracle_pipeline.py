@@ -352,17 +352,53 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def ivf_topk_sql(n_queries: int = 10, k: int = 5, n_centroids: int = 16) -> str:
+_D2 = "list_dot_product(q, q) - 2 * list_dot_product(q, cv) + list_dot_product(cv, cv)"
+
+
+def _kmeans_ctes(n_centroids: int, iters: int, dim: int = DIM) -> tuple[list[str], str]:
+    """CTE chain re-deriving the Spark k-means centroids exactly: `iters`
+    Lloyd rounds, each = argmin assignment (L2² on exact ints) + per-dimension
+    floor-mean (mod-adjusted division, exact in double because the adjusted
+    numerator is divisible).  Returns (ctes, name-of-final-centroid-cte);
+    the first CTE defines `qv` (quantized embeddings)."""
+    ctes = [
+        f"qv AS (SELECT vec_id, {QUANT} AS q FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS centroid_id, q AS cv FROM qv WHERE vec_id < {n_centroids})",
+    ]
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
+    FROM (SELECT qv.vec_id, c.centroid_id, {_D2} AS dist2 FROM qv, {prev} c))
+  WHERE rn = 1)""")
+        ctes.append(f"""s{i} AS (
+  SELECT centroid_id, p.pos, sum(q[p.pos + 1]) AS s, count(*) AS c
+  FROM qv JOIN a{i} USING (vec_id)
+  CROSS JOIN (SELECT unnest(range({dim})) AS pos) p
+  GROUP BY 1, 2)""")
+        ctes.append(f"""cent{i} AS (
+  SELECT centroid_id,
+         list(CAST((s - ((s % c + c) % c)) / c AS BIGINT) ORDER BY pos) AS cv
+  FROM s{i} GROUP BY 1)""")
+        prev = f"cent{i}"
+    return ctes, prev
+
+
+def ivf_topk_sql(
+    n_queries: int = 10, k: int = 5, n_centroids: int = 16, kmeans_iters: int = 0
+) -> str:
     """Cell-restricted (nprobe=1) exact top-k: the IVF assignment CTE
-    (oracle-checked by ivf_assign_sql) spliced into the brute-force ranking."""
-    d2 = (
-        "list_dot_product(q, q) - 2 * list_dot_product(q, cv) + list_dot_product(cv, cv)"
-    )
+    (oracle-checked by ivf_assign_sql) spliced into the brute-force ranking;
+    with ``kmeans_iters`` the centroid CTEs re-derive the trained centroids
+    first."""
+    ctes, cent = _kmeans_ctes(n_centroids, kmeans_iters)
+    chain = ",\n".join(ctes)
     return f"""
-WITH qtab AS (SELECT vec_id, {QUANT} AS q FROM embeddings),
-centroids AS (SELECT vec_id AS centroid_id, q AS cv FROM qtab WHERE vec_id < {n_centroids}),
+WITH {chain},
 assign_scored AS (
-  SELECT vec_id, centroid_id, {d2} AS dist2 FROM qtab, centroids
+  SELECT vec_id, centroid_id, {_D2} AS dist2 FROM qv, {cent} c
 ),
 assign_ranked AS (
   SELECT vec_id, centroid_id,
@@ -370,7 +406,7 @@ assign_ranked AS (
   FROM assign_scored
 ),
 assigned AS (SELECT vec_id, centroid_id FROM assign_ranked WHERE rn = 1),
-qa AS (SELECT qtab.vec_id, qtab.q AS v, a.centroid_id FROM qtab JOIN assigned a USING (vec_id)),
+qa AS (SELECT qv.vec_id, qv.q AS v, a.centroid_id FROM qv JOIN assigned a USING (vec_id)),
 queries AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM qa WHERE vec_id < {n_queries}),
 corpus AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM qa),
 scored AS (
@@ -410,16 +446,14 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {top}
 """
 
 
-def ivf_assign_sql(n_centroids: int = 16) -> str:
+def ivf_assign_sql(n_centroids: int = 16, kmeans_iters: int = 0) -> str:
     # L2² on exact ints: |a|² - 2a·b + |b|², all < 2^53 → exact in double
-    d2 = (
-        "list_dot_product(q, q) - 2 * list_dot_product(q, cv) + list_dot_product(cv, cv)"
-    )
+    ctes, cent = _kmeans_ctes(n_centroids, kmeans_iters)
+    chain = ",\n".join(ctes)
     return f"""
-WITH qv AS (SELECT vec_id, {QUANT} AS q FROM embeddings),
-centroids AS (SELECT vec_id AS centroid_id, q AS cv FROM qv WHERE vec_id < {n_centroids}),
+WITH {chain},
 scored AS (
-  SELECT vec_id, centroid_id, {d2} AS dist2 FROM qv, centroids
+  SELECT vec_id, centroid_id, {_D2} AS dist2 FROM qv, {cent} c
 ),
 ranked AS (
   SELECT vec_id, centroid_id,

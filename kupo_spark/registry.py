@@ -238,9 +238,11 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda s, d: similarity.label_filtered_topk(_embs(s, d), n_queries=10, k=3),
         oracle_pipeline.embedding_label_topk_sql(10, 3),
     ),
+    # IVF centroids are k-means-trained (2 Lloyd rounds in exact integer
+    # arithmetic); the oracle re-derives the identical centroids via CTEs.
     "q_embedding_ivf_assign": (
-        lambda s, d: similarity.ivf_assign(_embs(s, d)),
-        oracle_pipeline.ivf_assign_sql(16),
+        lambda s, d: similarity.ivf_assign(_embs(s, d), kmeans_iters=2),
+        oracle_pipeline.ivf_assign_sql(16, kmeans_iters=2),
     ),
     # ANN top-k variants: the candidate set is the (oracle-checked) bucket /
     # IVF cell, so the bucket-restricted exact top-k is fully deterministic —
@@ -250,8 +252,8 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         oracle_pipeline.lsh_topk_sql(10, 5),
     ),
     "q_embedding_ivf_topk": (
-        lambda s, d: similarity.ivf_topk(_embs(s, d), n_queries=10, k=5),
-        oracle_pipeline.ivf_topk_sql(10, 5),
+        lambda s, d: similarity.ivf_topk(_embs(s, d), n_queries=10, k=5, kmeans_iters=2),
+        oracle_pipeline.ivf_topk_sql(10, 5, kmeans_iters=2),
     ),
 }
 

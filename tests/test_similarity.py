@@ -71,3 +71,54 @@ def test_topk_paths_agree_on_exact_subset(spark):
     bf = {(r.query_id, r.rank): r.neighbor_id for r in brute_force_topk(emb, 5, 3).collect()}
     lf = {(r.query_id, r.rank): r.neighbor_id for r in label_filtered_topk(emb, 5, 3).collect()}
     assert bf == lf and len(bf) == 15
+
+
+def test_kmeans_centroids_trained_and_exact(spark):
+    """2 Lloyd rounds in quantized integer space: centroids move off the
+    seed vectors, keep dimensionality, stay bounded by the data range, and
+    the whole training is deterministic (exact int sums + floor-mean — no
+    float nondeterminism to average away)."""
+    from kupo_spark.functions.similarity import ivf_assign, kmeans_centroids, quantized
+
+    emb = spark.read.parquet(EMB)
+    cent = {r.centroid_id: list(r.cv) for r in kmeans_centroids(emb, 8, iters=2).collect()}
+    seeds = {
+        r.vec_id: list(r.q)
+        for r in quantized(emb).where(F.col("vec_id") < 8).collect()
+    }
+    assert set(cent) <= set(range(8)) and len(cent) >= 2
+    dim = len(next(iter(seeds.values())))
+    assert all(len(v) == dim for v in cent.values())
+    # training moved at least one centroid off its seed
+    assert any(cent[i] != seeds[i] for i in cent)
+    # determinism: a second run is bit-identical
+    again = {r.centroid_id: list(r.cv) for r in kmeans_centroids(emb, 8, iters=2).collect()}
+    assert again == cent
+    # every centroid component within the data's quantized range
+    lo = min(min(v) for v in seeds.values()) - 10**6
+    hi = max(max(v) for v in seeds.values()) + 10**6
+    assert all(lo <= x <= hi for v in cent.values() for x in v)
+
+
+def test_kmeans_objective_non_increasing(spark):
+    """Lloyd's algorithm never increases the within-cluster L2² objective
+    (floor-rounding of means can only add O(dim) per point, far below the
+    assignment improvements at this scale)."""
+    from kupo_spark.functions.similarity import kmeans_centroids, nearest_centroid, quantized
+
+    emb = spark.read.parquet(EMB)
+    q = quantized(emb)
+
+    def objective(iters):
+        cent = kmeans_centroids(emb, 8, iters=iters)
+        scored = q.crossJoin(F.broadcast(cent)).withColumn(
+            "dist2",
+            F.expr("aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"),
+        )
+        return (
+            scored.groupBy("vec_id").agg(F.min("dist2").alias("d"))
+            .agg(F.sum("d")).collect()[0][0]
+        )
+
+    o1, o2 = objective(1), objective(2)
+    assert o2 <= o1
