@@ -182,3 +182,69 @@ def credential_from_bech32(text: str) -> str | None:
     if hrp in ("addr_vkh", "stake_vkh", "script") and len(payload) == 28:
         return payload.hex()
     return None
+
+
+# ---------------------------------------------------------------------------
+# Packed binary rows (Database.hs:238-260, db/v2.1.0/003.sql, db/v2.2.0):
+# ext_output_reference = txid ‖ output_index(2 BE) ‖ transaction_index(2 BE)
+# — 36 bytes with the ledger's 32-byte blake2b digests, and output_reference
+# = everything but the trailing transaction_index (34 bytes); datum_info =
+# flag byte (0 ⇒ reference, 1 ⇒ inline) ‖ datum hash.  Widths derive from
+# the digest so the driver's narrower synthetic ids pack the same way.
+# Driver-side codecs for query-bound construction + tests; the indexer
+# materializes the same bytes column-side with unhex/lpad (engine-exact,
+# no UDF).
+# ---------------------------------------------------------------------------
+
+
+def pack_output_reference(transaction_id: str, output_index: int) -> bytes:
+    """txid ‖ u16-BE output index (outputReferenceToRow; 34 bytes with
+    32-byte digests)."""
+    if not 0 <= output_index <= 0xFFFF:
+        raise ValueError(f"output_index out of u16 range: {output_index}")
+    return bytes.fromhex(transaction_id) + output_index.to_bytes(2, "big")
+
+
+def pack_ext_output_reference(
+    transaction_id: str, output_index: int, transaction_index: int
+) -> bytes:
+    """txid ‖ u16-BE output index ‖ u16-BE transaction index
+    (extendedOutputReferenceToRow; 36 bytes with 32-byte digests)."""
+    if not 0 <= transaction_index <= 0xFFFF:
+        raise ValueError(f"transaction_index out of u16 range: {transaction_index}")
+    return pack_output_reference(transaction_id, output_index) + transaction_index.to_bytes(2, "big")
+
+
+def unpack_ext_output_reference(b: bytes) -> tuple[str, int, int]:
+    """(txid hex, output_index, transaction_index) — the inverse of
+    extendedOutputReferenceFromRow; raises on impossible widths like the
+    reference's non-empty-remaining check."""
+    if len(b) < 6:
+        raise ValueError(f"ext_output_reference too short: {len(b)} bytes")
+    return b[:-4].hex(), int.from_bytes(b[-4:-2], "big"), int.from_bytes(b[-2:], "big")
+
+
+def unpack_output_reference(b: bytes) -> tuple[str, int]:
+    if len(b) < 4:
+        raise ValueError(f"output_reference too short: {len(b)} bytes")
+    return b[:-2].hex(), int.from_bytes(b[-2:], "big")
+
+
+_DATUM_FLAGS = {"reference": 0, "inline": 1}
+
+
+def pack_datum_info(datum_kind: str, datum_hash: str | None) -> bytes | None:
+    """flag ‖ hash (datumInfoToRow); None for outputs without a datum."""
+    if datum_kind == "none" or datum_hash is None:
+        return None
+    return bytes([_DATUM_FLAGS[datum_kind]]) + bytes.fromhex(datum_hash)
+
+
+def unpack_datum_info(b: bytes | None) -> tuple[str, str | None]:
+    """(datum_kind, datum_hash hex) ← flag ‖ hash; (none, None) for NULL —
+    the inverse of the v2.2.0 generated columns (substr(datum_info, 2))."""
+    if b is None:
+        return "none", None
+    if len(b) < 2 or b[0] not in (0, 1):
+        raise ValueError("datum_info must be flag-byte ‖ hash")
+    return ("reference", "inline")[b[0]], b[1:].hex()

@@ -102,6 +102,25 @@ def exploded_outputs(blocks: DataFrame) -> DataFrame:
             F.col("transaction_id"), F.lit("#"), F.col("out.output_index").cast("string"),
             F.lit("@"), F.col("transaction_index").cast("string"),
         ).alias("ext_output_reference"),
+        # packed binary rows (Database.hs:238-260, db/v2.1.0/003.sql):
+        # txid(32) ‖ output_index(2 BE) [‖ transaction_index(2 BE)] — P7/P8
+        # compile to byte-interval predicates over these, mirroring the
+        # reference's BETWEEN range scan; built with unhex/lpad (codegen, no
+        # UDF).  The 34-byte form is the 36-byte form's prefix, kept
+        # materialized so parquet min/max stats cover the range predicate.
+        F.unhex(
+            F.concat(
+                F.col("transaction_id"),
+                F.lpad(F.hex(F.col("out.output_index")), 4, "0"),
+            )
+        ).alias("output_reference_bin"),
+        F.unhex(
+            F.concat(
+                F.col("transaction_id"),
+                F.lpad(F.hex(F.col("out.output_index")), 4, "0"),
+                F.lpad(F.hex(F.col("transaction_index")), 4, "0"),
+            )
+        ).alias("ext_output_reference_bin"),
         "transaction_id",
         "transaction_index",
         F.col("out.output_index").alias("output_index"),
@@ -111,6 +130,18 @@ def exploded_outputs(blocks: DataFrame) -> DataFrame:
         F.col("out.assets").alias("assets"),
         F.col("out.datum_kind").alias("datum_kind"),
         F.col("out.datum_hash").alias("datum_hash"),
+        # flag-byte ‖ hash (datumInfoToRow, Database.hs:393-399; NULL when
+        # no datum — the v2.2.0 datum_info column, from which datum_hash is
+        # the generated substr(datum_info, 2))
+        F.when(
+            F.col("out.datum_kind") == "inline",
+            F.concat(F.unhex(F.lit("01")), F.unhex(F.col("out.datum_hash"))),
+        )
+        .when(
+            F.col("out.datum_kind") == "reference",
+            F.concat(F.unhex(F.lit("00")), F.unhex(F.col("out.datum_hash"))),
+        )
+        .alias("datum_info"),
         F.col("out.datum_cbor").alias("datum_cbor"),
         F.col("out.script_hash").alias("script_hash"),
         F.col("out.script_cbor").alias("script_cbor"),
@@ -231,9 +262,10 @@ def build_index(
 
 #: Columns of the materialized ``inputs`` table, in storage order.
 INPUTS_COLUMNS = [
-    "output_reference", "ext_output_reference", "transaction_id",
+    "output_reference", "ext_output_reference",
+    "output_reference_bin", "ext_output_reference_bin", "transaction_id",
     "transaction_index", "output_index", "address", "payment_credential",
-    "coins", "assets", "datum_kind", "datum_hash", "script_hash",
+    "coins", "assets", "datum_kind", "datum_hash", "datum_info", "script_hash",
     "created_at", "spent_at", "spent_by", "spent_input_index", "spent_with",
 ]
 

@@ -245,13 +245,22 @@ def to_column(p: Pattern, *, at_ingest: bool = False) -> Column:
             F.expr("right(address, 56)") == F.lit(p.payment)
         )
     if isinstance(p, MatchTransactionId):
-        # unpacked-column equality; kupo uses a BETWEEN range scan on the
-        # packed binary reference (Database.hs:745-755) — same selectivity,
-        # Spark-native pushdown on the transaction_id column.
-        return F.col("transaction_id") == F.lit(p.transaction_id)
+        # the reference's BETWEEN byte-interval scan over the packed
+        # 34-byte reference (Database.hs:745-755): binary comparison in
+        # Spark is unsigned-lexicographic, so [txid‖0000, txid‖ffff] covers
+        # exactly this transaction's outputs, and the bounds push down to
+        # the parquet scan's min/max stats.
+        from kupo_spark.codecs import pack_output_reference
+
+        lo = pack_output_reference(p.transaction_id, 0)
+        hi = pack_output_reference(p.transaction_id, 0xFFFF)
+        return F.col("output_reference_bin").between(F.lit(lo), F.lit(hi))
     if isinstance(p, MatchOutputReference):
-        return (F.col("transaction_id") == F.lit(p.transaction_id)) & (
-            F.col("output_index") == F.lit(p.output_index)
+        # point equality on the packed reference (Database.hs:741-744)
+        from kupo_spark.codecs import pack_output_reference
+
+        return F.col("output_reference_bin") == F.lit(
+            pack_output_reference(p.transaction_id, p.output_index)
         )
     if isinstance(p, MatchPolicyId):
         return F.map_contains_key(F.col("assets"), F.lit(p.policy_id))

@@ -74,3 +74,55 @@ def test_garbage_still_rejected():
     for bad in ["addr1qqqq", "nothex!", "stake1"]:
         with pytest.raises(Exception):
             pattern_from_text(bad)
+
+
+def test_packed_reference_roundtrip_property():
+    """outputReferenceToRow/FromRow parity (Database.hs:247-290): width
+    checks, big-endian u16 fields, roundtrip over the full u16 corners."""
+    import pytest
+    from hypothesis import given, strategies as st
+
+    from kupo_spark.codecs import (
+        pack_ext_output_reference,
+        pack_output_reference,
+        unpack_ext_output_reference,
+        unpack_output_reference,
+    )
+
+    @given(
+        st.binary(min_size=32, max_size=32),
+        st.integers(0, 0xFFFF),
+        st.integers(0, 0xFFFF),
+    )
+    def roundtrip(txid, oix, tix):
+        h = txid.hex()
+        b = pack_ext_output_reference(h, oix, tix)
+        assert len(b) == 36
+        assert unpack_ext_output_reference(b) == (h, oix, tix)
+        s = pack_output_reference(h, oix)
+        assert len(s) == 34 and b[:34] == s
+        assert unpack_output_reference(s) == (h, oix)
+        # byte-interval rule the P7 BETWEEN relies on
+        assert pack_output_reference(h, 0) <= s <= pack_output_reference(h, 0xFFFF)
+
+    roundtrip()
+    with pytest.raises(ValueError):
+        pack_output_reference("00" * 32, 0x10000)
+    with pytest.raises(ValueError):
+        unpack_ext_output_reference(b"\x00" * 5)
+
+
+def test_datum_info_roundtrip():
+    import pytest
+
+    from kupo_spark.codecs import pack_datum_info, unpack_datum_info
+
+    h = "ab" * 32
+    assert pack_datum_info("none", None) is None
+    assert unpack_datum_info(None) == ("none", None)
+    for kind, flag in (("reference", 0), ("inline", 1)):
+        b = pack_datum_info(kind, h)
+        assert b[0] == flag and len(b) == 33
+        assert unpack_datum_info(b) == (kind, h)
+    with pytest.raises(ValueError):
+        unpack_datum_info(b"\x02" + bytes(32))

@@ -127,3 +127,51 @@ def test_frequent_shingle_cap_bounds_hot_key(spark):
     # rows; capped: no shared shingles at all -> zero candidate pairs
     assert ngram_jaccard_pairs(docs, threshold=0.01).count() == n * (n - 1) // 2
     assert ngram_jaccard_pairs(docs, threshold=0.01, max_df=10).count() == 0
+
+
+def test_txid_between_on_packed_reference(disk_index):
+    """P7 compiles to the reference's byte-interval scan over the packed
+    34-byte output_reference (Database.hs:745-755): the BETWEEN bounds must
+    reach the parquet scan as pushed binary range filters."""
+    txid = cs.transaction_id_of(3)
+    df = fold_inputs(disk_index, f"*@{txid}")
+    plan = formatted_plan(df)
+    assert "output_reference_bin" in plan
+    assert "GreaterThanOrEqual(output_reference_bin" in plan
+    assert "LessThanOrEqual(output_reference_bin" in plan
+    assert df.count() > 0
+
+
+def test_packed_reference_columns_match_codecs(index):
+    """The column-side unhex/lpad construction must produce byte-identical
+    rows to the driver-side packers (the codec the query bound uses)."""
+    from kupo_spark.codecs import (
+        pack_datum_info,
+        pack_ext_output_reference,
+        unpack_datum_info,
+        unpack_ext_output_reference,
+    )
+
+    rows = index.inputs.select(
+        "transaction_id", "output_index", "transaction_index",
+        "output_reference_bin", "ext_output_reference_bin",
+        "datum_kind", "datum_hash", "datum_info",
+    ).limit(200).collect()
+    assert rows
+    seen_datum = False
+    for r in rows:
+        ext = pack_ext_output_reference(
+            r.transaction_id, r.output_index, r.transaction_index
+        )
+        assert bytes(r.ext_output_reference_bin) == ext
+        assert bytes(r.output_reference_bin) == ext[:-2]  # generated-column rule
+        assert unpack_ext_output_reference(ext) == (
+            r.transaction_id, r.output_index, r.transaction_index
+        )
+        want = pack_datum_info(r.datum_kind, r.datum_hash)
+        got = None if r.datum_info is None else bytes(r.datum_info)
+        assert got == want
+        if want is not None:
+            seen_datum = True
+            assert unpack_datum_info(want) == (r.datum_kind, r.datum_hash)
+    assert seen_datum
