@@ -68,6 +68,20 @@ class Serving:
             .sortWithinPartitions(*order)
             .persist()
         )
+        # the primary-key "B-tree": the same rows clustered by transaction
+        # id (the typed face of kupo's packed-reference PRIMARY KEY).  Point
+        # lookups (P7/P8) filter on this key, which the chain-order
+        # partitioning can't prune — so they route here instead: few
+        # partitions (a point query pays per-task dispatch, not scan time),
+        # txid-sorted so the in-memory columnar batch stats skip every
+        # non-matching 10k-row batch — the B-tree-descent analog.
+        self._point_view = (
+            inputs.repartitionByRange(
+                max(1, partitions // 4), F.col("transaction_id")
+            )
+            .sortWithinPartitions("transaction_id", "output_index")
+            .persist()
+        )
         self.index = Index(
             inputs=self._view,
             checkpoints=index.checkpoints.coalesce(1).persist(),
@@ -77,8 +91,10 @@ class Serving:
             scripts=index.scripts.coalesce(1).persist(),
             slot_bucket=index.slot_bucket,
         )
+        self._point_index = self.index.with_inputs(self._point_view)
         self._hot = [
             self._view,
+            self._point_view,
             self.index.checkpoints,
             self.index.policies,
             self.index.binary_data,
@@ -91,7 +107,21 @@ class Serving:
             df.count()
         return self
 
-    def fold(self, pattern="*", use_plan_cache: bool = True, **kwargs) -> DataFrame:
+    @staticmethod
+    def _is_point(pattern) -> bool:
+        from kupo_spark.patterns import (
+            MatchOutputReference,
+            MatchTransactionId,
+            Pattern,
+            pattern_from_text,
+        )
+
+        p = pattern_from_text(pattern) if not isinstance(pattern, Pattern) else pattern
+        return isinstance(p, (MatchTransactionId, MatchOutputReference))
+
+    def fold(
+        self, pattern="*", use_plan_cache: bool = True, point: bool = False, **kwargs
+    ) -> DataFrame:
         """fold_inputs over the hot view.  Output arrives in chain order
         (most recent first) WITHOUT a sort step — the storage order is the
         query order, as in kupo's index traversal (SQLite.hs:948-969).
@@ -101,12 +131,13 @@ class Serving:
         (SQLite.hs:919-1003 are compiled per connection, not per request);
         without it every request pays ~60 ms of Catalyst on this box."""
         kwargs.setdefault("sorted_result", False)
+        index = self._point_index if point else self.index
         if not use_plan_cache:
-            return fold_inputs(self.index, pattern, **kwargs)
-        key = (str(pattern), tuple(sorted(kwargs.items())))
+            return fold_inputs(index, pattern, **kwargs)
+        key = (str(pattern), point, tuple(sorted(kwargs.items())))
         df = self._plan_cache.get(key)
         if df is None:
-            df = fold_inputs(self.index, pattern, **kwargs)
+            df = fold_inputs(index, pattern, **kwargs)
             if len(self._plan_cache) >= self.PLAN_CACHE_SIZE:
                 self._plan_cache.pop(next(iter(self._plan_cache)))
             self._plan_cache[key] = df
@@ -117,7 +148,18 @@ class Serving:
         stored most-recent-first; oldest-first is a driver-side reversal of
         the collected page.  Point-lookup shaped: for large scans use
         :meth:`fold_stream` or :meth:`fold_pages`, which never hold the full
-        result on the driver (kupo streams those responses, Http.hs:457-471)."""
+        result on the driver (kupo streams those responses, Http.hs:457-471).
+
+        P7/P8 patterns read the primary-key view (partition-bounded point
+        read); their handful of rows is re-ordered on the driver — exactly
+        a B-tree point read followed by an in-memory sort of the page."""
+        if self._is_point(pattern):
+            rows = self.fold(pattern, point=True, **kwargs).collect()
+            rows.sort(
+                key=lambda r: tuple(r[k] for k in CHAIN_ORDER_KEYS),
+                reverse=(order == "most_recent_first"),
+            )
+            return rows
         rows = self.fold(pattern, **kwargs).collect()
         return rows if order == "most_recent_first" else rows[::-1]
 

@@ -254,13 +254,26 @@ def to_column(p: Pattern, *, at_ingest: bool = False) -> Column:
 
         lo = pack_output_reference(p.transaction_id, 0)
         hi = pack_output_reference(p.transaction_id, 0xFFFF)
-        return F.col("output_reference_bin").between(F.lit(lo), F.lit(hi))
+        # the typed transaction_id conjunct is redundant with the byte
+        # interval but load-bearing for storage skipping: Spark's in-memory
+        # columnar cache keeps no min/max for BinaryType, so only the
+        # string column's batch stats can prune a txid-clustered hot view
+        return (
+            F.col("output_reference_bin").between(F.lit(lo), F.lit(hi))
+            & (F.col("transaction_id") == F.lit(p.transaction_id))
+        )
     if isinstance(p, MatchOutputReference):
-        # point equality on the packed reference (Database.hs:741-744)
+        # point equality on the packed reference (Database.hs:741-744);
+        # typed conjuncts for batch-stats skipping as above
         from kupo_spark.codecs import pack_output_reference
 
-        return F.col("output_reference_bin") == F.lit(
-            pack_output_reference(p.transaction_id, p.output_index)
+        return (
+            (
+                F.col("output_reference_bin")
+                == F.lit(pack_output_reference(p.transaction_id, p.output_index))
+            )
+            & (F.col("transaction_id") == F.lit(p.transaction_id))
+            & (F.col("output_index") == F.lit(p.output_index))
         )
     if isinstance(p, MatchPolicyId):
         return F.map_contains_key(F.col("assets"), F.lit(p.policy_id))
