@@ -65,20 +65,29 @@ def quantized(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.expr(QUANT).alias("q"))
 
 
+def _norm2(vec_col: str) -> F.Column:
+    """Exact-int squared norm of a quantized vector column."""
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    )
+
+
 def _with_cosine(paired: DataFrame) -> DataFrame:
-    """Add the exact-integer cosine to a (qv, cv)-paired candidate frame.
+    """Add the exact-integer cosine to a (qv, cv)-paired candidate frame
+    that already carries per-side squared norms ``nq``/``nc`` (computed
+    once per vector BEFORE the pairing join — higher-order-function
+    evaluation is per-element interpreted, so recomputing a norm per pair
+    row would triple the scoring cost of a queries × corpus join).
 
     Dot and norms are exact int64 sums over the quantized vectors; the final
     division/sqrt is one fixed IEEE-double expression, so Spark and DuckDB
     agree bit-for-bit and round(·, 6) is stable."""
-    return (
-        paired.withColumn("dot", F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn("nq", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn("nc", F.expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-        .withColumn(
-            "cosine",
-            F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
-        )
+    return paired.withColumn(
+        "dot",
+        F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"),
+    ).withColumn(
+        "cosine",
+        F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
     )
 
 
@@ -91,8 +100,10 @@ def brute_force_topk(
     q = quantized(emb)
     queries = q.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
-    )
-    corpus = q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"))
+    ).withColumn("nq", _norm2("qv"))
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv")
+    ).withColumn("nc", _norm2("cv"))
     scored = _with_cosine(
         corpus.crossJoin(F.broadcast(queries)).where(F.col("neighbor_id") != F.col("query_id"))
     )
@@ -109,8 +120,10 @@ def label_filtered_topk(
     q = emb.select("vec_id", "label", F.expr(QUANT).alias("q"))
     queries = q.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "label", F.col("q").alias("qv")
-    )
-    corpus = q.select(F.col("vec_id").alias("neighbor_id"), "label", F.col("q").alias("cv"))
+    ).withColumn("nq", _norm2("qv"))
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("q").alias("cv")
+    ).withColumn("nc", _norm2("cv"))
     scored = _with_cosine(
         corpus.join(F.broadcast(queries), "label").where(F.col("neighbor_id") != F.col("query_id"))
     )
@@ -228,8 +241,10 @@ def ivf_topk(
     qa = q.join(assign, "vec_id")
     queries = qa.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "centroid_id"
-    )
-    corpus = qa.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"), "centroid_id")
+    ).withColumn("nq", _norm2("qv"))
+    corpus = qa.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"), "centroid_id"
+    ).withColumn("nc", _norm2("cv"))
     scored = _with_cosine(
         corpus.join(F.broadcast(queries), "centroid_id").where(F.col("neighbor_id") != F.col("query_id"))
     )
@@ -245,8 +260,10 @@ def lsh_topk(
     qb = q.join(buckets, "vec_id")
     queries = qb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "bucket"
-    )
-    corpus = qb.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"), "bucket")
+    ).withColumn("nq", _norm2("qv"))
+    corpus = qb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"), "bucket"
+    ).withColumn("nc", _norm2("cv"))
     scored = _with_cosine(
         corpus.join(F.broadcast(queries), "bucket").where(F.col("neighbor_id") != F.col("query_id"))
     )
