@@ -150,6 +150,31 @@ def lsh_buckets(emb: DataFrame, planes: int = N_PLANES, dim: int = DIM) -> DataF
     return df.select("vec_id", F.expr("concat(" + ", ".join(bits) + ")").alias("bucket"))
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.3, planes: int = N_PLANES
+) -> DataFrame:
+    """Embedding-cosine near-duplicates, the ANN-gated scale path: candidate
+    pairs must share a sign-LSH bucket (linear candidate generation — the
+    bucket join only pairs bucket-mates, never all-pairs), then the exact
+    integer cosine verifies candidates only.  Returns (vec_a < vec_b,
+    cosine ≥ threshold).  Recall is the standard LSH trade: a pair at angle
+    θ survives all `planes` hyperplanes with probability (1 − θ/π)^planes —
+    raise recall with band OR-ing exactly as in the MinHash pipeline."""
+    q = quantized(emb)
+    b = lsh_buckets(emb, planes)
+    qb = q.join(b, "vec_id").withColumn("n2", _norm2("q"))
+    a = qb.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qv"),
+        F.col("n2").alias("nq"), "bucket",
+    )
+    c = qb.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("cv"),
+        F.col("n2").alias("nc"), "bucket",
+    )
+    scored = _with_cosine(a.join(c, "bucket").where(F.col("vec_a") < F.col("vec_b")))
+    return scored.where(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")
+
+
 N_CENTROIDS = 16
 
 

@@ -386,6 +386,36 @@ def _kmeans_ctes(n_centroids: int, iters: int, dim: int = DIM) -> tuple[list[str
     return ctes, prev
 
 
+def lsh_buckets_and_near_dup_sql(
+    threshold: float = 0.3, planes: int = N_PLANES, dim: int = DIM
+) -> str:
+    """Tagged union: the sign-LSH bucket table plus the embedding-cosine
+    near-dup pairs it yields (candidates share a bucket; exact cosine
+    verifies candidates only)."""
+    bits = " || ".join(
+        f"CASE WHEN list_dot_product(v, {_hyperplane_sql(j, dim)}) >= 0 THEN '1' ELSE '0' END"
+        for j in range(planes)
+    )
+    return f"""
+WITH qtab AS (SELECT vec_id, {QUANT} AS v FROM embeddings),
+b AS (SELECT vec_id, {bits} AS bucket FROM qtab),
+qb AS (SELECT qtab.vec_id, qtab.v, b.bucket FROM qtab JOIN b USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         round(list_dot_product(a.v, c.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM qb a JOIN qb c USING (bucket)
+  WHERE a.vec_id < c.vec_id
+)
+SELECT 'buckets' AS q, vec_id, bucket,
+       CAST(-1 AS BIGINT) AS vec_b, CAST(-2 AS DOUBLE) AS cosine
+FROM b
+UNION ALL
+SELECT 'near_dup' AS q, vec_a AS vec_id, '' AS bucket, vec_b, cosine
+FROM pairs WHERE cosine >= {threshold}
+"""
+
+
 def ivf_topk_sql(
     n_queries: int = 10, k: int = 5, n_centroids: int = 16, kmeans_iters: int = 0
 ) -> str:

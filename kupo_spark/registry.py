@@ -174,6 +174,22 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _lsh_buckets_and_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sentinels (not NULLs) in the off-arm columns: the driver's compare
+    # sorts row tuples, and None is unordered against values in python3
+    emb = _embs(spark, sf_dir)
+    buckets = similarity.lsh_buckets(emb).select(
+        F.lit("buckets").alias("q"), "vec_id", "bucket",
+        F.lit(-1).cast("long").alias("vec_b"),
+        F.lit(-2.0).cast("double").alias("cosine"),
+    )
+    near = similarity.embedding_near_dup_pairs(emb, threshold=0.3).select(
+        F.lit("near_dup").alias("q"), F.col("vec_a").alias("vec_id"),
+        F.lit("").alias("bucket"), "vec_b", "cosine",
+    )
+    return buckets.unionByName(near)
+
+
 #: LLM-data-pipeline operators: name → (spark callable, oracle SQL | None)
 PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_dedup_exact": (
@@ -218,9 +234,12 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda s, d: similarity.brute_force_topk(_embs(s, d), n_queries=10, k=5),
         oracle_pipeline.embedding_topk_sql(10, 5),
     ),
+    # tagged union (50-row budget): the sign-LSH bucket index + the
+    # embedding-cosine near-dup pairs derived from it (candidates share a
+    # bucket, exact integer cosine verifies candidates only)
     "q_embedding_lsh_buckets": (
-        lambda s, d: similarity.lsh_buckets(_embs(s, d)),
-        oracle_pipeline.lsh_buckets_sql(),
+        lambda s, d: _lsh_buckets_and_near_dup(s, d),
+        oracle_pipeline.lsh_buckets_and_near_dup_sql(0.3),
     ),
     "q_multimodal_features": (
         lambda s, d: multimodal.extract_features(multimodal.as_media_table(_docs(s, d))),
