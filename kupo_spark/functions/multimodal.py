@@ -93,3 +93,44 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(
         kernel, "doc_id bigint, content binary, width int, height int"
     )
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 64, every: int = 4, strict: bool = False
+) -> DataFrame:
+    """Frame-sampling plumbing for audio/video payloads: one output row per
+    sampled frame, exploded *inside* the Arrow kernel so the Python
+    boundary is crossed once per batch, not per frame.
+
+    The deterministic stand-in treats the payload as fixed-size frames of
+    ``frame_bytes`` and keeps every ``every``-th — a real deployment swaps
+    the chunker for an ffmpeg/pyav keyframe iterator with the identical
+    (doc_id, frame_index, frame) output contract.  ``strict=True`` marks
+    that real-codec path (no media libraries in this container).
+
+    Scale shape: output inflates rows by ~payload/(frame_bytes·every); the
+    kernel is partition-preserving (no shuffle), so downstream per-frame
+    feature extraction starts co-located with the source document."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real frame decoding requires ffmpeg/pyav; not available here"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue
+                n_frames = (len(content) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(bytes(content[fi * frame_bytes:(fi + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_index": idxs, "frame": frames}
+            ).astype({"doc_id": "int64", "frame_index": "int32"})
+
+    return media.select("doc_id", "content").mapInPandas(
+        kernel, "doc_id bigint, frame_index int, frame binary"
+    )

@@ -196,3 +196,34 @@ def test_health(index):
     h = health(index).collect()[0]
     assert h["n_inputs"] > h["n_unspent"] > 0
     assert h["most_recent_checkpoint"] == 99
+
+
+def test_frame_sample_plumbing(spark):
+    """Deterministic frame sampling: every `every`-th fixed-size chunk, in
+    order, partition-preserving, strict path honestly unimplemented."""
+    import pytest
+
+    from kupo_spark.functions.multimodal import as_media_table, frame_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 300, "s"), (2, "b" * 40, "s"), (3, "", "s")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    media = as_media_table(docs)
+    rows = frame_sample(media, frame_bytes=64, every=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 300 bytes -> frames 0..4, sampled 0,2,4 (len 64,64,44)
+    assert [r.frame_index for r in by_doc[1]] == [0, 2, 4]
+    assert [len(r.frame) for r in by_doc[1]] == [64, 64, 300 - 4 * 64]
+    assert bytes(by_doc[1][0].frame) == b"a" * 64
+    # doc 2: one frame; doc 3: empty payload -> no frames
+    assert [r.frame_index for r in by_doc[2]] == [0] and len(by_doc[2][0].frame) == 40
+    assert 3 not in by_doc
+    # the strict (real-codec) path surfaces NotImplementedError from the
+    # executor, wrapped by PySpark
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        frame_sample(media, strict=True).collect()
