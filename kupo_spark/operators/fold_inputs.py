@@ -180,7 +180,14 @@ def fold_inputs(
     df = df.select(*cols)
 
     if sorted_result:
-        # O1: total chain order (SQLite.hs:948-969).
+        # O1: total chain order (SQLite.hs:948-969).  A range sort samples
+        # partition boundaries by EXECUTING the child plan, then executes it
+        # again for the shuffle — the whole match pipeline would run twice.
+        # Truncate lineage first: the filtered result materializes once and
+        # both the sampling job and the sort read the checkpointed blocks.
+        # (On a cluster a lost executor fails the request, which is retried
+        # — response-serving semantics, same as kupo re-running a request.)
+        df = df.localCheckpoint(eager=False)
         keys = ["created_at", "transaction_index", "output_index"]
         if order == "most_recent_first":
             df = df.orderBy(*[F.col(k).desc() for k in keys])
