@@ -180,14 +180,16 @@ def fold_inputs(
     df = df.select(*cols)
 
     if sorted_result:
-        # O1: total chain order (SQLite.hs:948-969).  A range sort samples
-        # partition boundaries by EXECUTING the child plan, then executes it
-        # again for the shuffle — the whole match pipeline would run twice.
-        # Truncate lineage first: the filtered result materializes once and
-        # both the sampling job and the sort read the checkpointed blocks.
-        # (On a cluster a lost executor fails the request, which is retried
-        # — response-serving semantics, same as kupo re-running a request.)
-        df = df.localCheckpoint(eager=False)
+        # O1: total chain order (SQLite.hs:948-969).  The range sort's
+        # boundary sampling re-executes the child (a filtered parquet scan
+        # with pushed predicates — cheap to repeat); truncating lineage via
+        # localCheckpoint was measured SLOWER end-to-end because the
+        # .localCheckpoint() call compiles the physical plan eagerly
+        # (~0.3 s Catalyst) and materializes the whole match, while the
+        # re-executed scan costs less than that at every scale where the
+        # filter is selective.  Plain orderBy keeps lineage (executor loss
+        # recomputes instead of failing the request) and lets AQE pick the
+        # shuffle partitioning.
         keys = ["created_at", "transaction_index", "output_index"]
         if order == "most_recent_first":
             df = df.orderBy(*[F.col(k).desc() for k in keys])
