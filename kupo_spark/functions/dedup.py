@@ -197,7 +197,6 @@ def minhash_near_dup_pairs(
     sh = shingles(docs, k).persist()
     cand = lsh_candidate_pairs(docs, bands, rows, k, sh=sh).persist()
     n_cand = cand.count()  # materialize candidates once; they gate everything below
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # verification touches ONLY candidate documents: semi-join the shingle
     # table down to candidate ids before the pairwise intersection join —
     # broadcast when candidates are sparse (the common case), shuffle
@@ -207,18 +206,25 @@ def minhash_near_dup_pairs(
     ).distinct()
     ids = F.broadcast(ids) if 2 * n_cand <= broadcast_id_limit else ids
     sh_cand = sh.join(ids, "doc_id", "left_semi")
-    a = sh_cand.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh_cand.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        cand.join(a, "doc_a").join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    # gather each candidate doc's (distinct) shingle set into ONE array row,
+    # then verify pairs with array_intersect: one groupBy + two equi-joins
+    # replaces the posting-list plan (join-on-shingle + groupBy + two count
+    # joins) — half the shuffle stages.  Array size is bounded by document
+    # length, and the per-pair replication of a hot doc's array matches the
+    # posting-list replication volume, so the scale behavior is unchanged.
+    sets = sh_cand.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("n")
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"), F.col("n").alias("na")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"), F.col("n").alias("nb")
+    )
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("sa", "sb")))
         .withColumn("jaccard", F.expr("round(i / (na + nb - i), 6)"))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
