@@ -96,16 +96,54 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of every corpus vector for each of the first
     `n_queries` vec_ids (self excluded); deterministic tie-break on
-    neighbor id."""
+    neighbor id.
+
+    Scoring is ONE corpus scan with the (small, by contract) query matrix
+    riding the task closure: each Arrow batch of corpus vectors is scored
+    against all queries with one int64 numpy matmul — exact integer dots
+    (bit-identical to the SQL oracle), vectorized instead of per-element
+    interpreted lambda evaluation.  The corpus is never shuffled before the
+    partial top-k; scores stream out of the scan stage batch by batch."""
+    import numpy as np
+    import pandas as pd
+
     q = quantized(emb)
-    queries = q.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
-    ).withColumn("nq", _norm2("qv"))
-    corpus = q.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv")
-    ).withColumn("nc", _norm2("cv"))
-    scored = _with_cosine(
-        corpus.crossJoin(F.broadcast(queries)).where(F.col("neighbor_id") != F.col("query_id"))
+    qrows = q.where(F.col("vec_id") < n_queries).collect()
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = (
+        np.array([r.q for r in qrows], dtype=np.int64)
+        if qrows
+        else np.zeros((0, DIM), dtype=np.int64)
+    )
+    nq = (qmat * qmat).sum(axis=1)
+    n_q = len(qids)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or n_q == 0:
+                continue
+            cmat = np.array(pdf["q"].tolist(), dtype=np.int64)
+            nc = (cmat * cmat).sum(axis=1)
+            dots = cmat @ qmat.T  # (batch, n_q) exact int64
+            out = pd.DataFrame(
+                {
+                    "neighbor_id": np.repeat(pdf["vec_id"].values, n_q),
+                    "nc": np.repeat(nc, n_q),
+                    "query_id": np.tile(qids, len(pdf)),
+                    "nq": np.tile(nq, len(pdf)),
+                    "dot": dots.reshape(-1),
+                }
+            )
+            yield out[out.neighbor_id != out.query_id]
+
+    scored = q.mapInPandas(
+        score, "neighbor_id long, nc long, query_id long, nq long, dot long"
+    ).withColumn(
+        "cosine",
+        F.expr(
+            "round(cast(dot as double) /"
+            " (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"
+        ),
     )
     return topk_merge(scored, k)
 
