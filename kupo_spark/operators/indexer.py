@@ -267,6 +267,8 @@ INPUTS_COLUMNS = [
     "transaction_index", "output_index", "address", "payment_credential",
     "coins", "assets", "datum_kind", "datum_hash", "datum_info", "script_hash",
     "created_at", "spent_at", "spent_by", "spent_input_index", "spent_with",
+    # materialized-only (resolved at write_index time, absent in-memory):
+    "created_header_hash", "spent_header_hash",
 ]
 
 
@@ -277,9 +279,36 @@ def write_index(index: Index, path: str, slot_bucket: int = 1000) -> None:
       slot-range queries (the analog of kupo's created_at index), and sorted
       within partitions by address so min/max stats skip credential scans
       (the Z-order/cluster-by analog);
+    - the checkpoint header hashes (J1/J2, SQLite.hs:930-937) are resolved
+      ONCE here and stored denormalized — kupo re-joins checkpoints per
+      query because SQLite rows are precious; columnar storage makes the
+      two dictionary-encoded hash columns nearly free, and every fold over
+      the materialized index then skips two broadcast builds per request
+      (`fold_inputs` detects the resolved columns and skips J1/J2);
     - side tables small → single dir each.
     """
-    inputs = index.inputs.withColumn(
+    inputs = index.inputs
+    if "created_header_hash" not in inputs.columns:
+        cps = index.checkpoints
+        created = F.broadcast(
+            cps.select(
+                F.col("slot_no").alias("_c_slot"),
+                F.col("header_hash").alias("created_header_hash"),
+            )
+        )
+        spent = F.broadcast(
+            cps.select(
+                F.col("slot_no").alias("_s_slot"),
+                F.col("header_hash").alias("spent_header_hash"),
+            )
+        )
+        inputs = inputs.join(created, inputs.created_at == created._c_slot, "inner").drop(
+            "_c_slot"
+        )
+        inputs = inputs.join(spent, inputs.spent_at == spent._s_slot, "left").drop(
+            "_s_slot"
+        )
+    inputs = inputs.withColumn(
         "created_bucket", (F.col("created_at") / slot_bucket).cast("long")
     )
     (

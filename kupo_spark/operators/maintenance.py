@@ -31,16 +31,14 @@ def rollback_to(index: Index, slot_no: int) -> Index:
     after the current tip is a no-op (SQLite.hs:799-806)."""
     s = F.lit(slot_no)
     unspend = F.col("spent_at").isNotNull() & (F.col("spent_at") > s)
-    inputs = (
-        index.inputs.where(F.col("created_at") <= s)
-        .withColumn("spent_by", F.when(unspend, F.lit(None)).otherwise(F.col("spent_by")))
-        .withColumn(
-            "spent_input_index",
-            F.when(unspend, F.lit(None)).otherwise(F.col("spent_input_index")),
-        )
-        .withColumn("spent_with", F.when(unspend, F.lit(None)).otherwise(F.col("spent_with")))
-        .withColumn("spent_at", F.when(unspend, F.lit(None)).otherwise(F.col("spent_at")))
-    )
+    spent_cols = ["spent_by", "spent_input_index", "spent_with"]
+    if "spent_header_hash" in index.inputs.columns:
+        # denormalized J2 column (write_index) must be retracted with the
+        # spent_at it was resolved from
+        spent_cols.append("spent_header_hash")
+    inputs = index.inputs.where(F.col("created_at") <= s)
+    for c in spent_cols + ["spent_at"]:
+        inputs = inputs.withColumn(c, F.when(unspend, F.lit(None)).otherwise(F.col(c)))
     checkpoints = index.checkpoints.where(F.col("slot_no") <= s)
     surviving = inputs.select("output_reference")
     policies = index.policies.join(surviving, "output_reference", "left_semi")

@@ -28,8 +28,19 @@ def test_exact_address_pushed_to_scan(disk_index):
     assert "PushedFilters: [" in plan
 
 
-def test_checkpoint_joins_are_broadcast(disk_index):
+def test_materialized_index_skips_checkpoint_joins(disk_index):
+    # write_index denormalizes the J1/J2 header hashes, so a fold over the
+    # materialized index must read them straight off the scan — no joins
     df = fold_inputs(disk_index, "*")
+    plan = formatted_plan(df)
+    assert "created_header_hash" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_checkpoint_joins_are_broadcast(blocks):
+    # an in-memory (un-materialized) index still resolves J1/J2 per query,
+    # and those dimension joins must be broadcast
+    df = fold_inputs(build_index(blocks), "*")
     plan = formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2  # J1 + J2
 
@@ -86,13 +97,16 @@ def test_codegen_on_exploded_outputs(blocks):
     assert "BatchEvalPython" not in plan
 
 
-def test_topk_no_python_in_plan(spark):
+def test_topk_scores_in_arrow_batches(spark):
     from kupo_spark.functions.similarity import brute_force_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = formatted_plan(brute_force_topk(emb))
+    # scoring is one Arrow-batched matmul scan — never row-at-a-time Python,
+    # and never a pre-rank shuffle/join of the corpus
     assert "BatchEvalPython" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
 
 
 def test_exact_duplicates_single_shuffle(spark):
