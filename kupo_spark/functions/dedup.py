@@ -201,10 +201,11 @@ def minhash_near_dup_pairs(
     # table down to candidate ids before the pairwise intersection join —
     # broadcast when candidates are sparse (the common case), shuffle
     # semi-join when a dup-saturated corpus makes them corpus-sized.
-    ids = cand.select(F.col("doc_a").alias("doc_id")).union(
-        cand.select("doc_b")
-    ).distinct()
-    ids = F.broadcast(ids) if 2 * n_cand <= broadcast_id_limit else ids
+    ids = cand.select(F.col("doc_a").alias("doc_id")).union(cand.select("doc_b"))
+    # broadcast path: semi-join dedups by itself, so skip the distinct (a
+    # shuffle + extra job) and ship the raw 2·|cand| id list; the shuffle
+    # fallback keeps distinct to bound the exchanged volume.
+    ids = F.broadcast(ids) if 2 * n_cand <= broadcast_id_limit else ids.distinct()
     sh_cand = sh.join(ids, "doc_id", "left_semi")
     # gather each candidate doc's (distinct) shingle set into ONE array row,
     # then verify pairs with array_intersect: one groupBy + two equi-joins
@@ -221,8 +222,12 @@ def minhash_near_dup_pairs(
     b = sets.select(
         F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"), F.col("n").alias("nb")
     )
+    # when the pair list is small (the common, LSH-gated case) broadcast it
+    # through both joins so the gathered shingle arrays never shuffle; on a
+    # dup-saturated corpus fall back to shuffle joins with the same gate
+    pairs = F.broadcast(cand) if 2 * n_cand <= broadcast_id_limit else cand
     return (
-        cand.join(a, "doc_a")
+        pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("i", F.size(F.array_intersect("sa", "sb")))
         .withColumn("jaccard", F.expr("round(i / (na + nb - i), 6)"))
