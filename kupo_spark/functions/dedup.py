@@ -115,25 +115,39 @@ def ngram_jaccard_pairs(
     )
 
 
+#: modulus of the double-hashed min-hash family (fits 12·2³¹ in int64)
+MINHASH_MOD = 2_147_483_647
+
+
 def minhash_signatures_wide(
     docs: DataFrame, n: int = N_MINHASH, k: int = 3, sh: DataFrame | None = None
 ) -> DataFrame:
-    """(doc_id, sig_0 … sig_{n-1}): n independent min-hashes over the shingle
-    set, computed as ONE map-side-combinable aggregation (no crossJoin, no
+    """(doc_id, sig_0 … sig_{n-1}): n min-hashes over the shingle set,
+    computed as ONE map-side-combinable aggregation (no crossJoin, no
     per-(doc, i) shuffle — the only shuffle is the groupBy(doc_id), with n
-    partial mins folded map-side).  Hash family = md5(i ‖ shingle); the
-    *lexicographic* min of hex strings is the min-hash — portable across
-    engines, no bigint mixing.
+    partial mins folded map-side).
+
+    Hash family = Kirsch-Mitzenmacher double hashing: two 60-bit halves of
+    ONE md5 per shingle give h1, h2; g_i = (h1 + i·h2) mod M.  One digest
+    per shingle row instead of n — the md5 is the dominant per-row cost of
+    the signature scan — and the arithmetic is exact int64 in Spark and
+    DuckDB alike (both parse the hex halves to the same bigint).
 
     ``sh`` lets a caller that already materialized the shingle table (the
     verification path needs it too) share it instead of re-running the
     explode + distinct shuffle."""
     if sh is None:
         sh = shingles(docs, k)
+    M = MINHASH_MOD
+    hashed = sh.selectExpr(
+        "doc_id",
+        f"cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint) % {M} as h1",
+        f"cast(conv(substr(md5(sh), 17, 15), 16, 10) as bigint) % {M} as h2",
+    )
     aggs = [
-        F.min(F.expr(f"md5(concat('{i}', '|', sh))")).alias(f"sig_{i}") for i in range(n)
+        F.min(F.expr(f"(h1 + {i} * h2) % {M}")).alias(f"sig_{i}") for i in range(n)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(docs: DataFrame, n: int = N_MINHASH, k: int = 3) -> DataFrame:
@@ -149,13 +163,14 @@ def lsh_band_keys(
     sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, key): band key = md5 of the band's signatures in
-    sig-index order — derived from the wide signature row by pure
-    projection (zero shuffles beyond the signature groupBy)."""
+    sig-index order ('|'-joined decimal renderings, identical in DuckDB) —
+    derived from the wide signature row by pure projection (zero shuffles
+    beyond the signature groupBy)."""
     wide = minhash_signatures_wide(docs, bands * rows, k, sh=sh)
     band_exprs = []
     for b in range(bands):
-        cols = ", ".join(f"sig_{b * rows + r}" for r in range(rows))
-        band_exprs.append(f"{b}, md5(concat({cols}))")
+        cols = ", ".join(f"cast(sig_{b * rows + r} as string)" for r in range(rows))
+        band_exprs.append(f"{b}, md5(concat_ws('|', {cols}))")
     return wide.select(
         "doc_id", F.expr(f"stack({bands}, {', '.join(band_exprs)}) as (band, key)")
     )

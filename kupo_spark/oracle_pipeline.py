@@ -9,7 +9,13 @@ DuckDB's row_number is BIGINT so it is cast to INTEGER to match Spark.
 
 from __future__ import annotations
 
-from kupo_spark.functions.dedup import N_BANDS, N_MINHASH, ROWS_PER_BAND, SIMHASH_BITS
+from kupo_spark.functions.dedup import (
+    MINHASH_MOD,
+    N_BANDS,
+    N_MINHASH,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+)
 from kupo_spark.functions.similarity import DIM, N_PLANES
 from kupo_spark.functions.textops import LANG_PROFILES, STOPWORDS
 
@@ -28,6 +34,33 @@ shingles AS (
 ),
 counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
 """
+
+# Kirsch-Mitzenmacher double-hashed min-hash: two 60-bit halves of one md5
+# per shingle; g_i = (h1 + i·h2) mod M.  Mirrors
+# kupo_spark.functions.dedup.minhash_signatures_wide / lsh_band_keys
+# expression-for-expression (DuckDB parses '0x'-prefixed hex to the same
+# bigint Spark's conv() produces).
+
+
+def _sigs_bands_ctes(n: int, rows_per_band: int) -> str:
+    M = MINHASH_MOD
+    return f"""
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {M} AS h1,
+         CAST(('0x' || substr(md5(sh), 17, 15)) AS BIGINT) % {M} AS h2
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id, t.i, min((h1 + t.i * h2) % {M}) AS sig
+  FROM hashed, (SELECT unnest(range({n})) AS i) t
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // {rows_per_band} AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i)) AS key
+  FROM sigs GROUP BY doc_id, i // {rows_per_band}
+)"""
 
 
 def dedup_exact_sql() -> str:
@@ -130,17 +163,7 @@ def minhash_lsh_sql(threshold: float = 0.5) -> str:
     n = N_BANDS * ROWS_PER_BAND
     assert n == N_MINHASH
     return f"""
-WITH {SHINGLES_CTE},
-sigs AS (
-  SELECT doc_id, t.i, min(md5(CAST(t.i AS VARCHAR) || '|' || sh)) AS sig
-  FROM shingles, (SELECT unnest(range({n})) AS i) t
-  GROUP BY 1, 2
-),
-bands AS (
-  SELECT doc_id, i // {ROWS_PER_BAND} AS band,
-         md5(string_agg(sig, '' ORDER BY i)) AS key
-  FROM sigs GROUP BY doc_id, i // {ROWS_PER_BAND}
-),
+WITH {SHINGLES_CTE},{_sigs_bands_ctes(n, ROWS_PER_BAND)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -166,17 +189,7 @@ def near_dup_clusters_sql(threshold: float = 0.5) -> str:
     iterative label propagation."""
     n = N_BANDS * ROWS_PER_BAND
     return f"""
-WITH RECURSIVE {SHINGLES_CTE},
-sigs AS (
-  SELECT doc_id, t.i, min(md5(CAST(t.i AS VARCHAR) || '|' || sh)) AS sig
-  FROM shingles, (SELECT unnest(range({n})) AS i) t
-  GROUP BY 1, 2
-),
-bands AS (
-  SELECT doc_id, i // {ROWS_PER_BAND} AS band,
-         md5(string_agg(sig, '' ORDER BY i)) AS key
-  FROM sigs GROUP BY doc_id, i // {ROWS_PER_BAND}
-),
+WITH RECURSIVE {SHINGLES_CTE},{_sigs_bands_ctes(n, ROWS_PER_BAND)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
