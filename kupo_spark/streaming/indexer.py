@@ -235,7 +235,14 @@ class StreamingIndexer:
             return produced, spends
         produced = produced.where(F.col("batch_seq") > base_seq)
         spends = spends.where(F.col("batch_seq") > base_seq)
-        base = read_index(spark, f"{out}/base").inputs.drop("created_bucket")
+        # drop write-time materialized columns: created_bucket (layout) and
+        # the denormalized J1/J2 header hashes — keeping the hashes here
+        # would make the re-unioned log rows carry NULLs for them and fool
+        # fold_inputs into skipping the checkpoint joins; they are resolved
+        # again at the next write/serve
+        base = read_index(spark, f"{out}/base").inputs.drop(
+            "created_bucket", "created_header_hash", "spent_header_hash"
+        )
         seq = F.lit(base_seq).alias("batch_seq")
         spend_cols = ["spent_at", "spent_by", "spent_input_index", "spent_with"]
         base_produced = base.drop(*spend_cols).select("*", seq)

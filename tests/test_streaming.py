@@ -187,6 +187,15 @@ def test_incremental_compact_then_append_and_rollback(spark, blocks, tmp_path):
     b = {tuple(r) for r in expect.inputs.select(cols).collect()}
     assert a == b
     assert resolved.checkpoints.count() == expect.checkpoints.count()
+    # folds over the layered state must resolve J1 for POST-compact rows
+    # too (regression: the base parquet's denormalized hash columns, if
+    # carried into the re-split, NULL-fill the newer log rows and fool
+    # fold_inputs into skipping the checkpoint joins)
+    from kupo_spark.operators.fold_inputs import fold_inputs
+
+    folded = fold_inputs(resolved, "*")
+    assert folded.where(F.col("created_header_hash").isNull()).count() == 0
+    assert folded.where(F.col("created_at") >= 50).count() > 0
     # a second compact folds the rollback in, and the state survives
     ix.compact(spark)
     again = {tuple(r) for r in ix.resolved_index(spark).inputs.select(cols).collect()}
