@@ -238,11 +238,14 @@ def minhash_near_dup_pairs(
         F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"), F.col("n").alias("nb")
     )
     # when the pair list is small (the common, LSH-gated case) broadcast it
-    # through both joins so the gathered shingle arrays never shuffle; on a
-    # dup-saturated corpus fall back to shuffle joins with the same gate
+    # into the first join, which therefore keeps `a`'s partitioning and
+    # never shuffles a's arrays; the second join re-keys on doc_b, so the
+    # (pairs ⋈ a) intermediate — candidate-bounded — shuffles AT MOST once
+    # (AQE turns it into a broadcast join when it is small at runtime).  On
+    # a dup-saturated corpus the same gate falls back to shuffle joins.
     pairs = F.broadcast(cand) if 2 * n_cand <= broadcast_id_limit else cand
     return (
-        pairs.join(a, "doc_a")
+        a.join(pairs, "doc_a")
         .join(b, "doc_b")
         .withColumn("i", F.size(F.array_intersect("sa", "sb")))
         .withColumn("jaccard", F.expr("round(i / (na + nb - i), 6)"))

@@ -103,12 +103,19 @@ def brute_force_topk(
     against all queries with one int64 numpy matmul — exact integer dots
     (bit-identical to the SQL oracle), vectorized instead of per-element
     interpreted lambda evaluation.  The corpus is never shuffled before the
-    partial top-k; scores stream out of the scan stage batch by batch."""
+    partial top-k; scores stream out of the scan stage batch by batch.
+
+    NOTE the query side is snapshotted EAGERLY (one collect at plan-build
+    time) — callers get a frame whose query set is fixed as of this call,
+    not re-resolved at execution like a fully-lazy join plan would be.
+    NULL or wrong-dimension embeddings are excluded from both sides (the
+    old HOF plan scored them as NULL cosine, which equally never ranked)."""
     import numpy as np
     import pandas as pd
 
     q = quantized(emb)
     qrows = q.where(F.col("vec_id") < n_queries).collect()
+    qrows = [r for r in qrows if r.q is not None and len(r.q) == DIM]
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qmat = (
         np.array([r.q for r in qrows], dtype=np.int64)
@@ -120,7 +127,11 @@ def brute_force_topk(
 
     def score(batches):
         for pdf in batches:
-            if len(pdf) == 0 or n_q == 0:
+            if n_q == 0:
+                continue
+            ok = pdf["q"].map(lambda v: v is not None and len(v) == DIM)
+            pdf = pdf[ok]
+            if len(pdf) == 0:
                 continue
             cmat = np.array(pdf["q"].tolist(), dtype=np.int64)
             nc = (cmat * cmat).sum(axis=1)

@@ -150,19 +150,13 @@ def fold_inputs(
     elif filter_output_index is not None:
         raise PatternError("output_index filter requires transaction_id")
 
-    # J1/J2: checkpoint resolution — broadcast the dimension.  A serving
-    # view (operators.serving) pre-joins the hashes once; skip the joins
-    # when the columns are already resolved.
+    # J1/J2: checkpoint resolution — broadcast the dimension.  A
+    # materialized index (write_index) and the serving view pre-resolve the
+    # hashes once; skip the joins when the columns are already present.
     if "created_header_hash" not in df.columns:
-        cps = index.checkpoints
-        created = F.broadcast(
-            cps.select(F.col("slot_no").alias("_c_slot"), F.col("header_hash").alias("created_header_hash"))
-        )
-        spent = F.broadcast(
-            cps.select(F.col("slot_no").alias("_s_slot"), F.col("header_hash").alias("spent_header_hash"))
-        )
-        df = df.join(created, df.created_at == created._c_slot, "inner").drop("_c_slot")
-        df = df.join(spent, df.spent_at == spent._s_slot, "left").drop("_s_slot")
+        from kupo_spark.operators.indexer import resolve_header_hashes
+
+        df = resolve_header_hashes(df, index.checkpoints)
 
     cols = list(RESULT_COLUMNS)
     if resolve_hashes:

@@ -261,15 +261,28 @@ def build_index(
 
 
 #: Columns of the materialized ``inputs`` table, in storage order.
-INPUTS_COLUMNS = [
-    "output_reference", "ext_output_reference",
-    "output_reference_bin", "ext_output_reference_bin", "transaction_id",
-    "transaction_index", "output_index", "address", "payment_credential",
-    "coins", "assets", "datum_kind", "datum_hash", "datum_info", "script_hash",
-    "created_at", "spent_at", "spent_by", "spent_input_index", "spent_with",
-    # materialized-only (resolved at write_index time, absent in-memory):
-    "created_header_hash", "spent_header_hash",
-]
+def resolve_header_hashes(inputs: DataFrame, checkpoints: DataFrame) -> DataFrame:
+    """J1/J2 (SQLite.hs:930-937): resolve created/spent slots to header
+    hashes against the broadcast checkpoints dimension — J1 inner (a match
+    without a known creation checkpoint never surfaces), J2 left (unspent
+    rows keep NULL).  Shared by fold_inputs, Serving, and write_index so
+    the inner/left asymmetry lives in exactly one place."""
+    created = F.broadcast(
+        checkpoints.select(
+            F.col("slot_no").alias("_c_slot"),
+            F.col("header_hash").alias("created_header_hash"),
+        )
+    )
+    spent = F.broadcast(
+        checkpoints.select(
+            F.col("slot_no").alias("_s_slot"),
+            F.col("header_hash").alias("spent_header_hash"),
+        )
+    )
+    inputs = inputs.join(created, inputs.created_at == created._c_slot, "inner").drop(
+        "_c_slot"
+    )
+    return inputs.join(spent, inputs.spent_at == spent._s_slot, "left").drop("_s_slot")
 
 
 def write_index(index: Index, path: str, slot_bucket: int = 1000) -> None:
@@ -289,25 +302,7 @@ def write_index(index: Index, path: str, slot_bucket: int = 1000) -> None:
     """
     inputs = index.inputs
     if "created_header_hash" not in inputs.columns:
-        cps = index.checkpoints
-        created = F.broadcast(
-            cps.select(
-                F.col("slot_no").alias("_c_slot"),
-                F.col("header_hash").alias("created_header_hash"),
-            )
-        )
-        spent = F.broadcast(
-            cps.select(
-                F.col("slot_no").alias("_s_slot"),
-                F.col("header_hash").alias("spent_header_hash"),
-            )
-        )
-        inputs = inputs.join(created, inputs.created_at == created._c_slot, "inner").drop(
-            "_c_slot"
-        )
-        inputs = inputs.join(spent, inputs.spent_at == spent._s_slot, "left").drop(
-            "_s_slot"
-        )
+        inputs = resolve_header_hashes(inputs, index.checkpoints)
     inputs = inputs.withColumn(
         "created_bucket", (F.col("created_at") / slot_bucket).cast("long")
     )

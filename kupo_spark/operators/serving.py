@@ -44,25 +44,9 @@ class Serving:
         self._plan_cache: dict = {}
         inputs = index.inputs
         if "created_header_hash" not in inputs.columns:
-            cps = index.checkpoints
-            created = F.broadcast(
-                cps.select(
-                    F.col("slot_no").alias("_c_slot"),
-                    F.col("header_hash").alias("created_header_hash"),
-                )
-            )
-            spent = F.broadcast(
-                cps.select(
-                    F.col("slot_no").alias("_s_slot"),
-                    F.col("header_hash").alias("spent_header_hash"),
-                )
-            )
-            inputs = inputs.join(
-                created, inputs.created_at == created._c_slot, "inner"
-            ).drop("_c_slot")
-            inputs = inputs.join(spent, inputs.spent_at == spent._s_slot, "left").drop(
-                "_s_slot"
-            )
+            from kupo_spark.operators.indexer import resolve_header_hashes
+
+            inputs = resolve_header_hashes(inputs, index.checkpoints)
         order = [F.col(k).desc() for k in CHAIN_ORDER_KEYS]
         self._view = (
             inputs.repartitionByRange(partitions, *order)
