@@ -65,32 +65,6 @@ def quantized(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.expr(QUANT).alias("q"))
 
 
-def _norm2(vec_col: str) -> F.Column:
-    """Exact-int squared norm of a quantized vector column."""
-    return F.expr(
-        f"aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> x * y), 0L, (a, v) -> a + v)"
-    )
-
-
-def _with_cosine(paired: DataFrame) -> DataFrame:
-    """Add the exact-integer cosine to a (qv, cv)-paired candidate frame
-    that already carries per-side squared norms ``nq``/``nc`` (computed
-    once per vector BEFORE the pairing join — higher-order-function
-    evaluation is per-element interpreted, so recomputing a norm per pair
-    row would triple the scoring cost of a queries × corpus join).
-
-    Dot and norms are exact int64 sums over the quantized vectors; the final
-    division/sqrt is one fixed IEEE-double expression, so Spark and DuckDB
-    agree bit-for-bit and round(·, 6) is stable."""
-    return paired.withColumn(
-        "dot",
-        F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, v) -> a + v)"),
-    ).withColumn(
-        "cosine",
-        F.expr("round(cast(dot as double) / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"),
-    )
-
-
 def brute_force_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
@@ -159,23 +133,78 @@ def brute_force_topk(
     return topk_merge(scored, k)
 
 
+def _keyed_vector_scores(corpus: DataFrame, key_col: str, keyed_query_rows) -> DataFrame:
+    """Score a keyed corpus frame (vec_id, q, `key_col`) against per-key
+    query sets with one int64 numpy matmul per (Arrow batch × key) — the
+    shared scale engine of every partition-restricted ANN variant (IVF
+    cell, LSH bucket, label filter).
+
+    The (broadcast-small by contract) query rows are snapshotted to the
+    driver and ride the task closure grouped by key: the corpus scan needs
+    NO join and keeps its storage partitioning; scores stream out of the
+    scan batch by batch.  Integer dots/norms are exact (bit-identical to
+    the SQL oracle); the cosine division/round stays JVM-side.  NULL or
+    wrong-dimension vectors are excluded from both sides."""
+    import numpy as np
+    import pandas as pd
+
+    keyed: dict = {}
+    for r in keyed_query_rows:
+        if r.q is None or len(r.q) != DIM:
+            continue
+        keyed.setdefault(r[key_col], []).append((r.vec_id, r.q))
+    mats = {}
+    for key, rows in keyed.items():
+        qids = np.array([v for v, _ in rows], dtype=np.int64)
+        qmat = np.array([q for _, q in rows], dtype=np.int64)
+        mats[key] = (qids, qmat, (qmat * qmat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            ok = pdf["q"].map(lambda v: v is not None and len(v) == DIM)
+            pdf = pdf[ok]
+            for key, grp in pdf.groupby(key_col, sort=False):
+                entry = mats.get(key)
+                if entry is None or len(grp) == 0:
+                    continue
+                qids, qmat, nq = entry
+                cmat = np.array(grp["q"].tolist(), dtype=np.int64)
+                nc = (cmat * cmat).sum(axis=1)
+                dots = cmat @ qmat.T  # (batch, n_q) exact int64
+                n_q = len(qids)
+                out = pd.DataFrame(
+                    {
+                        "neighbor_id": np.repeat(grp["vec_id"].values, n_q),
+                        "nc": np.repeat(nc, n_q),
+                        "query_id": np.tile(qids, len(grp)),
+                        "nq": np.tile(nq, len(grp)),
+                        "dot": dots.reshape(-1),
+                    }
+                )
+                yield out[out.neighbor_id != out.query_id]
+
+    scored = corpus.mapInPandas(
+        score, "neighbor_id long, nc long, query_id long, nq long, dot long"
+    )
+    return scored.withColumn(
+        "cosine",
+        F.expr(
+            "round(cast(dot as double) /"
+            " (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"
+        ),
+    )
+
+
 def label_filtered_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 3
 ) -> DataFrame:
     """Filtered ANN: exact top-k restricted to corpus vectors sharing the
     query's label (the metadata-predicate + vector-search composition; at
     scale the corpus is partitioned by the filter column so the search
-    reads only matching partitions)."""
+    reads only matching partitions and scores them vectorized)."""
     q = emb.select("vec_id", "label", F.expr(QUANT).alias("q"))
-    queries = q.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "label", F.col("q").alias("qv")
-    ).withColumn("nq", _norm2("qv"))
-    corpus = q.select(
-        F.col("vec_id").alias("neighbor_id"), "label", F.col("q").alias("cv")
-    ).withColumn("nc", _norm2("cv"))
-    scored = _with_cosine(
-        corpus.join(F.broadcast(queries), "label").where(F.col("neighbor_id") != F.col("query_id"))
-    )
+    qrows = q.where(F.col("vec_id") < n_queries).collect()
+    scored = _keyed_vector_scores(q, "label", qrows)
     return topk_merge(scored, k)
 
 
@@ -189,14 +218,50 @@ def hyperplane_expr(j: int, dim: int = DIM) -> str:
     )
 
 
-def lsh_buckets(emb: DataFrame, planes: int = N_PLANES, dim: int = DIM) -> DataFrame:
-    """(vec_id, bucket): bucket = sign-bit string over the hyperplanes."""
-    df = quantized(emb)
-    bits = []
+def _hyperplane_matrix(planes: int, dim: int):
+    """The deterministic ±1 hyperplanes as a (planes × dim) int64 numpy
+    matrix — the Python mirror of :func:`hyperplane_expr`, byte-for-byte
+    the same md5-nibble-parity rule the SQL oracle evaluates."""
+    import hashlib
+
+    import numpy as np
+
+    H = np.empty((planes, dim), dtype=np.int64)
     for j in range(planes):
-        dot = f"aggregate(zip_with(q, {hyperplane_expr(j, dim)}, (x, y) -> x * y), 0L, (a, v) -> a + v)"
-        bits.append(f"IF({dot} >= 0, '1', '0')")
-    return df.select("vec_id", F.expr("concat(" + ", ".join(bits) + ")").alias("bucket"))
+        h = (
+            hashlib.md5(f"hp{j}".encode()).hexdigest()
+            + hashlib.md5(f"hp2{j}".encode()).hexdigest()
+        )
+        H[j] = [1 if h[i] in "13579bdf" else -1 for i in range(dim)]
+    return H
+
+
+def lsh_buckets(emb: DataFrame, planes: int = N_PLANES, dim: int = DIM) -> DataFrame:
+    """(vec_id, bucket): bucket = sign-bit string over the hyperplanes.
+
+    The ±1 hyperplane matrix is a compile-time constant, so the projection
+    is one int64 numpy matmul per Arrow batch (exact — sign decisions are
+    integer comparisons, bit-identical to the SQL oracle's per-element
+    evaluation); one scan, no join, no interpreted lambdas."""
+    import numpy as np
+    import pandas as pd
+
+    H = _hyperplane_matrix(planes, dim)
+
+    def project(batches):
+        for pdf in batches:
+            ok = pdf["q"].map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok]
+            if len(pdf) == 0:
+                continue
+            qmat = np.array(pdf["q"].tolist(), dtype=np.int64)
+            signs = (qmat @ H.T) >= 0  # (batch, planes) exact
+            buckets = [
+                "".join("1" if b else "0" for b in row) for row in signs
+            ]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "bucket": buckets})
+
+    return quantized(emb).mapInPandas(project, "vec_id long, bucket string")
 
 
 def embedding_near_dup_pairs(
@@ -209,18 +274,58 @@ def embedding_near_dup_pairs(
     cosine ≥ threshold).  Recall is the standard LSH trade: a pair at angle
     θ survives all `planes` hyperplanes with probability (1 − θ/π)^planes —
     raise recall with band OR-ing exactly as in the MinHash pipeline."""
+    import numpy as np
+    import pandas as pd
+
     q = quantized(emb)
     b = lsh_buckets(emb, planes)
-    qb = q.join(b, "vec_id").withColumn("n2", _norm2("q"))
-    a = qb.select(
-        F.col("vec_id").alias("vec_a"), F.col("q").alias("qv"),
-        F.col("n2").alias("nq"), "bucket",
+    qb = q.join(b, "vec_id")
+
+    def bucket_pairs(key, pdf):
+        ok = pdf["q"].map(lambda v: v is not None and len(v) == DIM)
+        pdf = pdf[ok]
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("vec_a", "vec_b", "dot", "nq", "nc")}
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].values)
+        ids = pdf["vec_id"].values[order]
+        mat = np.array(pdf["q"].tolist(), dtype=np.int64)[order]
+        norms = (mat * mat).sum(axis=1)
+        # block the row side so the temp is (block × n), not (n × n) — a
+        # hot bucket degrades gracefully instead of materializing n² at once
+        chunks = []
+        for lo in range(0, n - 1, 1024):
+            hi = min(lo + 1024, n - 1)
+            dots = mat[lo:hi] @ mat.T  # (block, n)
+            r, c = np.nonzero(
+                np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
+            )
+            chunks.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[r + lo],
+                        "vec_b": ids[c],
+                        "dot": dots[r, c],
+                        "nq": norms[r + lo],
+                        "nc": norms[c],
+                    }
+                )
+            )
+        return pd.concat(chunks) if chunks else empty
+
+    scored = qb.groupBy("bucket").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, dot long, nq long, nc long"
     )
-    c = qb.select(
-        F.col("vec_id").alias("vec_b"), F.col("q").alias("cv"),
-        F.col("n2").alias("nc"), "bucket",
+    scored = scored.withColumn(
+        "cosine",
+        F.expr(
+            "round(cast(dot as double) /"
+            " (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"
+        ),
     )
-    scored = _with_cosine(a.join(c, "bucket").where(F.col("vec_a") < F.col("vec_b")))
     return scored.where(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")
 
 
@@ -228,18 +333,45 @@ N_CENTROIDS = 16
 
 
 def nearest_centroid(q: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, centroid_id): argmin-L2² assignment against a broadcast
-    centroid set.  Distances are exact integer sums over the quantized
-    vectors; the argmin is a map-side-combinable ``min(struct(dist2,
-    centroid_id))`` (lexicographic struct min = argmin with centroid-id
-    tie-break) — no window, no per-vector reducer."""
-    scored = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist2",
-        F.expr("aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"),
+    """(vec_id, centroid_id): argmin-L2² assignment against the (tiny, by
+    construction) centroid set.
+
+    The centroids are snapshotted to the driver and ride the task closure;
+    each Arrow batch of vectors computes its full distance matrix with one
+    int64 numpy matmul expansion (‖q‖² − 2·q·c + ‖c‖², exact — no float
+    round-off) and takes the row argmin.  Centroid rows are sorted by id so
+    numpy's first-minimum argmin IS the centroid-id tie-break the SQL
+    oracle's min(struct(dist2, centroid_id)) performs.  One corpus scan,
+    no join, no per-vector reducer; inside k-means the per-round collect
+    also truncates the growing Lloyd lineage."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
+    cids = np.array([r.centroid_id for r in crows], dtype=np.int64)
+    cmat = (
+        np.array([r.cv for r in crows], dtype=np.int64)
+        if crows
+        else np.zeros((0, DIM), dtype=np.int64)
     )
-    return scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist2", "centroid_id")).alias("m")
-    ).select("vec_id", F.col("m.centroid_id").alias("centroid_id"))
+    cn = (cmat * cmat).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(cids) == 0:
+                continue
+            ok = pdf["q"].map(lambda v: v is not None and len(v) == DIM)
+            pdf = pdf[ok]
+            if len(pdf) == 0:
+                continue
+            qmat = np.array(pdf["q"].tolist(), dtype=np.int64)
+            d = (qmat * qmat).sum(axis=1)[:, None] - 2 * (qmat @ cmat.T) + cn[None, :]
+            idx = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "centroid_id": cids[idx]}
+            )
+
+    return q.mapInPandas(assign, "vec_id long, centroid_id long")
 
 
 #: exact floor-mean of a bigint sum: subtract the positive mod first so the
@@ -313,15 +445,8 @@ def ivf_topk(
     q = quantized(emb)
     assign = ivf_assign(emb, n_centroids, kmeans_iters)
     qa = q.join(assign, "vec_id")
-    queries = qa.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "centroid_id"
-    ).withColumn("nq", _norm2("qv"))
-    corpus = qa.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"), "centroid_id"
-    ).withColumn("nc", _norm2("cv"))
-    scored = _with_cosine(
-        corpus.join(F.broadcast(queries), "centroid_id").where(F.col("neighbor_id") != F.col("query_id"))
-    )
+    qrows = qa.where(F.col("vec_id") < n_queries).collect()
+    scored = _keyed_vector_scores(qa, "centroid_id", qrows)
     return topk_merge(scored, k)
 
 
@@ -332,13 +457,6 @@ def lsh_topk(
     q = quantized(emb)
     buckets = lsh_buckets(emb, planes)
     qb = q.join(buckets, "vec_id")
-    queries = qb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"), "bucket"
-    ).withColumn("nq", _norm2("qv"))
-    corpus = qb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cv"), "bucket"
-    ).withColumn("nc", _norm2("cv"))
-    scored = _with_cosine(
-        corpus.join(F.broadcast(queries), "bucket").where(F.col("neighbor_id") != F.col("query_id"))
-    )
+    qrows = qb.where(F.col("vec_id") < n_queries).collect()
+    scored = _keyed_vector_scores(qb, "bucket", qrows)
     return topk_merge(scored, k)
