@@ -145,3 +145,44 @@ def test_embedding_near_dup_pairs(spark):
     for r in pairs:
         assert r.vec_a < r.vec_b
         assert r.cosine >= 0.9
+
+
+def test_topk_tolerates_null_and_ragged_vectors(spark):
+    """A NULL or wrong-dimension embedding must be excluded from scoring —
+    never crash the executor batch — on both the query and corpus side,
+    for the brute-force scan and the keyed (cell-restricted) variants."""
+    from kupo_spark.functions.similarity import (
+        brute_force_topk,
+        label_filtered_topk,
+        lsh_buckets,
+        nearest_centroid,
+        quantized,
+    )
+
+    emb = spark.read.parquet(EMB)
+    bad = spark.createDataFrame(
+        [
+            (20_000, None, 0),            # NULL embedding
+            (20_001, [0.5, -0.5], 0),     # ragged (dim 2, not 64)
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    ).select(*emb.columns)
+    corpus = emb.unionByName(bad)
+
+    clean = {(r.query_id, r.rank): r.neighbor_id
+             for r in brute_force_topk(emb, n_queries=5, k=3).collect()}
+    with_bad = {(r.query_id, r.rank): r.neighbor_id
+                for r in brute_force_topk(corpus, n_queries=5, k=3).collect()}
+    assert clean == with_bad  # bad rows never rank
+
+    scored_ids = {r.neighbor_id for r in label_filtered_topk(corpus, 5, 3).collect()}
+    assert 20_000 not in scored_ids and 20_001 not in scored_ids
+
+    buckets = {r.vec_id for r in lsh_buckets(corpus).collect()}
+    assert 20_000 not in buckets and 20_001 not in buckets
+
+    cent = quantized(emb).where(F.col("vec_id") < 4).selectExpr(
+        "vec_id as centroid_id", "q as cv"
+    )
+    assigned = {r.vec_id for r in nearest_centroid(quantized(corpus), cent).collect()}
+    assert 20_000 not in assigned and 20_001 not in assigned
