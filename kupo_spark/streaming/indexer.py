@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kupo_spark.operators.indexer import Index, exploded_outputs, read_index, spent_refs
+from kupo_spark.operators.indexer import Index, exploded_outputs, spent_refs
 from kupo_spark.patterns import any_to_column, pattern_from_text
 
 LOG_TABLES = ("produced", "spends", "checkpoints", "binary_data", "scripts")
@@ -217,9 +217,16 @@ class StreamingIndexer:
             )
         return df
 
+    def _base_db(self):
+        from kupo_spark.operators.table_index import IndexDB
+
+        return IndexDB(f"{self.out_dir}/base_db")
+
     def _base_seq(self) -> int | None:
-        f = Path(self.out_dir) / "_base_seq"
-        return int(f.read_text()) if f.exists() else None
+        db = self._base_db()
+        if db.latest_version() < 0:
+            return None
+        return db.entry()["seq"]
 
     def _produced_and_spends(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
         """Log rows newer than the compacted base, layered on the base's
@@ -227,7 +234,6 @@ class StreamingIndexer:
         serves both).  Base rows carry batch_seq = base_seq: rollbacks
         recorded before the compact can't touch them (already applied),
         newer rollbacks apply normally."""
-        out = self.out_dir
         produced = self._read_log(spark, "produced")
         spends = self._read_log(spark, "spends")
         base_seq = self._base_seq()
@@ -240,7 +246,7 @@ class StreamingIndexer:
         # would make the re-unioned log rows carry NULLs for them and fool
         # fold_inputs into skipping the checkpoint joins; they are resolved
         # again at the next write/serve
-        base = read_index(spark, f"{out}/base").inputs.drop(
+        base = self._base_db().read(spark).inputs.drop(
             "created_bucket", "created_header_hash", "spent_header_hash"
         )
         seq = F.lit(base_seq).alias("batch_seq")
@@ -319,25 +325,24 @@ class StreamingIndexer:
         Delta OPTIMIZE analog).
 
         With ``dest=None`` the compact is **in-place incremental**: the
-        resolved state becomes ``{out_dir}/base`` and ``_base_seq`` records
-        the fold point — subsequent ``resolved_index()`` reads base + only
-        the newer log rows, so log replay cost stays bounded while ingest
-        keeps appending.  With an explicit ``dest`` it is an export."""
+        resolved state is committed through an ``IndexDB`` at
+        ``{out_dir}/base_db`` — one atomic catalog publish pinning all six
+        table versions (the round-2 rmtree+rename crash window is gone:
+        readers see the old base until the instant the entry lands, and a
+        crash mid-compact leaves the old base intact).  The catalog entry
+        records the fold point ``seq``; subsequent ``resolved_index()``
+        reads base + only newer log rows, so replay cost stays bounded
+        while ingest keeps appending.  Old bases remain time-travelable
+        (``IndexDB.read(spark, db_version=...)``) until
+        ``IndexDB.vacuum``.  With an explicit ``dest`` it is an export."""
         from kupo_spark.operators.indexer import write_index
 
         resolved = self.resolved_index(spark)
         if dest is None:
             base_seq = int(self._seq_file.read_text()) if self._seq_file.exists() else -1
-            tmp = f"{self.out_dir}/base_next"
-            write_index(resolved, tmp, slot_bucket=slot_bucket)
-            final = Path(self.out_dir) / "base"
-            import shutil
-
-            if final.exists():
-                shutil.rmtree(final)
-            Path(tmp).rename(final)
-            (Path(self.out_dir) / "_base_seq").write_text(str(base_seq))
-            return read_index(spark, str(final), slot_bucket=slot_bucket)
+            db = self._base_db()
+            db.commit(resolved, slot_bucket=slot_bucket, extra={"seq": base_seq})
+            return db.read(spark)
         write_index(resolved, dest, slot_bucket=slot_bucket)
         return resolved
 

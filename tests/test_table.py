@@ -1,0 +1,249 @@
+"""ACID transaction-log table format (kupo_spark/table.py).
+
+Covers the Delta-model guarantees the round-2 verdict asked for: atomic
+commits, snapshot isolation, time travel, optimistic concurrency with
+conflict detection, OPTIMIZE compaction that preserves history, RESTORE,
+VACUUM of both removed files and crashed-writer orphans, checkpointed log
+recovery, and log-level data skipping."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kupo_spark.table import (
+    ConcurrentDeleteError,
+    ConcurrentWriteError,
+    Table,
+    _Tx,
+)
+
+
+def _df(spark, lo, hi, label="x"):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(label).alias("label"), (F.col("id") % 4).alias("bucket")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "t")
+    return Table.create(root, _df(spark, 0, 1).schema)
+
+
+def test_append_read_roundtrip(spark, table):
+    table.append(_df(spark, 0, 100))
+    table.append(_df(spark, 100, 150))
+    got = table.read(spark)
+    assert got.count() == 150
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(150))
+    assert [f.name for f in got.schema.fields] == ["id", "label", "bucket"]
+
+
+def test_snapshot_isolation_and_time_travel(spark, table):
+    v1 = table.append(_df(spark, 0, 10))
+    pinned = table.read(spark, version=v1)  # plan resolved at v1
+    t_mid = time.time()
+    v2 = table.append(_df(spark, 10, 30))
+    assert pinned.count() == 10  # later commit invisible to the pinned plan
+    assert table.read(spark, version=v1).count() == 10
+    assert table.read(spark, version=v2).count() == 30
+    assert table.read(spark, timestamp=t_mid).count() == 10
+    hist = table.history()
+    assert [h["operation"] for h in hist] == ["APPEND", "APPEND", "CREATE"]
+
+
+def test_partitioned_writes_and_pruning(spark, tmp_path):
+    t = Table.create(
+        str(tmp_path / "p"), _df(spark, 0, 1).schema, partition_by=["bucket"]
+    )
+    t.append(_df(spark, 0, 400))
+    snap = t.snapshot()
+    assert all(a["partitionValues"].get("bucket") is not None for a in snap.files)
+    got = t.read(spark)
+    assert got.where(F.col("bucket") == 2).count() == 100
+    # partition-dir inference widened bucket to long; read() restores the
+    # committed type
+    assert dict(got.dtypes)["bucket"] == "bigint"
+
+
+def test_overwrite_replaces_everything(spark, table):
+    table.append(_df(spark, 0, 50))
+    v_old = table.append(_df(spark, 50, 60))
+    table.overwrite(_df(spark, 1000, 1010))
+    got = table.read(spark)
+    assert got.count() == 10
+    assert got.agg(F.min("id")).collect()[0][0] == 1000
+    assert table.read(spark, version=v_old).count() == 60  # history intact
+
+
+def test_delete_where_rewrites_only_hit_files(spark, table):
+    table.append(_df(spark, 0, 100, label="a"))
+    v2 = table.append(_df(spark, 100, 200, label="b"))
+    before = table.snapshot()
+    untouched = {
+        a["path"] for a in before.files if a["stats"]["minValues"]["id"] >= 100
+    }
+    table.delete_where(spark, "id < 10")
+    after = table.snapshot()
+    assert table.read(spark).count() == 190
+    assert table.read(spark).agg(F.min("id")).collect()[0][0] == 10
+    # files that couldn't contain id<10 were not rewritten
+    assert untouched <= set(after.adds)
+    # and the pre-delete snapshot still reads in full
+    assert table.read(spark, version=v2).count() == 200
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id bigint, tag string"
+    )
+    t = Table.create(str(tmp_path / "n"), df.schema)
+    t.append(df)
+    t.delete_where(spark, "tag = 'a'")  # NULL tag row must survive
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [2, 3]
+
+
+def test_optimize_compacts_but_preserves_history(spark, table):
+    for i in range(6):
+        table.append(_df(spark, i * 10, i * 10 + 10))
+    v_before = table.snapshot().version
+    n_before = len(table.snapshot().files)
+    table.optimize(spark)
+    snap = table.snapshot()
+    assert len(snap.files) < n_before
+    assert all(a["dataChange"] is False for a in snap.files if "part-" in a["path"])
+    assert table.read(spark).count() == 60
+    # the pre-OPTIMIZE version still resolves to the old (uncompacted) files
+    assert table.read(spark, version=v_before).count() == 60
+    assert len(table.snapshot(v_before).files) == n_before
+
+
+def test_restore_is_a_new_commit(spark, table):
+    v1 = table.append(_df(spark, 0, 10))
+    table.append(_df(spark, 10, 20))
+    table.overwrite(_df(spark, 99, 100))
+    v_restore = table.restore(v1)
+    assert table.read(spark).count() == 10
+    assert table.read(spark).agg(F.max("id")).collect()[0][0] == 9
+    hist = table.history()
+    assert hist[0]["operation"] == "RESTORE" and hist[0]["version"] == v_restore
+    # restore the restore away
+    table.restore(v_restore - 1)
+    assert table.read(spark).count() == 1
+
+
+def test_crashed_writer_is_invisible_and_vacuumable(spark, table):
+    table.append(_df(spark, 0, 10))
+    # a writer stages data files then dies before committing
+    table._stage(_df(spark, 1000, 2000), [])
+    assert table.read(spark).count() == 10  # orphans invisible
+    removed = table.vacuum(retention_seconds=0.0)
+    assert removed  # orphans collected
+    assert table.read(spark).count() == 10  # live files untouched
+
+
+def test_vacuum_respects_retention_then_collects(spark, table):
+    table.append(_df(spark, 0, 10))
+    v1 = table.snapshot().version
+    table.overwrite(_df(spark, 10, 20))
+    assert table.vacuum(retention_seconds=3600) == []  # too young
+    assert table.read(spark, version=v1).count() == 10  # time travel alive
+    removed = table.vacuum(retention_seconds=0.0)
+    assert removed
+    # time travel past the vacuum horizon is gone — vacuum's contract
+    with pytest.raises(Exception):
+        table.read(spark, version=v1).count()
+
+
+def test_concurrent_append_rebases(spark, table):
+    v0 = table.append(_df(spark, 0, 10))
+    adds = table._stage(_df(spark, 10, 20), [])
+    # a racing writer claims the version our transaction wants
+    table.append(_df(spark, 100, 110))
+    v = table._commit_tx(_Tx("APPEND", adds=adds, read_version=v0))
+    assert v == table.latest_version()
+    assert table.read(spark).count() == 30  # both writers' rows present
+
+
+def test_concurrent_overwrite_conflicts(spark, table):
+    snap_v = table.append(_df(spark, 0, 10))
+    adds = table._stage(_df(spark, 50, 60), [])
+    removes = sorted(table.snapshot().adds)
+    table.append(_df(spark, 100, 110))  # concurrent data change
+    with pytest.raises(ConcurrentWriteError):
+        table._commit_tx(
+            _Tx(
+                "OVERWRITE",
+                adds=adds,
+                removes=removes,
+                read_version=snap_v,
+                reads_whole_table=True,
+            )
+        )
+
+
+def test_concurrent_delete_conflicts(spark, table):
+    table.append(_df(spark, 0, 10))
+    snap = table.snapshot()
+    victim = sorted(snap.adds)[0]
+    # our tx plans to rewrite `victim`; a racing OPTIMIZE removes it first
+    table.optimize(spark, max_file_bytes=1 << 30)
+    if victim not in table.snapshot().adds:  # optimize removed it
+        with pytest.raises(ConcurrentDeleteError):
+            table._commit_tx(
+                _Tx(
+                    "DELETE",
+                    adds=[],
+                    removes=[victim],
+                    read_version=snap.version,
+                )
+            )
+
+
+def test_checkpoint_recovery_matches_full_replay(spark, table):
+    for i in range(13):  # crosses the interval-10 checkpoint boundary
+        table.append(_df(spark, i, i + 1))
+    ckpts = list(table.log.glob("*.checkpoint.json"))
+    assert ckpts, "expected a checkpoint after >10 commits"
+    hint = json.loads((table.log / "_last_checkpoint").read_text())
+    snap_fast = table.snapshot()  # uses checkpoint + tail
+    assert hint["version"] <= snap_fast.version
+    # force full replay by hiding the checkpoints; state must be identical
+    for p in ckpts:
+        p.rename(p.with_suffix(".hidden"))
+    (table.log / "_last_checkpoint").unlink()
+    snap_slow = Table(str(table.root)).snapshot()
+    assert snap_slow.adds == snap_fast.adds
+    assert table.read(spark).count() == 13
+
+
+def test_stats_skipping_prunes_files_from_plan(spark, table):
+    table.append(_df(spark, 0, 100))
+    table.append(_df(spark, 100, 200))
+    table.append(_df(spark, 200, 300))
+    snap = table.snapshot()
+    assert all(
+        "id" in (a["stats"] or {}).get("minValues", {}) for a in snap.files
+    )
+    full = table.read(spark)
+    pruned = table.read(
+        spark,
+        stats_filter=lambda s: s.get("maxValues", {}).get("id", 1 << 62) >= 250,
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert pruned.where(F.col("id") >= 250).count() == 50
+
+
+def test_schema_enforcement(spark, table):
+    bad = spark.range(5).select(F.col("id"), F.lit(1).alias("wrong"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.append(bad)
+
+
+def test_create_twice_fails(spark, table, tmp_path):
+    with pytest.raises(FileExistsError):
+        Table.create(str(table.root), _df(spark, 0, 1).schema)
