@@ -27,6 +27,19 @@ LANG_PROFILES: dict[str, list[str]] = {
 
 STOPWORDS = ("the", "a", "of", "and", "in")
 
+#: Gopher-style repetition/quality thresholds (Rae et al. 2021, "Scaling
+#: Language Models: ... Gopher", §A1.1 — adapted to this corpus: the
+#: synthetic documents are space-separated word streams with no lines or
+#: punctuation, so the line- and symbol-based rules are degenerate and the
+#: token/n-gram repetition rules carry the signal).
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_AVG_TOKEN_LEN = 2.0
+GOPHER_MAX_AVG_TOKEN_LEN = 12.0
+GOPHER_MAX_TOP_2GRAM_FRAC = 0.20
+GOPHER_MAX_DUP_2GRAM_FRAC = 0.60
+GOPHER_MIN_STOPWORD_RATIO = 0.0
+
 
 def _occurrences(col: str, marker: str) -> str:
     """# of occurrences of `marker` in `col` — portable SQL idiom."""
@@ -54,15 +67,39 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic quality scoring: stopword ratio (fluency proxy) × lexical
-    diversity, capped by a length prior — the usual pre-training filter
-    features, all portable integer/double arithmetic."""
+    """Heuristic quality scoring + Gopher-style repetition filters.
+
+    Columns: stopword ratio (fluency proxy), a diversity×length score, the
+    two n-gram repetition measures from the Gopher rules (fraction of
+    2-grams that recur; fraction of 2-gram mass held by the most frequent
+    2-gram), and ``gopher_pass`` — the conjunction of the threshold rules.
+
+    All expressions are JVM higher-order functions over the token array —
+    no shuffle, no UDF: per-document cost is O(len²) on the (bounded-length)
+    2-gram array, which stays embarrassingly parallel at 100 TB.  The same
+    arithmetic is reproduced verbatim in the DuckDB oracle
+    (``oracle_pipeline.quality_sql``)."""
     stop_pred = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
     t = docs.select(
         "doc_id",
         F.expr(TOKENS).alias("t"),
+        F.expr("length(replace(text, ' ', ''))").alias("total_tok_chars"),
     )
-    return t.select(
+    # token 2-grams; sequence(1, 0) in Spark would count DOWN, so guard the
+    # single-token case to a typed empty array
+    g = t.withColumn(
+        "grams",
+        F.expr(
+            "CASE WHEN size(t) >= 2 THEN "
+            "transform(sequence(1, size(t) - 1), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+            "ELSE array() END"
+        ),
+    ).withColumn(
+        "gram_counts",
+        F.expr("transform(array_distinct(grams), d -> size(filter(grams, x -> x = d)))"),
+    )
+    scored = g.select(
         "doc_id",
         F.expr(f"round(size(filter(t, x -> {stop_pred})) / size(t), 6)").alias(
             "stopword_ratio"
@@ -70,6 +107,28 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.expr(
             "round(least(1.0, size(t) / 100.0) * (size(array_distinct(t)) / size(t)), 6)"
         ).alias("quality_score"),
+        F.expr("size(t)").alias("n_tokens"),
+        F.expr("round(total_tok_chars / size(t), 6)").alias("avg_token_len"),
+        F.expr(
+            "CASE WHEN size(grams) = 0 THEN cast(0.0 as double) ELSE "
+            "round(aggregate(filter(gram_counts, c -> c > 1), 0, (a, c) -> a + c) "
+            "/ size(grams), 6) END"
+        ).alias("frac_dup_2gram"),
+        F.expr(
+            "CASE WHEN size(grams) = 0 THEN cast(0.0 as double) ELSE "
+            "round(array_max(gram_counts) / size(grams), 6) END"
+        ).alias("top_2gram_frac"),
+    )
+    return scored.withColumn(
+        "gopher_pass",
+        F.expr(
+            f"n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS} "
+            f"AND avg_token_len >= {GOPHER_MIN_AVG_TOKEN_LEN} "
+            f"AND avg_token_len <= {GOPHER_MAX_AVG_TOKEN_LEN} "
+            f"AND top_2gram_frac <= {GOPHER_MAX_TOP_2GRAM_FRAC} "
+            f"AND frac_dup_2gram <= {GOPHER_MAX_DUP_2GRAM_FRAC} "
+            f"AND stopword_ratio >= {GOPHER_MIN_STOPWORD_RATIO}"
+        ),
     )
 
 

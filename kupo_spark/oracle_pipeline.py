@@ -88,13 +88,54 @@ FROM t
 
 
 def quality_sql() -> str:
+    from kupo_spark.functions.textops import (
+        GOPHER_MAX_AVG_TOKEN_LEN,
+        GOPHER_MAX_DUP_2GRAM_FRAC,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_TOP_2GRAM_FRAC,
+        GOPHER_MIN_AVG_TOKEN_LEN,
+        GOPHER_MIN_STOPWORD_RATIO,
+        GOPHER_MIN_TOKENS,
+    )
+
     stop_pred = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
     return f"""
-WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents)
-SELECT doc_id,
-  round(len(list_filter(t, x -> {stop_pred})) / len(t), 6) AS stopword_ratio,
-  round(least(1.0, len(t) / 100.0) * (len(list_distinct(t)) / len(t)), 6) AS quality_score
-FROM t
+WITH t AS (
+  SELECT doc_id, {TOKS} AS t, length(replace(text, ' ', '')) AS total FROM documents
+),
+g AS (
+  SELECT *, CASE WHEN len(t) >= 2
+    THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+    ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+),
+gc AS (
+  SELECT *,
+    list_transform(list_distinct(grams), d -> len(list_filter(grams, x -> x = d))) AS gram_counts
+  FROM g
+),
+m AS (
+  SELECT doc_id,
+    round(len(list_filter(t, x -> {stop_pred})) / len(t), 6) AS stopword_ratio,
+    round(least(1.0, len(t) / 100.0) * (len(list_distinct(t)) / len(t)), 6) AS quality_score,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    round(total / len(t), 6) AS avg_token_len,
+    CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+      round(coalesce(list_sum(list_filter(gram_counts, c -> c > 1)), 0) / len(grams), 6)
+    END AS frac_dup_2gram,
+    CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+      round(list_max(gram_counts) / len(grams), 6)
+    END AS top_2gram_frac
+  FROM gc
+)
+SELECT *,
+  (n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+   AND avg_token_len >= {GOPHER_MIN_AVG_TOKEN_LEN}
+   AND avg_token_len <= {GOPHER_MAX_AVG_TOKEN_LEN}
+   AND top_2gram_frac <= {GOPHER_MAX_TOP_2GRAM_FRAC}
+   AND frac_dup_2gram <= {GOPHER_MAX_DUP_2GRAM_FRAC}
+   AND stopword_ratio >= {GOPHER_MIN_STOPWORD_RATIO}) AS gopher_pass
+FROM m
 """
 
 

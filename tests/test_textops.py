@@ -1,0 +1,57 @@
+"""Unit semantics for the Gopher-style repetition/quality filters
+(functions/textops.py::quality_score) on crafted documents — the oracle
+parity test (test_correctness.py) covers the corpus; this pins the
+boundary behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kupo_spark.functions.textops import quality_score
+
+
+def _score(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    return {r["doc_id"]: r.asDict() for r in quality_score(docs).collect()}
+
+
+def test_pure_repetition_fails_gopher(spark):
+    # "spam spam ... spam": every 2-gram is the same one
+    rows = _score(spark, [" ".join(["spam"] * 50)])
+    r = rows[0]
+    assert r["top_2gram_frac"] == 1.0
+    assert r["frac_dup_2gram"] == 1.0
+    assert r["n_tokens"] == 50
+    assert r["gopher_pass"] is False
+
+
+def test_diverse_text_passes_gopher(spark):
+    text = " ".join(f"word{i:03d}" for i in range(40))
+    r = _score(spark, [text])[0]
+    assert r["top_2gram_frac"] == pytest.approx(1 / 39, abs=1e-6)
+    assert r["frac_dup_2gram"] == 0.0
+    assert r["gopher_pass"] is True
+
+
+def test_single_token_doc_has_empty_gram_stats(spark):
+    r = _score(spark, ["lonely"])[0]
+    assert r["frac_dup_2gram"] == 0.0
+    assert r["top_2gram_frac"] == 0.0
+    assert r["n_tokens"] == 1
+    assert r["gopher_pass"] is False  # below the token floor
+
+
+def test_partial_repetition_fractions(spark):
+    # tokens: a b a b c -> grams: [ab, ba, ab, bc]; 'a b' occurs twice
+    r = _score(spark, ["a b a b c"])[0]
+    assert r["top_2gram_frac"] == pytest.approx(2 / 4)
+    assert r["frac_dup_2gram"] == pytest.approx(2 / 4)
+
+
+def test_no_python_in_quality_plan(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    plan = quality_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
