@@ -1,0 +1,332 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference engine's only stateful stream is the chain-sync fold itself
+(``src/Kupo/App.hs:496-577`` — consume block, update index, checkpoint),
+which ``streaming/indexer.py`` models with ``foreachBatch``.  A
+training-data pipeline ingesting a live crawl needs more: cross-batch
+deduplication, event-time sessionization, and watermarked windowed
+aggregation.  These are the Structured Streaming analogs of the batch
+operators in ``functions/dedup.py`` / the events table, built on Spark's
+two native stateful tools:
+
+- ``applyInPandasWithState`` — Arrow-batched per-key state (the keyed
+  state store lives in the executors, checkpointed with the query; scale
+  = state is partitioned by the grouping key across the cluster, never
+  driver-resident);
+- ``withWatermark`` + ``window`` — built-in watermarked aggregation for
+  the pure-SQL shapes (late rows dropped once the watermark passes,
+  state evicted — bounded memory on an unbounded stream).
+
+Watermark fine print (Spark >= 3.4, verified empirically on 4.1): each
+batch runs with TWO watermarks — late-event filtering uses the PREVIOUS
+batch's watermark, state eviction/timeout uses the current one — so a
+row is only dropped as late if it is late relative to the watermark two
+batches before its arrival, and timers fire one batch after the
+watermark passes them.
+
+Batch equivalents (``sessionize_batch``) are provided where the semantics
+are expressible as plain DataFrame ops, so tests can pin
+stream == batch == SQL-oracle on the same inputs.
+
+Scale notes (100 TB stream):
+- state per key is O(1) (a seen-flag or one open session), and the state
+  store shards by key hash — no skew beyond the key distribution itself;
+- ``streaming_dedup`` state grows with #distinct keys; pass
+  ``ttl_seconds`` (event-time TTL via timeouts) to bound it on unbounded
+  streams — the batch MinHash/exact dedup handles the historical corpus,
+  the stream handles the live frontier;
+- every operator emits append-mode rows, so sinks can be exactly-once
+  file/table sinks.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["streaming_dedup", "sessionize", "sessionize_batch", "windowed_event_counts"]
+
+_US = 1_000_000
+
+
+def _ts_us(col: pd.Series) -> pd.Series:
+    """timestamp series -> int64 microseconds since epoch (tz-naive)."""
+    return col.astype("datetime64[us]").astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# streaming exact-dedup: first occurrence per key wins, across micro-batches
+# ---------------------------------------------------------------------------
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    key_col: str = "content_hash",
+    tie_col: str | None = None,
+    ttl_seconds: float | None = None,
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming analog of ``functions/dedup.py::exact_duplicates``: emit
+    the FIRST document seen for each ``key_col`` value and silently drop
+    every later duplicate — across micro-batch boundaries, which a
+    stateless ``dropDuplicates`` inside ``foreachBatch`` cannot do.
+
+    Within one micro-batch the representative is deterministic: the row
+    minimizing ``tie_col`` (default: the key itself, i.e. any row — pass
+    ``doc_id`` for a stable choice).  Across batches, earlier batch wins
+    (arrival order), matching the "keep first crawl" curation rule.
+
+    ``ttl_seconds`` bounds state on unbounded streams: a key unseen for
+    that long (event time — a ``watermark`` on ``time_col`` is applied
+    automatically) is evicted, so a re-crawl after the TTL re-emits.
+    Without it, state is the exact distinct-key set (NoTimeout).
+    """
+    if ttl_seconds is not None:
+        docs = docs.withWatermark(time_col, watermark)
+    out_schema = docs.schema
+    state_schema = StructType([StructField("seen", LongType())])
+    tie = tie_col or key_col
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    ttl_ms = int(ttl_seconds * 1000) if ttl_seconds is not None else None
+    cols = [f.name for f in out_schema.fields]
+
+    def first_seen(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        fresh = not state.exists
+        best: pd.DataFrame | None = None
+        last_event_ms = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            if ttl_ms is not None:
+                ev = int(_ts_us(pdf[time_col]).max()) // 1000
+                last_event_ms = ev if last_event_ms is None else max(last_event_ms, ev)
+            if fresh and best is None:
+                best = pdf.loc[[pdf[tie].idxmin()], cols]
+            elif fresh:
+                cand = pdf.loc[[pdf[tie].idxmin()], cols]
+                if cand[tie].iloc[0] < best[tie].iloc[0]:
+                    best = cand
+        state.update((1,))
+        if ttl_ms is not None:
+            base = last_event_ms if last_event_ms is not None else 0
+            state.setTimeoutTimestamp(
+                max(base + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if best is not None:
+            yield best
+
+    return docs.groupBy(key_col).applyInPandasWithState(
+        first_seen, out_schema, state_schema, "append", timeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time sessionization with gap timeout
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    watermark: str = "30 minutes",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time sessions per user: consecutive events closer than
+    ``gap_seconds`` belong to one session; a session closes when the gap
+    elapses (event time, enforced by a state timeout once the watermark
+    passes ``last_event + gap``).
+
+    Sessions that close WITHIN a batch (an in-batch gap) emit
+    immediately; the open tail session is held in the per-key state store
+    and emitted by the timeout path.  Late events (older than the
+    watermark) are dropped by Spark before reaching the operator — the
+    standard watermark contract.
+
+    Output: one row per closed session (append mode).
+    """
+    gap_us = int(gap_seconds * _US)
+
+    def fold(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        uid = key[0]
+
+        def session_row(s) -> dict:
+            return {
+                "user_id": uid,
+                "session_start": pd.Timestamp(s[0], unit="us"),
+                "session_end": pd.Timestamp(s[1], unit="us"),
+                "n_events": s[2],
+                "sum_value": s[3],
+            }
+
+        if state.hasTimedOut:
+            s = state.get
+            state.remove()
+            yield pd.DataFrame([session_row(s)])
+            return
+
+        cur = list(state.get) if state.exists else None
+        closed: list[dict] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            us = _ts_us(pdf[time_col])
+            vals = pdf[value_col].astype("float64")
+            order = us.sort_values(kind="mergesort").index
+            for i in order:
+                t, v = int(us.loc[i]), float(vals.loc[i])
+                if cur is None:
+                    cur = [t, t, 1, v]
+                elif t - cur[1] > gap_us:
+                    closed.append(session_row(cur))
+                    cur = [t, t, 1, v]
+                else:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+                    cur[3] += v
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(
+                max(cur[1] // 1000 + gap_us // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold, SESSION_SCHEMA, _SESSION_STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch sessionization with identical semantics, as pure DataFrame
+    ops: a gap > ``gap_seconds`` from the previous event starts a new
+    session (lag + running sum of boundaries per key), then one row per
+    session.  Used to pin ``sessionize`` stream == batch, and cheap at
+    scale: two window passes + one agg, all shuffled once on ``key_col``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    gap = F.lit(gap_seconds)
+    # unix_micros over an LTZ cast works for TIMESTAMP and TIMESTAMP_NTZ
+    # inputs alike (only differences are used, so the tz anchor cancels)
+    secs = F.unix_micros(F.col(time_col).cast("timestamp_ltz")) / F.lit(1e6)
+    with_bound = events.select(
+        key_col,
+        time_col,
+        value_col,
+        (
+            F.coalesce(
+                secs - F.lag(secs).over(w) > gap,
+                F.lit(True),
+            )
+        )
+        .cast("long")
+        .alias("is_boundary"),
+    ).select(
+        key_col,
+        time_col,
+        value_col,
+        F.sum("is_boundary").over(w).alias("session_seq"),
+    )
+    return (
+        with_bound.groupBy(key_col, "session_seq")
+        .agg(
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).cast("double").alias("sum_value"),
+        )
+        .drop("session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed aggregation (built-in state)
+# ---------------------------------------------------------------------------
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts per event type with a watermark: the
+    standard late-data-tolerant streaming aggregate.  Windows finalize
+    (append mode) once the watermark passes their end; rows later than
+    the watermark are dropped; window state is evicted after emission —
+    memory stays bounded by (#windows inside the watermark) × (#types).
+
+    Valid on batch DataFrames too (``withWatermark`` is a no-op there),
+    which is how tests pin streaming totals against the batch answer.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window_duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
