@@ -416,6 +416,19 @@ def kmeans_centroids(
     return cent
 
 
+def _ivf_centroids(
+    emb: DataFrame, n_centroids: int, kmeans_iters: int
+) -> DataFrame:
+    """(centroid_id, cv): the Lloyd-trained centroids when
+    ``kmeans_iters>0``, else the deterministic seed set (first
+    `n_centroids` vectors)."""
+    if kmeans_iters > 0:
+        return kmeans_centroids(emb, n_centroids, kmeans_iters)
+    return quantized(emb).where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cv")
+    )
+
+
 def ivf_assign(
     emb: DataFrame, n_centroids: int = N_CENTROIDS, kmeans_iters: int = 0
 ) -> DataFrame:
@@ -425,27 +438,54 @@ def ivf_assign(
     that many Lloyd rounds first (:func:`kmeans_centroids`).  Either way
     distances are exact integer L2², so the argmin (tie-break on centroid
     id) is engine-exact."""
-    q = quantized(emb)
-    if kmeans_iters > 0:
-        centroids = kmeans_centroids(emb, n_centroids, kmeans_iters)
-    else:
-        centroids = q.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("centroid_id"), F.col("q").alias("cv")
-        )
-    return nearest_centroid(q, centroids)
+    return nearest_centroid(
+        quantized(emb), _ivf_centroids(emb, n_centroids, kmeans_iters)
+    )
+
+
+def _probe_rows(qvec_rows, centroid_rows, nprobe: int) -> list:
+    """Multi-probe fan-out: each query row is replicated under its
+    ``nprobe`` nearest cells (exact int L2², ties on centroid id) so the
+    keyed scorer visits every probed cell.  Driver-side numpy over
+    (n_queries × n_centroids) — both tiny by contract."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    crows = sorted(centroid_rows, key=lambda r: r.centroid_id)
+    cids = np.array([r.centroid_id for r in crows], dtype=np.int64)
+    cmat = np.array([r.cv for r in crows], dtype=np.int64)
+    cn = (cmat * cmat).sum(axis=1)
+    out = []
+    for r in qvec_rows:
+        if r.q is None or len(r.q) != DIM:
+            continue
+        v = np.array(r.q, dtype=np.int64)
+        d = int(v @ v) - 2 * (cmat @ v) + cn
+        # cids ascend, stable sort → equal-distance ties break on cell id
+        for j in np.argsort(d, kind="stable")[:nprobe]:
+            out.append(Row(vec_id=r.vec_id, q=r.q, centroid_id=int(cids[j])))
+    return out
 
 
 def ivf_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5,
-    n_centroids: int = N_CENTROIDS, kmeans_iters: int = 0,
+    n_centroids: int = N_CENTROIDS, kmeans_iters: int = 0, nprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k with nprobe=1: candidates share the query's IVF cell.
-    At 100 TB the corpus is stored partitioned by centroid_id, so a probe
-    reads exactly one partition."""
+    """ANN top-k over the query's ``nprobe`` nearest IVF cells (candidates
+    share a probed cell; each corpus vector lives in exactly one cell, so
+    probes never double-count a neighbor).  At 100 TB the corpus is stored
+    partitioned by centroid_id, so a probe reads exactly ``nprobe``
+    partitions — recall rises with nprobe at linear read cost, the
+    standard IVF quality dial."""
     q = quantized(emb)
-    assign = ivf_assign(emb, n_centroids, kmeans_iters)
+    centroids = _ivf_centroids(emb, n_centroids, kmeans_iters)
+    assign = nearest_centroid(q, centroids)
     qa = q.join(assign, "vec_id")
-    qrows = qa.where(F.col("vec_id") < n_queries).collect()
+    queries = q.where(F.col("vec_id") < n_queries)
+    if nprobe <= 1:
+        qrows = qa.where(F.col("vec_id") < n_queries).collect()
+    else:
+        qrows = _probe_rows(queries.collect(), centroids.collect(), nprobe)
     scored = _keyed_vector_scores(qa, "centroid_id", qrows)
     return topk_merge(scored, k)
 

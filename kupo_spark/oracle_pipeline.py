@@ -471,12 +471,15 @@ FROM pairs WHERE cosine >= {threshold}
 
 
 def ivf_topk_sql(
-    n_queries: int = 10, k: int = 5, n_centroids: int = 16, kmeans_iters: int = 0
+    n_queries: int = 10, k: int = 5, n_centroids: int = 16, kmeans_iters: int = 0,
+    nprobe: int = 1,
 ) -> str:
-    """Cell-restricted (nprobe=1) exact top-k: the IVF assignment CTE
-    (oracle-checked by ivf_assign_sql) spliced into the brute-force ranking;
-    with ``kmeans_iters`` the centroid CTEs re-derive the trained centroids
-    first."""
+    """Cell-restricted exact top-k: the IVF assignment CTE (oracle-checked
+    by ivf_assign_sql) spliced into the brute-force ranking; with
+    ``kmeans_iters`` the centroid CTEs re-derive the trained centroids
+    first.  ``nprobe`` replicates each query under its nprobe nearest
+    cells (the corpus side stays rn=1, so no neighbor double-counts),
+    mirroring ``similarity.ivf_topk``."""
     ctes, cent = _kmeans_ctes(n_centroids, kmeans_iters)
     chain = ",\n".join(ctes)
     return f"""
@@ -491,7 +494,13 @@ assign_ranked AS (
 ),
 assigned AS (SELECT vec_id, centroid_id FROM assign_ranked WHERE rn = 1),
 qa AS (SELECT qv.vec_id, qv.q AS v, a.centroid_id FROM qv JOIN assigned a USING (vec_id)),
-queries AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM qa WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT vec_id, centroid_id FROM assign_ranked WHERE rn <= {nprobe}
+),
+queries AS (
+  SELECT qv.vec_id AS query_id, qv.q AS qv, p.centroid_id
+  FROM qv JOIN probes p USING (vec_id) WHERE qv.vec_id < {n_queries}
+),
 corpus AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM qa),
 scored AS (
   SELECT query_id, neighbor_id, {_COS} AS cosine

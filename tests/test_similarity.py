@@ -186,3 +186,39 @@ def test_topk_tolerates_null_and_ragged_vectors(spark):
     )
     assigned = {r.vec_id for r in nearest_centroid(quantized(corpus), cent).collect()}
     assert 20_000 not in assigned and 20_001 not in assigned
+
+
+def test_ivf_multiprobe_matches_duckdb_oracle(spark, duck):
+    """nprobe=2 Spark result is bit-identical to the DuckDB oracle with the
+    same probes CTE (trained centroids, 2 Lloyd rounds)."""
+    from kupo_spark.oracle_pipeline import ivf_topk_sql
+
+    emb = spark.read.parquet(EMB)
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_topk(emb, 10, 5, kmeans_iters=2, nprobe=2).collect()
+    }
+    oracle = duck.execute(
+        ivf_topk_sql(10, 5, kmeans_iters=2, nprobe=2)
+    ).fetchall()
+    assert got == {tuple(r) for r in oracle}
+    assert len(got) > 0
+
+
+def test_ivf_recall_non_decreasing_in_nprobe(spark):
+    """Candidates grow monotonically with nprobe, and exact re-ranking over
+    a candidate superset can only displace a true neighbor with a truer
+    one — so recall vs brute force never drops when nprobe rises."""
+    emb = spark.read.parquet(EMB)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, 10, 5).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, 10, 5, kmeans_iters=2, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 > r1 or r1 == 1.0
