@@ -1,0 +1,299 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The missing piece between brute-force/LSH/IVF and a real 100 TB vector
+corpus: storing raw float vectors costs dim×4 bytes/vector; PQ stores
+``m`` one-byte (here: sub-byte) codes — 64-dim float32 → 8 bytes at
+m=8 — and searches them without decompression via Asymmetric Distance
+Computation (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", IEEE TPAMI 2011; the IVF-PQ scheme FAISS popularized).
+
+Design, Spark-first:
+
+- **Codebook training is driver-side on a deterministic sample.**  PQ
+  codebooks are tiny (m × 2^bits × dim/m ints) and are always trained on
+  a corpus sample in practice; the sample (first ``sample`` vectors) fits
+  the driver by contract.  Training runs Lloyd rounds in the repo's exact
+  integer space (quantized 1e-6 grid, floor-means) — bit-deterministic,
+  no float nondeterminism, same arithmetic the SQL oracles use.
+- **Encoding is distributed.**  ``pq_encode`` maps each Arrow batch with
+  one numpy matmul per subspace (argmin over centroids, stable tie-break
+  on centroid id) — a narrow scan, no shuffle, no join.
+- **ADC search never reconstructs the corpus.**  For each query,
+  ``m × 2^bits`` distance tables ride the task closure; scoring a vector
+  is ``m`` table lookups + a sum (vectorized numpy take over the whole
+  batch).  The exact invariant tested: ADC(q, code(x)) equals the true
+  L2² between q and the *reconstructed* x — approximation error lives
+  entirely in the code assignment, never in the scoring.
+- Ranking reuses :func:`kupo_spark.functions.similarity.topk_merge`
+  (two-stage partial top-k — no per-query single reducer).
+
+``ivf_pq_topk`` composes the IVF coarse partition (cell-restricted
+candidates, ``nprobe`` dial) with ADC scoring — the standard IVF-PQ
+layout where a 100 TB corpus is stored partitioned by coarse cell with
+8-byte codes, and a probe reads nprobe partitions of codes only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kupo_spark.functions.similarity import (
+    DIM,
+    _ivf_centroids,
+    _probe_rows,
+    nearest_centroid,
+    quantized,
+    topk_merge,
+)
+
+__all__ = ["train_codebooks", "pq_encode", "pq_reconstruct", "pq_adc_topk", "ivf_pq_topk"]
+
+M_SUB = 8  #: subspaces (64-dim -> 8 dims each)
+BITS = 4  #: 2^4 = 16 centroids per subspace -> 4 bits/code, 8 codes/vector
+
+
+def _floor_mean(s: int, c: int) -> int:
+    """Exact floor(s / c) for ints (Python // floors already; kept for
+    symmetry with the SQL _FLOOR_MEAN used by the k-means oracle)."""
+    return s // c
+
+
+def train_codebooks(
+    emb: DataFrame,
+    m: int = M_SUB,
+    bits: int = BITS,
+    iters: int = 3,
+    sample: int = 4096,
+) -> list:
+    """Train ``m`` per-subspace codebooks of ``2^bits`` centroids each on
+    the first ``sample`` vectors, with Lloyd rounds in exact integer
+    arithmetic.  Returns ``codebooks[m][2^bits][dim/m]`` (plain ints —
+    deterministic, serializable, closure-friendly).
+
+    Seeds are the first ``2^bits`` sampled vectors' sub-slices; an empty
+    cluster keeps its previous centroid (standard practice, keeps k
+    stable).  Deterministic end to end: same data → same codebooks."""
+    import numpy as np
+
+    if DIM % m:
+        raise ValueError(f"dim {DIM} not divisible by m={m}")
+    dsub = DIM // m
+    k = 1 << bits
+    rows = (
+        quantized(emb)
+        .where(F.col("q").isNotNull() & (F.size("q") == DIM))
+        .limit(sample)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"sample of {len(rows)} vectors < {k} centroids")
+    data = np.array([r.q for r in rows], dtype=np.int64)  # (n, DIM)
+    books = []
+    for j in range(m):
+        sub = data[:, j * dsub : (j + 1) * dsub]  # (n, dsub)
+        cent = sub[:k].copy()
+        for _ in range(iters):
+            # exact int L2^2; argmin ties break on lowest centroid index
+            d = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2 * (sub @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            a = d.argmin(axis=1)
+            for ci in range(k):
+                mask = a == ci
+                n = int(mask.sum())
+                if n == 0:
+                    continue  # empty cluster keeps its centroid
+                s = sub[mask].sum(axis=0)
+                cent[ci] = np.floor_divide(s, n)
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: list) -> DataFrame:
+    """(vec_id, code array<int> of length m): nearest sub-centroid per
+    subspace.  One numpy matmul per (Arrow batch × subspace); the scan
+    stays narrow (vec_id + embedding), nothing shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    dsub = DIM // m
+    cents = [np.array(b, dtype=np.int64) for b in codebooks]
+    cnorms = [(c * c).sum(axis=1) for c in cents]
+
+    def encode(batches):
+        for pdf in batches:
+            ok = pdf["q"].map(lambda v: v is not None and len(v) == DIM)
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["q"].tolist(), dtype=np.int64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2 * (sub @ cents[j].T)
+                    + cnorms[j][None, :]
+                )
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "code": list(codes)}
+            )
+
+    return quantized(emb).mapInPandas(encode, "vec_id long, code array<long>")
+
+
+def pq_reconstruct(codes: DataFrame, codebooks: list) -> DataFrame:
+    """(vec_id, qr): the reconstructed (approximate) quantized vector —
+    concatenated sub-centroids.  Pure JVM: the codebooks become a literal
+    array-of-arrays per subspace and ``element_at`` gathers, so
+    reconstruction is a codegen projection, no Python."""
+    cols = []
+    m = len(codebooks)
+    for j, book in enumerate(codebooks):
+        lit = (
+            "array("
+            + ",".join("array(" + ",".join(str(x) for x in c) + ")" for c in book)
+            + ")"
+        )
+        cols.append(f"element_at({lit}, cast(code[{j}] as int) + 1)")
+    expr = "flatten(array(" + ",".join(cols) + "))"
+    return codes.select("vec_id", F.expr(expr).alias("qr"))
+
+
+def _adc_tables(query_rows, codebooks):
+    """Per-query ADC tables: tables[q][j][c] = L2²(q_sub_j, centroid_c) —
+    exact ints, shape (n_q, m, 2^bits)."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = DIM // m
+    cents = [np.array(b, dtype=np.int64) for b in codebooks]
+    qids, tabs = [], []
+    for r in query_rows:
+        if r.q is None or len(r.q) != DIM:
+            continue
+        v = np.array(r.q, dtype=np.int64)
+        per = []
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            diff = cents[j] - sub[None, :]
+            per.append((diff * diff).sum(axis=1))
+        qids.append(r.vec_id)
+        tabs.append(np.stack(per))  # (m, k)
+    import numpy as np
+
+    return np.array(qids, dtype=np.int64), (
+        np.stack(tabs) if tabs else np.zeros((0, m, 1 << BITS), dtype=np.int64)
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebooks: list,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes: for each query, ``m``
+    table lookups + a sum per candidate (numpy ``take`` over the whole
+    Arrow batch — the corpus is scanned once as codes, never
+    reconstructed).  Queries stay exact (asymmetric).
+
+    Output mirrors the other top-k paths (query_id, neighbor_id, cosine,
+    rank) with ``cosine`` = −ADC L2² (cast to double; "higher is
+    better") so :func:`topk_merge` ranks it unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    codes = pq_encode(emb, codebooks)
+    qrows = quantized(emb).where(F.col("vec_id") < n_queries).collect()
+    qids, tabs = _adc_tables(qrows, codebooks)
+    m = len(codebooks)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                continue
+            cmat = np.array(pdf["code"].tolist(), dtype=np.int64)  # (n, m)
+            n = len(pdf)
+            # dist[q, i] = sum_j tabs[q, j, cmat[i, j]] — m vectorized takes
+            dist = np.zeros((len(qids), n), dtype=np.int64)
+            for j in range(m):
+                dist += tabs[:, j, :][:, cmat[:, j]]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(pdf["vec_id"].values, len(qids)),
+                    "adist": dist.reshape(-1),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = codes.mapInPandas(score, "query_id long, neighbor_id long, adist long")
+    scored = scored.withColumn("cosine", -F.col("adist").cast("double")).drop("adist")
+    return topk_merge(scored, k)
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    codebooks: list,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    kmeans_iters: int = 0,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ: coarse cells bound the candidates (``nprobe`` dial, same
+    machinery as :func:`similarity.ivf_topk`), ADC scores the codes.  The
+    100 TB layout: codes stored partitioned by coarse cell; a probe reads
+    nprobe partitions of 8-byte codes — both the read volume and the
+    arithmetic per candidate drop by ~an order of magnitude vs raw
+    vectors."""
+    import numpy as np
+    import pandas as pd
+
+    q = quantized(emb)
+    centroids = _ivf_centroids(emb, n_centroids, kmeans_iters)
+    assign = nearest_centroid(q, centroids)
+    codes = pq_encode(emb, codebooks).join(assign, "vec_id")
+    queries = q.where(F.col("vec_id") < n_queries)
+    probe = _probe_rows(queries.collect(), centroids.collect(), max(1, nprobe))
+    qids, tabs = _adc_tables(probe, codebooks)
+    # cell each (replicated) probe row targets, aligned with qids
+    cells = np.array(
+        [r.centroid_id for r in probe if r.q is not None and len(r.q) == DIM],
+        dtype=np.int64,
+    )
+    m = len(codebooks)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                continue
+            for cell, grp in pdf.groupby("centroid_id", sort=False):
+                sel = cells == cell
+                if not sel.any() or not len(grp):
+                    continue
+                t = tabs[sel]
+                qi = qids[sel]
+                cmat = np.array(grp["code"].tolist(), dtype=np.int64)
+                n = len(grp)
+                dist = np.zeros((len(qi), n), dtype=np.int64)
+                for j in range(m):
+                    dist += t[:, j, :][:, cmat[:, j]]
+                out = pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qi, n),
+                        "neighbor_id": np.tile(grp["vec_id"].values, len(qi)),
+                        "adist": dist.reshape(-1),
+                    }
+                )
+                yield out[out.query_id != out.neighbor_id]
+
+    scored = codes.mapInPandas(score, "query_id long, neighbor_id long, adist long")
+    scored = scored.withColumn("cosine", -F.col("adist").cast("double")).drop("adist")
+    return topk_merge(scored, k)
