@@ -313,11 +313,26 @@ def write_index(index: Index, path: str, slot_bucket: int = 1000) -> None:
         .partitionBy("created_bucket")
         .parquet(f"{path}/inputs")
     )
-    index.checkpoints.write.mode("overwrite").parquet(f"{path}/checkpoints")
-    index.policies.write.mode("overwrite").parquet(f"{path}/policies")
-    index.assets.write.mode("overwrite").parquet(f"{path}/assets")
-    index.binary_data.write.mode("overwrite").parquet(f"{path}/binary_data")
-    index.scripts.write.mode("overwrite").parquet(f"{path}/scripts")
+    # the inputs write above materialized the (cached) match lineage; the
+    # five side tables are then cheap scans off the cache — submit their
+    # jobs concurrently so the per-job scheduling floor overlaps instead
+    # of serializing (Spark's scheduler is thread-safe by design)
+    from concurrent.futures import ThreadPoolExecutor
+
+    side = [
+        (index.checkpoints, "checkpoints"),
+        (index.policies, "policies"),
+        (index.assets, "assets"),
+        (index.binary_data, "binary_data"),
+        (index.scripts, "scripts"),
+    ]
+    with ThreadPoolExecutor(len(side)) as ex:
+        list(
+            ex.map(
+                lambda t: t[0].write.mode("overwrite").parquet(f"{path}/{t[1]}"),
+                side,
+            )
+        )
 
 
 def read_index(spark, path: str, slot_bucket: int = 1000) -> Index:
