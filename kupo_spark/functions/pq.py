@@ -42,7 +42,7 @@ from kupo_spark.functions.similarity import (
     DIM,
     _ivf_centroids,
     _probe_rows,
-    nearest_centroid,
+    nearest_centroid_rows,
     quantized,
     topk_merge,
 )
@@ -80,10 +80,13 @@ def train_codebooks(
         raise ValueError(f"dim {DIM} not divisible by m={m}")
     dsub = DIM // m
     k = 1 << bits
+    # vec_id-bounded, not .limit(): limit() takes whichever partitions
+    # answer first, which would make the "deterministic sample" contract
+    # (and therefore the stored codes) run-dependent
     rows = (
         quantized(emb)
         .where(F.col("q").isNotNull() & (F.size("q") == DIM))
-        .limit(sample)
+        .where(F.col("vec_id") < sample)
         .collect()
     )
     if len(rows) < k:
@@ -257,11 +260,11 @@ def ivf_pq_topk(
     import pandas as pd
 
     q = quantized(emb)
-    centroids = _ivf_centroids(emb, n_centroids, kmeans_iters)
-    assign = nearest_centroid(q, centroids)
+    crows = _ivf_centroids(emb, n_centroids, kmeans_iters).collect()
+    assign = nearest_centroid_rows(q, crows)
     codes = pq_encode(emb, codebooks).join(assign, "vec_id")
     queries = q.where(F.col("vec_id") < n_queries)
-    probe = _probe_rows(queries.collect(), centroids.collect(), max(1, nprobe))
+    probe = _probe_rows(queries.collect(), crows, max(1, nprobe))
     qids, tabs = _adc_tables(probe, codebooks)
     # cell each (replicated) probe row targets, aligned with qids
     cells = np.array(

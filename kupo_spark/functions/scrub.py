@@ -73,9 +73,14 @@ def badwords_flag(
         return docs.select(
             "doc_id", F.lit(0).alias("n_badwords"), F.lit(False).alias("blocked")
         )
-    # longest-first so overlapping entries ("bad", "badger") match whole
+    import re
+
+    # longest-first so overlapping entries ("bad", "badger") match whole;
+    # re.escape keeps metacharacter-bearing entries ("c++", "a.b") literal
+    # (Python and Java regex agree on backslash-escaped punctuation)
     alt = "|".join(
-        sorted({w.lower() for w in words}, key=lambda w: (-len(w), w))
+        re.escape(w)
+        for w in sorted({w.lower() for w in words}, key=lambda w: (-len(w), w))
     )
     pat = f"(?i)\\b({alt})\\b"
     n = F.regexp_count(F.col(text_col), F.lit(pat))

@@ -344,10 +344,18 @@ def nearest_centroid(q: DataFrame, centroids: DataFrame) -> DataFrame:
     oracle's min(struct(dist2, centroid_id)) performs.  One corpus scan,
     no join, no per-vector reducer; inside k-means the per-round collect
     also truncates the growing Lloyd lineage."""
+    return nearest_centroid_rows(q, centroids.collect())
+
+
+def nearest_centroid_rows(q: DataFrame, centroid_rows) -> DataFrame:
+    """:func:`nearest_centroid` over already-collected centroid rows —
+    callers that also need the rows driver-side (multi-probe fan-out)
+    collect once instead of re-executing the centroid lineage (with
+    trained centroids that lineage is the whole Lloyd iteration)."""
     import numpy as np
     import pandas as pd
 
-    crows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
+    crows = sorted(centroid_rows, key=lambda r: r.centroid_id)
     cids = np.array([r.centroid_id for r in crows], dtype=np.int64)
     cmat = (
         np.array([r.cv for r in crows], dtype=np.int64)
@@ -478,14 +486,16 @@ def ivf_topk(
     partitions — recall rises with nprobe at linear read cost, the
     standard IVF quality dial."""
     q = quantized(emb)
-    centroids = _ivf_centroids(emb, n_centroids, kmeans_iters)
-    assign = nearest_centroid(q, centroids)
+    # collect the centroids ONCE: assignment and probe fan-out both need
+    # them, and with kmeans_iters>0 the lineage is the whole Lloyd loop
+    crows = _ivf_centroids(emb, n_centroids, kmeans_iters).collect()
+    assign = nearest_centroid_rows(q, crows)
     qa = q.join(assign, "vec_id")
-    queries = q.where(F.col("vec_id") < n_queries)
     if nprobe <= 1:
         qrows = qa.where(F.col("vec_id") < n_queries).collect()
     else:
-        qrows = _probe_rows(queries.collect(), centroids.collect(), nprobe)
+        queries = q.where(F.col("vec_id") < n_queries)
+        qrows = _probe_rows(queries.collect(), crows, nprobe)
     scored = _keyed_vector_scores(qa, "centroid_id", qrows)
     return topk_merge(scored, k)
 

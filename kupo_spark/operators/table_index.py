@@ -147,12 +147,20 @@ class IndexDB:
 
     # -- maintenance ------------------------------------------------------
 
-    def vacuum(self, keep_entries: int = 1, retention_seconds: float = 0.0) -> list[str]:
+    def vacuum(
+        self, keep_entries: int = 1, retention_seconds: float = 24 * 3600.0
+    ) -> list[str]:
         """Catalog-aware vacuum: a data file is live iff some RETAINED
         catalog entry's pinned table version references it.  This is
         deliberately not ``Table.vacuum`` — a crashed, never-published
         overwrite can be a table's `latest` version without being
-        referenced by any catalog entry, and must be collectable."""
+        referenced by any catalog entry, and must be collectable.
+
+        ``retention_seconds`` protects IN-FLIGHT commits: a concurrent
+        ``commit()`` stages table data before the catalog entry publishes,
+        and those files are referenced by no retained entry yet — with a
+        zero window they would be collected and the subsequent publish
+        would pin deleted files.  Tests pass 0 deliberately, single-writer."""
         latest = self.latest_version()
         keep = range(max(0, latest - keep_entries + 1), latest + 1)
         live: set[str] = set()

@@ -294,7 +294,7 @@ def embedding_label_topk_sql(n_queries: int = 10, k: int = 3) -> str:
     """ANN restricted to a metadata predicate (same label) — the filtered-
     search shape every retrieval pipeline needs."""
     return f"""
-WITH q AS (SELECT vec_id, label, {QUANT} AS v FROM embeddings),
+WITH q AS (SELECT vec_id, label, {QUANT} AS v FROM embeddings WHERE {_VALID_EMB}),
 queries AS (SELECT vec_id AS query_id, label, v AS qv FROM q WHERE vec_id < {n_queries}),
 corpus AS (SELECT vec_id AS neighbor_id, label, v AS cv FROM q),
 scored AS (
@@ -334,6 +334,11 @@ QUANT = (
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
 )
 
+#: the Spark ANN paths exclude NULL / wrong-dimension vectors at the scan;
+#: the oracles must agree (a NULL embedding would otherwise land in bucket
+#: '000000' via CASE-on-NULL, or rank as a NULL-cosine query)
+_VALID_EMB = f"embedding IS NOT NULL AND len(embedding) = {DIM}"
+
 _COS = (
     "round(list_dot_product(qv, cv) / "
     "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
@@ -342,7 +347,7 @@ _COS = (
 
 def embedding_topk_sql(n_queries: int = 10, k: int = 5) -> str:
     return f"""
-WITH q AS (SELECT vec_id, {QUANT} AS v FROM embeddings),
+WITH q AS (SELECT vec_id, {QUANT} AS v FROM embeddings WHERE {_VALID_EMB}),
 queries AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < {n_queries}),
 corpus AS (SELECT vec_id AS neighbor_id, v AS cv FROM q),
 scored AS (
@@ -373,7 +378,7 @@ def lsh_buckets_sql(planes: int = N_PLANES, dim: int = DIM) -> str:
         for j in range(planes)
     )
     return f"""
-WITH q AS (SELECT vec_id, {QUANT} AS v FROM embeddings)
+WITH q AS (SELECT vec_id, {QUANT} AS v FROM embeddings WHERE {_VALID_EMB})
 SELECT vec_id, {bits} AS bucket FROM q
 """
 
@@ -387,7 +392,7 @@ def lsh_topk_sql(n_queries: int = 10, k: int = 5, planes: int = N_PLANES, dim: i
         for j in range(planes)
     )
     return f"""
-WITH qtab AS (SELECT vec_id, {QUANT} AS v FROM embeddings),
+WITH qtab AS (SELECT vec_id, {QUANT} AS v FROM embeddings WHERE {_VALID_EMB}),
 b AS (SELECT vec_id, {bits} AS bucket FROM qtab),
 qb AS (SELECT qtab.vec_id, qtab.v, b.bucket FROM qtab JOIN b USING (vec_id)),
 queries AS (SELECT vec_id AS query_id, v AS qv, bucket FROM qb WHERE vec_id < {n_queries}),
@@ -416,7 +421,7 @@ def _kmeans_ctes(n_centroids: int, iters: int, dim: int = DIM) -> tuple[list[str
     numerator is divisible).  Returns (ctes, name-of-final-centroid-cte);
     the first CTE defines `qv` (quantized embeddings)."""
     ctes = [
-        f"qv AS (SELECT vec_id, {QUANT} AS q FROM embeddings)",
+        f"qv AS (SELECT vec_id, {QUANT} AS q FROM embeddings WHERE {_VALID_EMB})",
         f"cent0 AS (SELECT vec_id AS centroid_id, q AS cv FROM qv WHERE vec_id < {n_centroids})",
     ]
     prev = "cent0"
@@ -451,7 +456,7 @@ def lsh_buckets_and_near_dup_sql(
         for j in range(planes)
     )
     return f"""
-WITH qtab AS (SELECT vec_id, {QUANT} AS v FROM embeddings),
+WITH qtab AS (SELECT vec_id, {QUANT} AS v FROM embeddings WHERE {_VALID_EMB}),
 b AS (SELECT vec_id, {bits} AS bucket FROM qtab),
 qb AS (SELECT qtab.vec_id, qtab.v, b.bucket FROM qtab JOIN b USING (vec_id)),
 pairs AS (

@@ -209,25 +209,49 @@ def sessionize(
             yield pd.DataFrame([session_row(s)])
             return
 
+        # gather EVERY Arrow chunk before folding: a key's micro-batch data
+        # may span chunks, and a later chunk can hold earlier timestamps —
+        # sorting per chunk would mis-split sessions
+        parts = [pdf for pdf in pdfs if len(pdf)]
         cur = list(state.get) if state.exists else None
         closed: list[dict] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            us = _ts_us(pdf[time_col])
-            vals = pdf[value_col].astype("float64")
-            order = us.sort_values(kind="mergesort").index
+        if parts:
+            allp = pd.concat(parts, ignore_index=True)
+            us = _ts_us(allp[time_col]).to_numpy()
+            vals = allp[value_col].astype("float64").to_numpy()
+            order = us.argsort(kind="stable")
+            # interval-merge the batch (ascending) against the open session:
+            # an in-watermark late event may precede the open session — if it
+            # bridges (within gap) it extends session_start backwards; if it
+            # is isolated it closes eagerly as its own session (a yet-later
+            # arrival can no longer bridge into it — the bounded concession
+            # the watermark contract allows)
+            spans = [cur] if cur is not None else []
             for i in order:
-                t, v = int(us.loc[i]), float(vals.loc[i])
-                if cur is None:
-                    cur = [t, t, 1, v]
-                elif t - cur[1] > gap_us:
-                    closed.append(session_row(cur))
-                    cur = [t, t, 1, v]
+                t, v = int(us[i]), float(vals[i])
+                placed = False
+                for s in spans:
+                    if s[0] - gap_us <= t <= s[1] + gap_us:
+                        s[0] = min(s[0], t)
+                        s[1] = max(s[1], t)
+                        s[2] += 1
+                        s[3] += v
+                        placed = True
+                        break
+                if not placed:
+                    spans.append([t, t, 1, v])
+            # coalesce spans that an extension bridged together
+            spans.sort(key=lambda s: s[0])
+            merged: list[list] = []
+            for s in spans:
+                if merged and s[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                    merged[-1][3] += s[3]
                 else:
-                    cur[1] = max(cur[1], t)
-                    cur[2] += 1
-                    cur[3] += v
+                    merged.append(s)
+            closed = [session_row(s) for s in merged[:-1]]
+            cur = merged[-1] if merged else None
         if cur is not None:
             state.update(tuple(cur))
             state.setTimeoutTimestamp(

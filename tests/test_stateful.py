@@ -298,3 +298,29 @@ def test_windowed_counts_append_drops_late_rows(spark, tmp_path):
     # row neither re-aggregated into it nor resurrected it as a new row
     assert ("2024-01-01 10:00:00", 2, 2.0) in rows
     assert not any(v in (100.0, 102.0) for (_, _, v) in rows)
+
+
+def test_sessionize_late_event_extends_session_backwards(spark, tmp_path):
+    """An out-of-order event that arrives a batch later but bridges the
+    open session (within gap) extends session_start backwards — the
+    interval-merge path (chunk-order-independent)."""
+    d = str(tmp_path / "sess_late")
+    _write_files(
+        d,
+        EV_PA,
+        [
+            [(1, _ts("2024-01-01 10:00"), 1, "view", 1.0)],
+            # late vs event time but accepted (late-filter lags a batch):
+            # bridges the open session -> start moves to 09:50
+            [(2, _ts("2024-01-01 09:50"), 1, "view", 2.0)],
+            [(3, _ts("2024-01-01 20:00"), 2, "view", 0.0)],
+            [(4, _ts("2024-01-01 23:00"), 3, "view", 0.0)],
+        ],
+    )
+    ev = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    name = _run_to_memory(sessionize(ev, gap_seconds=1800, watermark="1 minute"))
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in spark.table(name).collect()
+    }
+    assert (1, "2024-01-01 09:50:00", "2024-01-01 10:00:00", 2, 3.0) in got
