@@ -1,0 +1,139 @@
+"""Deterministic sampling and benchmark-contamination detection.
+
+Two pipeline stages every pretraining corpus build runs between curation
+and packing:
+
+- **Reproducible sampling / data mixing.**  `rand()`-based sampling is
+  run-dependent (partition order, task retries); a corpus recipe must be
+  re-derivable.  `deterministic_sample` keeps a row iff the md5 of
+  ``seed‖doc_id`` falls under the fraction threshold — a pure projection
+  + filter, bit-identical across engines (DuckDB's md5 agrees with
+  Spark's on the same string, so the oracle reproduces the exact row
+  set), stable under retries, repartitioning, and cluster size.
+  `mix_by_source` applies per-source fractions (the data-mixing recipe:
+  "webcrawl 0.6, books 1.0, code 0.3") the same way.
+
+- **Benchmark contamination.**  Training corpora must not contain the
+  eval benchmarks (GPT-3 paper §4 and successors run exactly this
+  n-gram-overlap check).  `contamination` flags documents sharing ≥
+  ``min_hits`` word n-grams with any benchmark text: benchmark shingles
+  are tiny by contract → broadcast semi-style join against the corpus
+  shingle explode, one shuffle-free probe per shingle, then one groupBy
+  on the (rare) hits.  Shingle construction matches ``dedup.SHINGLE``
+  so counts agree with the near-dup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from kupo_spark.functions.textops import TOKENS
+
+__all__ = ["deterministic_sample", "mix_by_source", "contamination"]
+
+#: md5 is 128-bit; compare on the first 15 hex digits (60 bits) as int —
+#: exact in int64, same expression both engines
+_HASH60 = "conv(substring(md5(concat('{seed}', ':', cast(doc_id as string))), 1, 15), 16, 10)"
+_MOD = 1 << 60
+
+
+def _keep(seed: str, fraction) -> F.Column:
+    h = F.expr(_HASH60.format(seed=seed)).cast("bigint")
+    return h < (F.lit(_MOD).cast("double") * fraction).cast("bigint")
+
+
+def deterministic_sample(
+    docs: DataFrame, fraction: float, seed: str = "0"
+) -> DataFrame:
+    """Keep ≈``fraction`` of documents, chosen by content-independent
+    hash — reproducible across runs, engines, partitionings."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return docs.where(_keep(seed, F.lit(float(fraction))))
+
+
+def mix_by_source(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    seed: str = "0",
+    source_col: str = "source",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-source sampling rates — the data-mixing recipe.  Sources not
+    in ``fractions`` get ``default``.  Same hash family as
+    :func:`deterministic_sample`, so mixes are reproducible and disjoint
+    seeds give independent draws."""
+    rate = F.lit(float(default))
+    for src, f in sorted(fractions.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(f))).otherwise(rate)
+    return docs.where(_keep(seed, rate))
+
+
+def sample_sql(fraction: float, seed: str = "0") -> str:
+    """DuckDB oracle for :func:`deterministic_sample` over `documents`."""
+    thresh = int((1 << 60) * fraction)
+    return f"""
+SELECT * FROM documents
+WHERE CAST(('0x' || substr(md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < {thresh}
+"""
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark_texts: list[str],
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, n_contaminated_shingles, contaminated): documents sharing
+    ≥ ``min_hits`` distinct word ``n``-grams with any benchmark text.
+
+    The benchmark shingle set is built driver-side (eval suites are KB-
+    scale by contract) and broadcast; the corpus explodes to distinct
+    (doc_id, shingle) once — same shape as the near-dup shingle pass, so
+    at 100 TB the two share one materialized shingle table."""
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        toks = [w for w in t.split(" ") if w]
+        bench.update(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+    if not bench:
+        return docs.select(
+            "doc_id",
+            F.lit(0).alias("n_contaminated_shingles"),
+            F.lit(False).alias("contaminated"),
+        )
+    spark = docs.sparkSession
+    bench_df = broadcast(
+        spark.createDataFrame([(s,) for s in sorted(bench)], "sh string")
+    )
+    shingle_expr = (
+        f"array_distinct(transform(sequence(0, size(t) - {n}), "
+        f"i -> array_join(slice(t, i + 1, {n}), ' ')))"
+    )
+    shingles = (
+        docs.select("doc_id", F.expr(TOKENS).alias("t"))
+        .where(F.size("t") >= n)
+        .select("doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
+    )
+    hits = (
+        shingles.join(bench_df, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_shingles", F.lit(0)).alias(
+                "n_contaminated_shingles"
+            ),
+            (F.coalesce("n_contaminated_shingles", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
