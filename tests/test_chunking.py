@@ -92,3 +92,74 @@ def test_chunking_plan_stays_jvm(spark):
 
     plan = formatted_plan(chunk_documents(spark.read.parquet(DOCS)))
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=12),
+    st.sampled_from([(16, 0), (16, 4), (32, 8), (7, 6)]),
+)
+def test_chunking_properties(spark, lens, params):
+    """Property: windows tile every document — counts follow the ceil
+    formula, concatenating the stride-prefixes + final tail reconstructs
+    the token stream exactly."""
+    chunk, overlap = params
+    stride = chunk - overlap
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk, overlap).collect()
+    by_doc = defaultdict(dict)
+    for r in rows:
+        by_doc[r.doc_id][r.chunk_id] = r.chunk_text.split(" ") if r.chunk_text else []
+    for i, n in enumerate(lens):
+        want = [f"t{i}_{j}" for j in range(n)]
+        got = by_doc.get(i, {})
+        if n == 0:
+            assert got == {}
+            continue
+        k = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
+        assert sorted(got) == list(range(k))
+        # tiling: the stride-prefixes of all but the last window are the
+        # document's first (k-1)*stride tokens, and the last window is
+        # exactly the remainder — so the windows cover every token
+        head = [t for cid in range(k - 1) for t in got[cid][:stride]]
+        assert head == want[: (k - 1) * stride]
+        assert got[k - 1] == want[(k - 1) * stride :]
+        # every chunk except possibly the last is full-width
+        for cid in range(k - 1):
+            assert len(got[cid]) == chunk
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=14),
+    st.integers(min_value=1, max_value=4),
+)
+def test_packing_properties(spark, lens, buckets):
+    """Property: every doc packed once; no pack exceeds the budget unless
+    it is a lone flagged oversize doc; within a bucket, pack ids are
+    nondecreasing in doc order."""
+    budget = 512
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, budget=budget, buckets=buckets).collect()
+    assert len(rows) == len(lens)
+    packs = defaultdict(list)
+    for r in rows:
+        assert r.n_tokens == lens[r.doc_id]
+        packs[r.pack_id].append(r)
+    for members in packs.values():
+        total = sum(r.n_tokens for r in members)
+        if total > budget:
+            assert len(members) == 1 and members[0].oversize
+    for b in range(buckets):
+        seq = sorted((r.doc_id, r.pack_id) for r in rows if r.bucket == b)
+        assert [p for _, p in seq] == sorted(p for _, p in seq)
