@@ -29,18 +29,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from kupo_spark.functions.textops import TOKENS
-
 __all__ = ["deterministic_sample", "mix_by_source", "contamination"]
 
 #: md5 is 128-bit; compare on the first 15 hex digits (60 bits) as int —
-#: exact in int64, same expression both engines
-_HASH60 = "conv(substring(md5(concat('{seed}', ':', cast(doc_id as string))), 1, 15), 16, 10)"
+#: exact in int64, same arithmetic both engines
 _MOD = 1 << 60
 
 
 def _keep(seed: str, fraction) -> F.Column:
-    h = F.expr(_HASH60.format(seed=seed)).cast("bigint")
+    # seed bound as a literal column (never interpolated into SQL text —
+    # a quote in the seed must stay data, not syntax)
+    key = F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
     return h < (F.lit(_MOD).cast("double") * fraction).cast("bigint")
 
 
@@ -65,6 +65,10 @@ def mix_by_source(
     in ``fractions`` get ``default``.  Same hash family as
     :func:`deterministic_sample`, so mixes are reproducible and disjoint
     seeds give independent draws."""
+    bad = {s: f for s, f in {**fractions, "<default>": default}.items()
+           if not 0.0 <= f <= 1.0}
+    if bad:
+        raise ValueError(f"fractions must be in [0,1], got {bad}")
     rate = F.lit(float(default))
     for src, f in sorted(fractions.items()):
         rate = F.when(F.col(source_col) == src, F.lit(float(f))).otherwise(rate)
@@ -74,9 +78,10 @@ def mix_by_source(
 def sample_sql(fraction: float, seed: str = "0") -> str:
     """DuckDB oracle for :func:`deterministic_sample` over `documents`."""
     thresh = int((1 << 60) * fraction)
+    quoted = seed.replace("'", "''")
     return f"""
 SELECT * FROM documents
-WHERE CAST(('0x' || substr(md5('{seed}' || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+WHERE CAST(('0x' || substr(md5('{quoted}' || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
       < {thresh}
 """
 
@@ -86,14 +91,18 @@ def contamination(
     benchmark_texts: list[str],
     n: int = 3,
     min_hits: int = 1,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_contaminated_shingles, contaminated): documents sharing
     ≥ ``min_hits`` distinct word ``n``-grams with any benchmark text.
 
     The benchmark shingle set is built driver-side (eval suites are KB-
-    scale by contract) and broadcast; the corpus explodes to distinct
-    (doc_id, shingle) once — same shape as the near-dup shingle pass, so
-    at 100 TB the two share one materialized shingle table."""
+    scale by contract) and broadcast; the corpus side is
+    :func:`dedup.shingles` — pass a pre-computed/persisted ``sh`` frame
+    to share one materialized shingle table with the near-dup pass at
+    100 TB (the same ``sh=`` convention as the MinHash pipeline)."""
+    from kupo_spark.functions.dedup import shingles as _shingles
+
     bench: set[str] = set()
     for t in benchmark_texts:
         toks = [w for w in t.split(" ") if w]
@@ -103,37 +112,26 @@ def contamination(
     if not bench:
         return docs.select(
             "doc_id",
-            F.lit(0).alias("n_contaminated_shingles"),
+            F.lit(0).cast("bigint").alias("n_contaminated_shingles"),
             F.lit(False).alias("contaminated"),
         )
     spark = docs.sparkSession
     bench_df = broadcast(
         spark.createDataFrame([(s,) for s in sorted(bench)], "sh string")
     )
-    shingle_expr = (
-        f"array_distinct(transform(sequence(0, size(t) - {n}), "
-        f"i -> array_join(slice(t, i + 1, {n}), ' ')))"
-    )
-    shingles = (
-        docs.select("doc_id", F.expr(TOKENS).alias("t"))
-        .where(F.size("t") >= n)
-        .select("doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
-    )
     hits = (
-        shingles.join(bench_df, "sh")
+        (sh if sh is not None else _shingles(docs, n))
+        .join(bench_df, "sh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )
+    found = F.coalesce("n_contaminated_shingles", F.lit(0).cast("bigint"))
     return (
         docs.select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_contaminated_shingles", F.lit(0)).alias(
-                "n_contaminated_shingles"
-            ),
-            (F.coalesce("n_contaminated_shingles", F.lit(0)) >= min_hits).alias(
-                "contaminated"
-            ),
+            found.alias("n_contaminated_shingles"),
+            (found >= min_hits).alias("contaminated"),
         )
     )

@@ -70,3 +70,27 @@ def test_contamination_counts_distinct_shingles(spark):
            contamination(docs, ["a b c d"], n=3, min_hits=1).collect()}
     # benchmark 3-grams: {a b c, b c d}; doc1 shares both, doc2 one
     assert out == {1: 2, 2: 1, 3: 0}
+
+
+def test_contamination_paths_share_schema_and_quote_safe_seed(spark, duck):
+    docs = spark.read.parquet(DOCS).limit(20)
+    empty = contamination(docs, [])
+    full = contamination(docs, ["a b c d"])
+    assert empty.schema == full.schema  # unionByName-safe
+    # a quoted seed stays data on both engines and still bit-matches
+    got = {r.doc_id for r in deterministic_sample(
+        spark.read.parquet(DOCS), 0.5, seed="o'clock").collect()}
+    oracle = {r[0] for r in duck.execute(
+        sample_sql(0.5, seed="o'clock").replace("SELECT *", "SELECT doc_id")
+    ).fetchall()}
+    assert got == oracle
+
+
+def test_mix_by_source_rejects_bad_fractions(spark):
+    import pytest
+
+    docs = spark.read.parquet(DOCS)
+    with pytest.raises(ValueError):
+        mix_by_source(docs, {"src0": 1.5})
+    with pytest.raises(ValueError):
+        mix_by_source(docs, {"src0": 0.5}, default=-0.1)
