@@ -532,6 +532,56 @@ class Table:
             )
         )
 
+    def read_appends(
+        self, spark: SparkSession, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental change feed for append-only consumption: the rows
+        added by commits in ``(since_version, to_version]`` — the Delta
+        CDF idea restricted to the insert case, which is the shape
+        downstream incremental pipelines (and the streaming indexer's
+        log-consumers) actually need.
+
+        Correct across compaction for free: OPTIMIZE re-adds data with
+        ``dataChange=false``, so its files are excluded and a consumer
+        never sees a row twice.  A commit in range that REMOVES data with
+        ``dataChange=true`` (DELETE/OVERWRITE/RESTORE) has no pure-append
+        representation — that raises instead of silently emitting wrong
+        changes."""
+        latest = self.latest_version()
+        hi = latest if to_version is None else to_version
+        if not -1 <= since_version <= hi <= latest:
+            raise ValueError(
+                f"bad version range ({since_version}, {hi}] with latest={latest}"
+            )
+        add_paths: list[str] = []
+        for v in range(since_version + 1, hi + 1):
+            for a in self._read_actions(v):
+                if "add" in a and a["add"].get("dataChange", True):
+                    add_paths.append(a["add"]["path"])
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    raise ValueError(
+                        f"version {v} removes data (non-append commit); "
+                        "the append-only change feed cannot represent it"
+                    )
+        schema = self.schema(hi)
+        if add_paths:
+            paths = [str(self.root / p) for p in add_paths]
+            df = spark.read.option("basePath", str(self.root)).parquet(*paths)
+        else:
+            # parquet scans surface every column nullable; mirror that so
+            # the empty feed unions cleanly with non-empty ones
+            from pyspark.sql.types import StructField, StructType
+
+            df = spark.createDataFrame(
+                [],
+                StructType(
+                    [StructField(f.name, f.dataType, True) for f in schema.fields]
+                ),
+            )
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
     def restore(self, version: int) -> int:
         """Roll the table back to an old snapshot as a NEW commit (Delta
         RESTORE): re-add what the old version saw, remove what it didn't.

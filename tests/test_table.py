@@ -247,3 +247,31 @@ def test_schema_enforcement(spark, table):
 def test_create_twice_fails(spark, table, tmp_path):
     with pytest.raises(FileExistsError):
         Table.create(str(table.root), _df(spark, 0, 1).schema)
+
+
+def test_read_appends_incremental_feed(spark, table):
+    table.append(_df(spark, 0, 100))        # v1
+    table.append(_df(spark, 100, 150))      # v2
+    table.optimize(spark)                   # v3 (dataChange=false)
+    table.append(_df(spark, 150, 160))      # v4
+    # consumer caught up through v1 sees exactly the later appends,
+    # with the compaction invisible (no double-counted rows)
+    got = {r.id for r in table.read_appends(spark, since_version=1).collect()}
+    assert got == set(range(100, 160))
+    # full-range feed == whole table (appends only so far)
+    assert table.read_appends(spark, -1).count() == 160
+    # empty range -> empty frame with the table schema
+    empty = table.read_appends(spark, table.latest_version())
+    assert empty.count() == 0 and empty.schema == table.read(spark).schema
+
+
+def test_read_appends_refuses_non_append_range(spark, table):
+    table.append(_df(spark, 0, 100))
+    v_ok = table.latest_version()
+    table.delete_where(spark, "id < 10")
+    with pytest.raises(ValueError, match="non-append"):
+        table.read_appends(spark, since_version=v_ok - 1)
+    # a range ending before the delete still works
+    assert table.read_appends(spark, -1, to_version=v_ok).count() == 100
+    with pytest.raises(ValueError, match="bad version range"):
+        table.read_appends(spark, 99)
