@@ -91,6 +91,9 @@ def train_codebooks(
     )
     if len(rows) < k:
         raise ValueError(f"sample of {len(rows)} vectors < {k} centroids")
+    # collect() order follows partition completion order — sort by vec_id so
+    # the seed centroids (sub[:k]) honour the determinism contract above
+    rows.sort(key=lambda r: r.vec_id)
     data = np.array([r.q for r in rows], dtype=np.int64)  # (n, DIM)
     books = []
     for j in range(m):

@@ -77,12 +77,16 @@ def badwords_flag(
 
     # longest-first so overlapping entries ("bad", "badger") match whole;
     # re.escape keeps metacharacter-bearing entries ("c++", "a.b") literal
-    # (Python and Java regex agree on backslash-escaped punctuation)
+    # (Python and Java regex agree on backslash-escaped punctuation).
+    # Word boundaries via lookarounds, not \b: \b is an empty match between
+    # \w and \W, so "\bc\+\+\b" can never match ("+" is \W — there is no
+    # boundary after it); the lookarounds only require the *neighbouring*
+    # text to be non-word, which works for entries with punctuation edges.
     alt = "|".join(
         re.escape(w)
         for w in sorted({w.lower() for w in words}, key=lambda w: (-len(w), w))
     )
-    pat = f"(?i)\\b({alt})\\b"
+    pat = f"(?i)(?<![A-Za-z0-9_])({alt})(?![A-Za-z0-9_])"
     n = F.regexp_count(F.col(text_col), F.lit(pat))
     return docs.select("doc_id", n.alias("n_badwords"), (n > 0).alias("blocked"))
 

@@ -36,7 +36,9 @@ def _grid(col: str, lo, hi, bits: int) -> Column:
     """Value → integer grid coordinate in [0, 2^bits)."""
     buckets = (1 << bits) - 1
     c = F.col(col).cast("double")
-    if hi <= lo:  # constant column: everything in cell 0
+    # lo/hi are None on an empty frame or an all-NULL column — treat both
+    # like a constant column (everything in cell 0) instead of TypeError
+    if lo is None or hi is None or hi <= lo:
         return F.lit(0).cast("bigint")
     scaled = (c - F.lit(float(lo))) / F.lit(float(hi - lo)) * buckets
     return F.least(
@@ -84,6 +86,9 @@ def z_value(
             g = _cdf_grid(c, boundaries[c], bits)
         else:
             g = _grid(c, stats[f"lo_{c}"], stats[f"hi_{c}"], bits)
+        # NULL values produce a NULL coordinate which would nullify the whole
+        # interleave — pin them to cell 0 alongside the out-of-range clamp
+        g = F.coalesce(g, F.lit(0).cast("bigint"))
         for j in range(bits):
             bit = F.shiftright(g, j).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, j * len(cols) + i))

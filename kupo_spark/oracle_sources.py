@@ -136,8 +136,12 @@ SELECT r.output_reference, r.transaction_id, r.transaction_index,
        r.ref_datum_hash, r.datum_cbor,
        s.spent_at, s.spent_by, s.spent_input_index,
        rd.redeemer AS spent_with,
-       coalesce(a.n_assets, 0) AS n_assets,
-       coalesce(a.asset_qty, 0) AS asset_qty
+       CAST(coalesce(a.n_assets, 0) AS BIGINT) AS n_assets,
+       -- SUM(BIGINT) is HUGEINT in DuckDB; a pandas/arrow fetch degrades
+       -- HUGEINT to float64 ("286.0" vs Spark's "286"), which is exactly the
+       -- r3 driver hash divergence on this row — keep every numeric output
+       -- column in the BIGINT/INTEGER lane.
+       CAST(coalesce(a.asset_qty, 0) AS BIGINT) AS asset_qty
 FROM out_rows r
 LEFT JOIN spent s ON s.ref = r.output_reference
 LEFT JOIN rdm rd ON rd.spent_by = s.spent_by AND rd.rix = s.spent_input_index

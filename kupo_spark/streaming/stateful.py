@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -156,12 +157,15 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
+# one entry per OPEN span, parallel arrays: a span only leaves the state
+# once the watermark passes span_end + gap, so an in-watermark out-of-order
+# event can still bridge/extend ANY open span (strict streamed ⊆ batch)
 _SESSION_STATE = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("end_us", LongType()),
-        StructField("n", LongType()),
-        StructField("sum_value", DoubleType()),
+        StructField("start_us", ArrayType(LongType())),
+        StructField("end_us", ArrayType(LongType())),
+        StructField("n", ArrayType(LongType())),
+        StructField("sum_value", ArrayType(DoubleType())),
     ]
 )
 
@@ -179,15 +183,19 @@ def sessionize(
     elapses (event time, enforced by a state timeout once the watermark
     passes ``last_event + gap``).
 
-    Sessions that close WITHIN a batch (an in-batch gap) emit
-    immediately; the open tail session is held in the per-key state store
-    and emitted by the timeout path.  Late events (older than the
-    watermark) are dropped by Spark before reaching the operator — the
-    standard watermark contract.
+    A span only EMITS once the watermark passes ``span_end + gap`` — every
+    still-reachable span stays open in the state store (parallel arrays, one
+    entry per span), so an in-watermark out-of-order event that bridges two
+    spans, or precedes the earliest one, merges/extends them instead of
+    racing an eager emission.  Streamed output is therefore strictly a
+    subset of the batch sessionization of the same (non-late) events.
+    Late events (older than the watermark) are dropped by Spark before
+    reaching the operator — the standard watermark contract.
 
     Output: one row per closed session (append mode).
     """
     gap_us = int(gap_seconds * _US)
+    gap_ms = gap_us // 1000
 
     def fold(
         key, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -203,30 +211,26 @@ def sessionize(
                 "sum_value": s[3],
             }
 
-        if state.hasTimedOut:
-            s = state.get
-            state.remove()
-            yield pd.DataFrame([session_row(s)])
-            return
+        spans: list[list] = []
+        if state.exists:
+            st = state.get
+            spans = [
+                [int(a), int(b), int(c), float(d)]
+                for a, b, c, d in zip(st[0], st[1], st[2], st[3])
+            ]
 
         # gather EVERY Arrow chunk before folding: a key's micro-batch data
         # may span chunks, and a later chunk can hold earlier timestamps —
         # sorting per chunk would mis-split sessions
-        parts = [pdf for pdf in pdfs if len(pdf)]
-        cur = list(state.get) if state.exists else None
-        closed: list[dict] = []
+        parts = [] if state.hasTimedOut else [pdf for pdf in pdfs if len(pdf)]
         if parts:
             allp = pd.concat(parts, ignore_index=True)
             us = _ts_us(allp[time_col]).to_numpy()
             vals = allp[value_col].astype("float64").to_numpy()
             order = us.argsort(kind="stable")
-            # interval-merge the batch (ascending) against the open session:
-            # an in-watermark late event may precede the open session — if it
-            # bridges (within gap) it extends session_start backwards; if it
-            # is isolated it closes eagerly as its own session (a yet-later
-            # arrival can no longer bridge into it — the bounded concession
-            # the watermark contract allows)
-            spans = [cur] if cur is not None else []
+            # interval-merge the batch (ascending) against every open span:
+            # an in-watermark late event that precedes a span extends its
+            # start backwards; one that lands between spans opens its own
             for i in order:
                 t, v = int(us[i]), float(vals[i])
                 placed = False
@@ -250,15 +254,30 @@ def sessionize(
                     merged[-1][3] += s[3]
                 else:
                     merged.append(s)
-            closed = [session_row(s) for s in merged[:-1]]
-            cur = merged[-1] if merged else None
-        if cur is not None:
-            state.update(tuple(cur))
-            state.setTimeoutTimestamp(
-                max(cur[1] // 1000 + gap_us // 1000, state.getCurrentWatermarkMs() + 1)
+            spans = merged
+
+        # close ONLY spans the watermark has passed (end + gap <= wm): no
+        # in-watermark arrival can reach them any more; everything else —
+        # including non-tail spans an old event could still bridge — stays
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = [s for s in spans if s[1] // 1000 + gap_ms <= wm_ms]
+        kept = [s for s in spans if s[1] // 1000 + gap_ms > wm_ms]
+        if kept:
+            state.update(
+                (
+                    [s[0] for s in kept],
+                    [s[1] for s in kept],
+                    [s[2] for s in kept],
+                    [s[3] for s in kept],
+                )
             )
+            state.setTimeoutTimestamp(
+                max(min(s[1] // 1000 for s in kept) + gap_ms, wm_ms + 1)
+            )
+        elif state.exists:
+            state.remove()
         if closed:
-            yield pd.DataFrame(closed)
+            yield pd.DataFrame([session_row(s) for s in closed])
 
     return (
         events.withWatermark(time_col, watermark)

@@ -100,3 +100,24 @@ def test_zorder_boundaries_variant_and_validation(spark):
         z_value(ev, [])
     with pytest.raises(ValueError):
         z_value(ev, ["user_id", "value"], bits=32)
+
+
+def test_zorder_empty_and_null_inputs(spark):
+    """Empty frame: min/max collect as None -> constant-column grid (no
+    TypeError). NULL cells: coalesced to cell 0, never a NULL z-value."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    empty = ev.where(F.lit(False))
+    assert zorder_by(empty, ["user_id", "value"], n_files=4).count() == 0
+
+    withnull = ev.limit(50).withColumn(
+        "value", F.when(F.col("event_id") % 2 == 0, F.col("value"))
+    )
+    from kupo_spark.operators.layout import z_value
+
+    zdf = withnull.select(z_value(withnull, ["user_id", "value"]).alias("z"))
+    assert zdf.where(F.col("z").isNull()).count() == 0
+    # all-NULL column behaves like a constant column
+    allnull = ev.limit(20).withColumn("value", F.lit(None).cast("double"))
+    assert zorder_by(allnull, ["user_id", "value"], n_files=2).count() == 20

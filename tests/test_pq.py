@@ -128,3 +128,12 @@ def test_ivf_pq_recall_non_decreasing_in_nprobe(spark):
 
     assert hit(1) <= hit(2) <= hit(8)
     assert hit(8) == 1.0  # all 8 cells probed == unrestricted ADC
+
+
+def test_codebooks_invariant_to_partitioning(spark):
+    """collect() order varies with partitioning; the sorted sample must
+    make codebooks (and therefore stored codes) partition-invariant."""
+    emb = spark.read.parquet(EMB)
+    base = train_codebooks(emb, iters=2)
+    assert train_codebooks(emb.repartition(7), iters=2) == base
+    assert train_codebooks(emb.repartition(3, "vec_id"), iters=2) == base

@@ -91,3 +91,26 @@ def test_scrub_plans_are_pure_projection(spark):
     ):
         plan = formatted_plan(df)
         assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_badwords_punctuation_edged_entries_match(spark):
+    """Entries whose edge characters are non-word (\\b would never match
+    there) still match as whole tokens via the lookaround boundaries."""
+    docs = _docs(
+        spark,
+        [
+            (1, "i love c++ a lot"),
+            (2, "comparing c+++x is not the token c alone"),  # c++ then +x
+            (3, "plain c code"),
+            (4, "the word BADGER contains bad but is not it"),
+            (5, "plain bad word"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_badwords, r.blocked)
+        for r in badwords_flag(docs, ["c++", "bad"]).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    assert got[5] == (1, True)

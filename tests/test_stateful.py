@@ -324,3 +324,37 @@ def test_sessionize_late_event_extends_session_backwards(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     assert (1, "2024-01-01 09:50:00", "2024-01-01 10:00:00", 2, 3.0) in got
+
+
+def test_sessionize_bridge_event_merges_open_spans(spark, tmp_path):
+    """An in-watermark out-of-order event that lands BETWEEN two open
+    spans (within gap of both) merges them into one session — the r3
+    eager-emit path would already have closed the earlier span and
+    emitted overlapping/split rows, violating streamed <= batch."""
+    d = str(tmp_path / "sess_bridge")
+    _write_files(
+        d,
+        EV_PA,
+        [
+            # two spans >gap apart, same batch: 10:00 and 11:30 (gap 30m)
+            [(1, _ts("2024-01-01 10:00"), 1, "view", 1.0),
+             (2, _ts("2024-01-01 11:30"), 1, "view", 2.0)],
+            # bridgers chain the two spans at exactly the gap (inclusive on
+            # both stream and batch sides): 10:00-10:30-11:00-11:30
+            [(3, _ts("2024-01-01 10:30"), 1, "view", 4.0),
+             (4, _ts("2024-01-01 11:00"), 1, "view", 8.0)],
+            # advance watermark so the merged session can close
+            [(5, _ts("2024-01-01 20:00"), 2, "view", 0.0)],
+            [(6, _ts("2024-01-01 23:00"), 3, "view", 0.0)],
+        ],
+    )
+    ev = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    name = _run_to_memory(sessionize(ev, gap_seconds=1800, watermark="1 minute"))
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in spark.table(name).collect()
+    }
+    # one merged session 10:00..11:30 with all four events
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 11:30:00", 4, 15.0) in got
+    # and no split fragments of user 1
+    assert sum(1 for g in got if g[0] == 1) == 1

@@ -76,6 +76,21 @@ def main() -> int:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
+            # Type gate first: fetchall() hides type-lane divergence (DuckDB
+            # HUGEINT/DECIMAL reach python as int/Decimal and stringify fine
+            # here, but degrade to float64 under a pandas/arrow fetch — the
+            # r3 q_ogmios_fold driver hash mismatch). Any oracle column
+            # outside the BIGINT/VARCHAR/DOUBLE/BLOB lane is a failure even
+            # when the stringified values match.
+            SAFE_T = {
+                "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "VARCHAR",
+                "DOUBLE", "FLOAT", "BLOB", "BOOLEAN",
+            }
+            rel = con.sql(osql)
+            bad_t = [
+                (c, str(t)) for c, t in zip(rel.columns, rel.types)
+                if str(t) not in SAFE_T
+            ]
             ores = con.execute(osql)
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
@@ -84,6 +99,8 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        if bad_t:
+            problems.append(f"unsafe oracle column types {bad_t} (cast to BIGINT/DOUBLE/VARCHAR)")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
