@@ -71,12 +71,21 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # --- ingest: chain -> matched index -> partitioned parquet ---
+    # phase breakdown (ingest_phase_*) separates decode+match+cache
+    # materialization from the parquet writes, so a slow driver-run ingest
+    # can be attributed (contention hits the build phase hardest)
     t0 = time.time()
     blocks = load_blocks(spark, SF_DIR)
     idx = build_index(blocks, patterns=("*",), cache=True)
+    idx.inputs.count()  # materialize decode+match into the cache
+    t_build = time.time() - t0
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
-    write_index(idx, INDEX_DIR)
+    phases: dict[str, float] = {}
+    write_index(idx, INDEX_DIR, timings=phases)
     queries["ingest_build_index"] = time.time() - t0
+    queries["ingest_phase_build"] = t_build
+    queries["ingest_phase_write_inputs"] = phases.get("write_inputs", 0.0)
+    queries["ingest_phase_write_side"] = phases.get("write_side_tables", 0.0)
 
     index = read_index(spark, INDEX_DIR)
     # warm the dimension tables (kupo serves from a warm B-tree; the fair
@@ -157,7 +166,7 @@ def main() -> None:
     value = sum(
         v
         for k, v in queries.items()
-        if k != "ingest_build_index"
+        if not k.startswith("ingest")
         and "_warm" not in k
         and k != "spark_job_floor"
     )

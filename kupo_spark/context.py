@@ -16,8 +16,29 @@ from kupo_spark.session import tune_session
 _CACHE: dict[tuple[int, str], tuple[DataFrame, Index]] = {}
 
 
+def evict_stale(cache: dict, ctx_id: int) -> None:
+    """Drop every cache entry belonging to a different SparkContext.
+
+    Caches here are keyed by ``(id(sparkContext), ...)``; in a long-lived
+    service that restarts its session, entries for dead contexts would
+    otherwise accumulate forever (and a recycled ``id()`` could even alias a
+    new context onto stale plans).  One active context per process is the
+    Spark model, so on first touch from a context we clear the rest.
+    """
+    for key in [k for k in cache if k[0] != ctx_id]:
+        val = cache.pop(key)
+        vals = val if isinstance(val, tuple) else (val,)
+        for v in vals:
+            try:  # unpersist is best-effort: the owning context may be gone
+                v.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+
+
 def get_blocks_and_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Index]:
-    key = (id(spark.sparkContext), sf_dir.rstrip("/"))
+    ctx_id = id(spark.sparkContext)
+    evict_stale(_CACHE, ctx_id)
+    key = (ctx_id, sf_dir.rstrip("/"))
     hit = _CACHE.get(key)
     if hit is not None:
         return hit

@@ -285,7 +285,9 @@ def resolve_header_hashes(inputs: DataFrame, checkpoints: DataFrame) -> DataFram
     return inputs.join(spent, inputs.spent_at == spent._s_slot, "left").drop("_s_slot")
 
 
-def write_index(index: Index, path: str, slot_bucket: int = 1000) -> None:
+def write_index(
+    index: Index, path: str, slot_bucket: int = 1000, timings: dict | None = None
+) -> None:
     """Materialize the index as parquet, laid out for the query mix:
 
     - ``inputs`` partitioned by a created_at bucket → partition pruning for
@@ -299,13 +301,20 @@ def write_index(index: Index, path: str, slot_bucket: int = 1000) -> None:
       the materialized index then skips two broadcast builds per request
       (`fold_inputs` detects the resolved columns and skips J1/J2);
     - side tables small → single dir each.
+
+    ``timings`` (optional dict) receives per-phase wall seconds
+    (``write_inputs`` / ``write_side_tables``) so bench runs can tell an
+    ingest regression from harness contention.
     """
+    import time as _time
+
     inputs = index.inputs
     if "created_header_hash" not in inputs.columns:
         inputs = resolve_header_hashes(inputs, index.checkpoints)
     inputs = inputs.withColumn(
         "created_bucket", (F.col("created_at") / slot_bucket).cast("long")
     )
+    _t0 = _time.time()
     (
         inputs.repartition("created_bucket")
         .sortWithinPartitions("address", "created_at")
@@ -313,6 +322,9 @@ def write_index(index: Index, path: str, slot_bucket: int = 1000) -> None:
         .partitionBy("created_bucket")
         .parquet(f"{path}/inputs")
     )
+    if timings is not None:
+        timings["write_inputs"] = _time.time() - _t0
+        _t0 = _time.time()
     # the inputs write above materialized the (cached) match lineage; the
     # five side tables are then cheap scans off the cache — submit their
     # jobs concurrently so the per-job scheduling floor overlaps instead
@@ -333,6 +345,8 @@ def write_index(index: Index, path: str, slot_bucket: int = 1000) -> None:
                 side,
             )
         )
+    if timings is not None:
+        timings["write_side_tables"] = _time.time() - _t0
 
 
 def read_index(spark, path: str, slot_bucket: int = 1000) -> Index:

@@ -85,6 +85,9 @@ _TAG_INDEX_CACHE: dict = {}
 
 def _tag_index(spark: SparkSession, sf_dir: str):
     """Index built with a `{tag}` pattern — P11 is ingest-time matching."""
+    from kupo_spark.context import evict_stale
+
+    evict_stale(_TAG_INDEX_CACHE, id(spark.sparkContext))
     key = (id(spark.sparkContext), sf_dir, cs.META_TAG)
     if key not in _TAG_INDEX_CACHE:
         blocks, _ = get_blocks_and_index(spark, sf_dir)

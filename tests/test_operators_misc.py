@@ -227,3 +227,24 @@ def test_frame_sample_plumbing(spark):
 
     with pytest.raises(PythonException, match="NotImplementedError"):
         frame_sample(media, strict=True).collect()
+
+
+def test_context_cache_evicts_stale_sessions(spark):
+    """Caches keyed by (id(sparkContext), ...) drop entries from other
+    (dead) contexts on first touch — no session-lifetime growth."""
+    from kupo_spark import context as ctx
+
+    class _Fake:
+        def unpersist(self):
+            raise RuntimeError("owning context gone")  # must be swallowed
+
+    ctx._CACHE[(-1, "/nowhere")] = (_Fake(), _Fake())
+    ctx.get_index(spark, "/root/testdata/sf0.001")
+    assert (-1, "/nowhere") not in ctx._CACHE
+    assert all(k[0] == id(spark.sparkContext) for k in ctx._CACHE)
+
+    from kupo_spark import registry as reg
+
+    reg._TAG_INDEX_CACHE[(-1, "/nowhere", "x")] = _Fake()
+    reg._tag_index(spark, "/root/testdata/sf0.001")
+    assert (-1, "/nowhere", "x") not in reg._TAG_INDEX_CACHE
