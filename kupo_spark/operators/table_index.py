@@ -58,10 +58,67 @@ DB_TABLES = (
 )
 
 
+class Catalog:
+    """An ordered log of JSON entries published via exclusive file creation
+    — the one commit-point primitive every multi-table protocol here shares.
+    ``IndexDB`` pins whole-index versions with it; the streaming indexer
+    pins its five per-batch log-table versions with it.  An entry is
+    visible iff its numbered file exists; partial state staged before the
+    publish (table overwrites, appends) is unreachable without it."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+
+    def exists(self) -> bool:
+        return self.path.exists()
+
+    def latest_version(self) -> int:
+        if not self.path.exists():
+            return -1
+        return max(
+            (
+                int(p.stem)
+                for p in self.path.glob("*.json")
+                if not p.name.startswith(".")
+            ),
+            default=-1,
+        )
+
+    def entry(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no catalog entries under {self.path}")
+        return json.loads((self.path / f"{v:020d}.json").read_text())
+
+    def entries(self) -> list[dict]:
+        """All entries, oldest first."""
+        return [self.entry(v) for v in range(self.latest_version() + 1)]
+
+    def publish(self, entry: dict) -> int:
+        self.path.mkdir(parents=True, exist_ok=True)
+        version = self.latest_version() + 1
+        final = self.path / f"{version:020d}.json"
+        tmp = self.path / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(entry))
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # claim
+        os.close(fd)
+        os.replace(tmp, final)
+        return version
+
+    def delete(self, version: int) -> None:
+        f = self.path / f"{version:020d}.json"
+        if f.exists():
+            f.unlink()
+
+
 class IndexDB:
     def __init__(self, root: str):
         self.root = Path(root)
-        self.catalog = self.root / CATALOG_DIR
+        self._cat = Catalog(self.root / CATALOG_DIR)
+
+    @property
+    def catalog(self) -> Path:
+        return self._cat.path
 
     @staticmethod
     def exists(root: str) -> bool:
@@ -70,33 +127,13 @@ class IndexDB:
     # -- catalog ----------------------------------------------------------
 
     def latest_version(self) -> int:
-        if not self.catalog.exists():
-            return -1
-        return max(
-            (
-                int(p.stem)
-                for p in self.catalog.glob("*.json")
-                if not p.name.startswith(".")
-            ),
-            default=-1,
-        )
+        return self._cat.latest_version()
 
     def entry(self, db_version: int | None = None) -> dict:
-        v = self.latest_version() if db_version is None else db_version
-        if v < 0:
-            raise FileNotFoundError(f"no catalog entries under {self.catalog}")
-        return json.loads((self.catalog / f"{v:020d}.json").read_text())
+        return self._cat.entry(db_version)
 
     def _publish(self, entry: dict) -> int:
-        self.catalog.mkdir(parents=True, exist_ok=True)
-        version = self.latest_version() + 1
-        final = self.catalog / f"{version:020d}.json"
-        tmp = self.catalog / f".tmp-{uuid.uuid4().hex}"
-        tmp.write_text(json.dumps(entry))
-        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # claim
-        os.close(fd)
-        os.replace(tmp, final)
-        return version
+        return self._cat.publish(entry)
 
     # -- commit / read ----------------------------------------------------
 
@@ -187,7 +224,5 @@ class IndexDB:
                     d.rmdir()
         # drop the catalog entries outside the retained window
         for v in range(0, keep.start):
-            f = self.catalog / f"{v:020d}.json"
-            if f.exists():
-                f.unlink()
+            self._cat.delete(v)
         return deleted

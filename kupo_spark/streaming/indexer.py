@@ -23,31 +23,31 @@ At scale this is exactly the Delta/Iceberg model (append + compact); the
 spent-resolution join moves out of the ingest hot path into resolve/compact,
 so ingest itself is shuffle-free per batch.
 
-**Exactly-once commits.**  Each micro-batch is published with an atomic
-commit protocol — the Spark-native analog of kupo's per-batch SQLite
-transaction (``SQLite.hs:1112-1128``) and of a Delta ``_delta_log`` entry:
+**Exactly-once commits — ONE storage layer.**  Every log table is a
+:class:`kupo_spark.table.Table` (the repo's ACID parquet format), and a
+micro-batch is five blind ``Table.append``s followed by ONE
+:class:`kupo_spark.operators.table_index.Catalog` entry that pins the five
+resulting table versions — the Spark-native analog of kupo's per-batch
+SQLite transaction (``SQLite.hs:1112-1128``).  That single exclusive file
+creation is the commit point for the whole batch:
 
-  1. all five log tables are written under ``_staging/<seq>/``;
-  2. each staged table is renamed into its ``<table>/batch_seq=<seq>/``
-     partition directory (rename = atomic, torn part-files never appear
-     under a table root);
-  3. a manifest file ``manifest/<seq>.json`` recording
-     ``(seq, batch_id, dedup key)`` is written via tmp-file + rename —
-     this rename IS the commit point.
-
-Readers resolve visibility from the manifest: partition dirs without a
-manifest entry (a crash between steps 2 and 3) are filtered out by the
-``batch_seq`` partition column — an O(#crashes) predicate, pruned at the
-scan.  A replayed ``foreachBatch`` delivery (same stream checkpoint + same
-batch_id) finds its dedup key already manifested and returns without
-writing, so the log — not merely the resolved view — is exactly-once.
+  * readers resolve the newest catalog entry and read every table AT its
+    pinned version — appends landed after the pin (including those of a
+    writer that crashed before publishing) are invisible by construction,
+    no read-path visibility filter at all;
+  * the next ``process_batch`` repairs crash residue first: any
+    ``batch_seq`` present in a table's current snapshot but absent from
+    the catalog is retracted with a remove-only table commit, then the
+    seq is safely reused;
+  * a replayed ``foreachBatch`` delivery (same stream checkpoint + same
+    batch_id) finds its dedup key already cataloged and returns without
+    writing, so the log — not merely the resolved view — is exactly-once;
+  * a rollback (M1) is itself a catalog entry ``{"rollback": {...}}`` —
+    the catalog is the single durable record of the stream's history.
 """
 
 from __future__ import annotations
 
-import json
-import shutil
-import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,7 +55,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kupo_spark.operators.indexer import Index, exploded_outputs, spent_refs
+from kupo_spark.operators.table_index import Catalog
 from kupo_spark.patterns import any_to_column, pattern_from_text
+from kupo_spark.table import Table
 
 LOG_TABLES = ("produced", "spends", "checkpoints", "binary_data", "scripts")
 
@@ -67,72 +69,137 @@ class StreamingIndexer:
             pattern_from_text(p) if isinstance(p, str) else p for p in patterns
         ]
         Path(out_dir).mkdir(parents=True, exist_ok=True)
-        self._seq_file = Path(out_dir) / "_last_seq"
-        self._manifest_dir = Path(out_dir) / "manifest"
-        self._manifest_dir.mkdir(exist_ok=True)
-        self._committed_cache: list[dict] | None = None
+        self._catalog = Catalog(Path(out_dir) / "_catalog")
+        self._entries_cache: list[dict] | None = None
 
     # ---- sequencing + commit log ----------------------------------------
 
-    def _committed(self) -> list[dict]:
-        """All committed batch manifests, oldest first.  One small json per
-        batch; a production deployment folds old entries into the compacted
-        base the way Delta checkpoints its log.
+    def _entries(self) -> list[dict]:
+        """All catalog entries (batch commits + rollbacks), oldest first.
+        Scanned once per indexer (startup recovery) and appended to on every
+        publish — without the cache each micro-batch re-reads every entry
+        and commit-log overhead grows O(n²) over the stream's lifetime."""
+        if self._entries_cache is None:
+            self._entries_cache = self._catalog.entries()
+        return self._entries_cache
 
-        The directory is scanned once per indexer (startup recovery) and the
-        in-memory list is appended to on every successful commit — without
-        the cache each micro-batch re-reads every manifest file and the
-        commit-log overhead grows O(n²) over the stream's lifetime."""
-        if self._committed_cache is None:
-            self._committed_cache = [
-                json.loads(p.read_text())
-                for p in sorted(self._manifest_dir.glob("*.json"))
-            ]
-        return self._committed_cache
+    def _publish(self, entry: dict) -> None:
+        self._catalog.publish(entry)
+        self._entries().append(entry)
+
+    def _committed(self) -> list[dict]:
+        """Batch-commit entries only, oldest first."""
+        return [e for e in self._entries() if "seq" in e]
+
+    def _rollbacks(self) -> list[dict]:
+        return [e["rollback"] for e in self._entries() if "rollback" in e]
 
     def _next_seq(self) -> int:
         last = -1
-        if self._seq_file.exists():
-            last = int(self._seq_file.read_text() or -1)
-        # crash-safe floor: the manifest (and rollback log) are the durable
-        # record; _last_seq is only a fast path
         for m in self._committed():
             last = max(last, m["seq"])
         for r in self._rollbacks():
             last = max(last, r["batch_seq"])
         return last + 1
 
-    def _commit_seq(self, seq: int) -> None:
-        self._seq_file.write_text(str(seq))
+    def _pinned_versions(self) -> dict[str, int]:
+        """Per-table versions pinned by the newest batch commit."""
+        for e in reversed(self._entries()):
+            if "tables" in e:
+                return e["tables"]
+        return {}
+
+    def _table(self, name: str) -> Table:
+        return Table(f"{self.out_dir}/{name}")
 
     def _uncommitted_seqs(self) -> list[int]:
-        """Partition dirs present on disk but absent from the commit log —
-        the residue of a crash between publish (step 2) and the manifest
-        rename (step 3).  Normally empty, so the reader-side visibility
-        predicate is O(#crashes), not O(#batches)."""
+        """batch_seq values present in some table's CURRENT snapshot but
+        absent from the catalog — the residue of a crash between the table
+        appends and the catalog publish.  Invisible to readers (they read
+        at pinned versions, recorded before the residue landed); retracted
+        by the next ``process_batch`` before it reuses the seq."""
         committed = {m["seq"] for m in self._committed()}
         present: set[int] = set()
         for name in LOG_TABLES:
-            t = Path(self.out_dir) / name
-            if t.exists():
-                present.update(
-                    int(p.name.split("=", 1)[1])
-                    for p in t.iterdir()
-                    if p.name.startswith("batch_seq=")
-                )
+            if not Table.exists(f"{self.out_dir}/{name}"):
+                continue
+            for a in self._table(name).snapshot().files:
+                sv = a.get("partitionValues", {}).get("batch_seq")
+                if sv is not None:
+                    present.add(int(sv))
         return sorted(present - committed)
 
+    def _repair_crash_residue(self) -> None:
+        """Retract orphan appends (remove-only commits, files kept for the
+        log's history) so the upcoming append can reuse their seq without
+        double-counting rows."""
+        orphans = set(self._uncommitted_seqs())
+        if not orphans:
+            return
+        for name in LOG_TABLES:
+            if not Table.exists(f"{self.out_dir}/{name}"):
+                continue
+            t = self._table(name)
+            stale = [
+                a["path"]
+                for a in t.snapshot().files
+                if int(a.get("partitionValues", {}).get("batch_seq", -1)) in orphans
+            ]
+            if stale:
+                t.remove_paths(stale, operation="ABORT-RECOVERY")
+
     def _read_log(self, spark: SparkSession, name: str) -> DataFrame:
-        """Read one log table at committed visibility: `batch_seq` comes in
-        as a partition column and uncommitted partitions (crash residue) are
-        filtered out — the predicate prunes whole directories at the scan."""
-        df = spark.read.parquet(f"{self.out_dir}/{name}")
-        bad = self._uncommitted_seqs()
-        if bad:
-            df = df.where(~F.col("batch_seq").isin(bad))
-        return df
+        """Read one log table at the catalog-pinned version: `batch_seq`
+        is a partition column; nothing newer than the pin (crash residue,
+        in-flight appends) can appear in the scan."""
+        pins = self._pinned_versions()
+        if name not in pins:
+            raise FileNotFoundError(f"no committed batches for table {name}")
+        return self._table(name).read(spark, version=pins[name])
 
     # ---- the foreachBatch body (rollForwardAll, App.hs:512-577) ---------
+
+    def _append_batch_tables(self, blocks: DataFrame, seq: int) -> dict[str, int]:
+        """Stage one micro-batch: append the five log frames (tagged with
+        ``batch_seq``) to their Tables; returns the per-table versions for
+        the catalog entry.  NOT visible to readers until that entry lands."""
+        outs = exploded_outputs(blocks)
+        produced = outs.where(any_to_column(self.patterns, at_ingest=True)).drop(
+            "metadata_tags"
+        )
+        spends = spent_refs(blocks)
+        checkpoints = blocks.select("slot_no", "header_hash").dropDuplicates(
+            ["slot_no"]
+        )
+        # W3 dictionaries (gate: only blocks with >= 1 match, App.hs:530-542)
+        dict_src = outs
+        if not any(getattr(p, "include_bootstrap", False) for p in self.patterns):
+            matched_slots = produced.select("created_at").dropDuplicates(["created_at"])
+            dict_src = outs.join(
+                F.broadcast(matched_slots), outs.created_at == matched_slots.created_at, "left_semi"
+            )
+        binary_data = dict_src.where(F.col("datum_cbor").isNotNull()).select(
+            F.col("datum_hash").alias("binary_data_hash"),
+            F.col("datum_cbor").alias("binary_data"),
+        )
+        scripts = dict_src.where(F.col("script_cbor").isNotNull()).select(
+            "script_hash", F.col("script_cbor").alias("script")
+        )
+        frames = {
+            "produced": produced,
+            "spends": spends,
+            "checkpoints": checkpoints,
+            "binary_data": binary_data,
+            "scripts": scripts,
+        }
+        versions: dict[str, int] = {}
+        for name in LOG_TABLES:
+            df = frames[name].withColumn("batch_seq", F.lit(seq).cast("long"))
+            path = f"{self.out_dir}/{name}"
+            if not Table.exists(path):
+                Table.create(path, df.schema, partition_by=["batch_seq"])
+            versions[name] = self._table(name).append(df)
+        return versions
 
     def process_batch(
         self, blocks: DataFrame, batch_id: int, dedup_scope: str | None = None
@@ -144,69 +211,22 @@ class StreamingIndexer:
         key = None if dedup_scope is None else f"{dedup_scope}:{batch_id}"
         if key is not None and any(m.get("key") == key for m in self._committed()):
             return
-
+        self._repair_crash_residue()
         seq = self._next_seq()
-        out = Path(self.out_dir)
-        stage = out / "_staging" / str(seq)
-        if stage.exists():
-            shutil.rmtree(stage)
-
-        outs = exploded_outputs(blocks)
-        produced = outs.where(any_to_column(self.patterns, at_ingest=True)).drop(
-            "metadata_tags"
+        versions = self._append_batch_tables(blocks, seq)
+        self._publish(
+            {"seq": seq, "batch_id": batch_id, "key": key, "tables": versions}
         )
-        produced.write.mode("overwrite").parquet(str(stage / "produced"))
-        spent_refs(blocks).write.mode("overwrite").parquet(str(stage / "spends"))
-        blocks.select("slot_no", "header_hash").dropDuplicates(["slot_no"]).write.mode(
-            "overwrite"
-        ).parquet(str(stage / "checkpoints"))
-
-        # W3 dictionaries (gate: only blocks with >= 1 match, App.hs:530-542)
-        dict_src = outs
-        if not any(getattr(p, "include_bootstrap", False) for p in self.patterns):
-            matched_slots = produced.select("created_at").dropDuplicates(["created_at"])
-            dict_src = outs.join(
-                F.broadcast(matched_slots), outs.created_at == matched_slots.created_at, "left_semi"
-            )
-        dict_src.where(F.col("datum_cbor").isNotNull()).select(
-            F.col("datum_hash").alias("binary_data_hash"),
-            F.col("datum_cbor").alias("binary_data"),
-        ).write.mode("overwrite").parquet(str(stage / "binary_data"))
-        dict_src.where(F.col("script_cbor").isNotNull()).select(
-            "script_hash", F.col("script_cbor").alias("script")
-        ).write.mode("overwrite").parquet(str(stage / "scripts"))
-
-        # publish: rename staged tables into partition dirs, then commit via
-        # the manifest rename — the batch is invisible until that instant
-        for name in LOG_TABLES:
-            dst = out / name / f"batch_seq={seq}"
-            dst.parent.mkdir(parents=True, exist_ok=True)
-            if dst.exists():  # leftover of a crashed, never-manifested attempt
-                shutil.rmtree(dst)
-            (stage / name).rename(dst)
-        shutil.rmtree(stage, ignore_errors=True)
-
-        entry = {"seq": seq, "batch_id": batch_id, "key": key}
-        tmp = self._manifest_dir / f".tmp-{seq}"
-        tmp.write_text(json.dumps(entry))
-        tmp.rename(self._manifest_dir / f"{seq:012d}.json")
-        self._committed().append(entry)  # keep the cache current post-commit
-        self._commit_seq(seq)
 
     # ---- rollback (M1/M5): retraction-as-data ---------------------------
 
     def append_rollback(self, slot: int) -> None:
-        seq = self._next_seq()
-        rb = Path(self.out_dir) / "rollbacks.jsonl"
-        with rb.open("a") as f:
-            f.write(json.dumps({"batch_seq": seq, "slot": slot, "ts": time.time()}) + "\n")
-        self._commit_seq(seq)
+        import time
 
-    def _rollbacks(self) -> list[dict]:
-        rb = Path(self.out_dir) / "rollbacks.jsonl"
-        if not rb.exists():
-            return []
-        return [json.loads(line) for line in rb.read_text().splitlines() if line]
+        seq = self._next_seq()
+        self._publish(
+            {"rollback": {"batch_seq": seq, "slot": slot, "ts": time.time()}}
+        )
 
     # ---- resolve: replay logs into a queryable Index --------------------
 
@@ -339,7 +359,7 @@ class StreamingIndexer:
 
         resolved = self.resolved_index(spark)
         if dest is None:
-            base_seq = int(self._seq_file.read_text()) if self._seq_file.exists() else -1
+            base_seq = self._next_seq() - 1
             db = self._base_db()
             db.commit(resolved, slot_bucket=slot_bucket, extra={"seq": base_seq})
             return db.read(spark)

@@ -582,6 +582,19 @@ class Table:
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
 
+    def remove_paths(self, paths: list[str], operation: str = "DELETE") -> int:
+        """Remove-only commit: drop ``paths`` (relative to the table root)
+        from the live set without touching data files.  Used by recovery to
+        retract partitions a crashed writer appended but never published in
+        its catalog — the files stay on disk (time travel) until vacuum."""
+        snap = self.snapshot()
+        rel = sorted(p for p in paths if p in snap.adds)
+        if not rel:
+            return snap.version
+        return self._commit_tx(
+            _Tx(operation, removes=rel, read_version=snap.version)
+        )
+
     def restore(self, version: int) -> int:
         """Roll the table back to an old snapshot as a NEW commit (Delta
         RESTORE): re-add what the old version saw, remove what it didn't.

@@ -102,7 +102,7 @@ def test_badwords_punctuation_edged_entries_match(spark):
             (1, "i love c++ a lot"),
             (2, "comparing c+++x is not the token c alone"),  # c++ then +x
             (3, "plain c code"),
-            (4, "the word BADGER contains bad but is not it"),
+            (4, "the word BADGER alone is never flagged"),
             (5, "plain bad word"),
         ],
     )

@@ -59,7 +59,7 @@ def _index_fingerprint(ix, spark):
 
 def test_scoped_batch_replay_is_exactly_once_at_log_level(spark, blocks, tmp_path):
     """A failure replay inside one streaming query re-delivers the same
-    (checkpoint scope, batch_id); the manifest dedup key makes the second
+    (checkpoint scope, batch_id); the catalog dedup key makes the second
     delivery a no-op — the LOG itself is exactly-once, the kupo SQLite
     transaction guarantee (SQLite.hs:1112-1128)."""
     ix = StreamingIndexer(str(tmp_path / "dup"))
@@ -89,28 +89,36 @@ def test_unscoped_batch_replay_is_idempotent_at_resolve(spark, blocks, tmp_path)
     assert again.checkpoints.count() == 20
 
 
-def test_crashed_publish_is_invisible_until_manifested(spark, blocks, tmp_path):
-    """Simulate a crash between publish (partition dirs renamed in) and the
-    manifest commit: the orphan partitions must be invisible to readers, and
-    the next ingest must reuse the seq and overwrite the residue."""
-    import shutil
-
+def test_crashed_publish_is_invisible_until_cataloged(spark, blocks, tmp_path):
+    """Simulate a crash between the table appends and the catalog publish:
+    the orphan appends must be invisible to readers (they read at the
+    pinned versions, recorded before the residue), and the next ingest
+    must retract the residue and safely reuse the seq."""
     ix = StreamingIndexer(str(tmp_path / "crash"))
     ix.process_batch(blocks.where(F.col("slot_no") < 20), 0)
     fp_committed = _index_fingerprint(ix, spark)
 
-    # forge crash residue: copy each table's seq-0 dir to seq-1, no manifest
-    for name in ("produced", "spends", "checkpoints", "binary_data", "scripts"):
-        src = tmp_path / "crash" / name / "batch_seq=0"
-        shutil.copytree(src, tmp_path / "crash" / name / "batch_seq=1")
+    # forge crash residue: append batch tables for seq 1, then "crash"
+    # before the catalog entry that would have pinned them
+    ix._append_batch_tables(
+        blocks.where((F.col("slot_no") >= 20) & (F.col("slot_no") < 25)), 1
+    )
     assert ix._uncommitted_seqs() == [1]
-    assert _index_fingerprint(ix, spark) == fp_committed  # residue filtered
+    assert _index_fingerprint(ix, spark) == fp_committed  # residue invisible
     assert ix.resolved_index(spark).checkpoints.count() == 20
 
-    # recovery: the next batch takes seq 1, clobbers the residue, commits
+    # recovery: the next batch retracts the residue, takes seq 1, commits
     ix.process_batch(blocks.where((F.col("slot_no") >= 20) & (F.col("slot_no") < 30)), 1)
     assert ix._uncommitted_seqs() == []
     assert ix.resolved_index(spark).checkpoints.count() == 30
+    # the retracted residue never resurfaces: counts match a clean run
+    clean = StreamingIndexer(str(tmp_path / "clean"))
+    clean.process_batch(blocks.where(F.col("slot_no") < 20), 0)
+    clean.process_batch(blocks.where((F.col("slot_no") >= 20) & (F.col("slot_no") < 30)), 1)
+    assert (
+        ix.resolved_index(spark).inputs.count()
+        == clean.resolved_index(spark).inputs.count()
+    )
 
 
 def test_multi_output_transactions_indexed(index):
