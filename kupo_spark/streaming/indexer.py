@@ -71,6 +71,12 @@ class StreamingIndexer:
         Path(out_dir).mkdir(parents=True, exist_ok=True)
         self._catalog = Catalog(Path(out_dir) / "_catalog")
         self._entries_cache: list[dict] | None = None
+        # resume path: a persisted pattern store (written by put_patterns)
+        # is authoritative over the constructor argument — the reference
+        # reloads its patterns table on restart (Configuration.hs)
+        persisted = self.pattern_store().list()
+        if persisted:
+            self.patterns = persisted
 
     # ---- sequencing + commit log ----------------------------------------
 
@@ -227,6 +233,73 @@ class StreamingIndexer:
         self._publish(
             {"rollback": {"batch_seq": seq, "slot": slot, "ts": time.time()}}
         )
+
+    # ---- PUT /patterns (M5): rollback + install + backfill --------------
+
+    def pattern_store(self):
+        from kupo_spark.operators.pattern_store import PatternStore
+
+        return PatternStore(f"{self.out_dir}/patterns.txt")
+
+    def put_patterns(
+        self,
+        spark: SparkSession,
+        patterns,
+        rollback_slot: int,
+        replay_blocks: DataFrame,
+        longest_rollback: int | None = None,
+    ) -> list:
+        """``PUT /patterns`` end-to-end (``Http.hs:843-916`` +
+        ``App.hs:311-346``): validate the requested rollback point against
+        the safe zone, retract the index suffix (M1), install the new
+        patterns in the :class:`PatternStore`, and backfill forward from
+        the point with the ENLARGED pattern set.
+
+        Validation mirrors the reference:
+
+        * the point must be a known checkpoint (``getCheckpoint Strict`` —
+          an unknown point is a client error);
+        * the point must not be deeper than ``longestRollback`` below the
+          current tip (``Http.hs:866-872``) — beyond that the chain source
+          cannot replay, so the request is rejected, not partially applied.
+
+        ``replay_blocks`` is the chain-sync replay source (in production
+        the reconnected node/Ogmios stream; in tests the blocks frame);
+        only slots ``> rollback_slot`` are re-indexed.  Matches of the new
+        patterns BEFORE the point are intentionally absent — exactly the
+        reference's contract, which is why the point is client-chosen.
+
+        Returns the new active pattern list."""
+        from kupo_spark.chainspec import LONGEST_ROLLBACK
+
+        k = LONGEST_ROLLBACK if longest_rollback is None else longest_rollback
+        cps = self._alive(self._read_log(spark, "checkpoints"), "slot_no")
+        row = cps.agg(
+            F.max("slot_no").alias("tip"),
+            F.max(F.when(F.col("slot_no") == rollback_slot, 1)).alias("hit"),
+        ).collect()[0]
+        tip = row["tip"]
+        if tip is None or row["hit"] is None:
+            raise ValueError(
+                f"rollback point {rollback_slot} is not a known checkpoint"
+            )
+        if tip - rollback_slot > k:
+            raise ValueError(
+                f"rollback point {rollback_slot} is beyond the safe zone: "
+                f"tip {tip} - k {k} (Http.hs:866-872)"
+            )
+        store = self.pattern_store()
+        if not store.list():  # seed with the currently active set
+            for p in self.patterns:
+                store.add(p)
+        self.append_rollback(rollback_slot)
+        new_list = [patterns] if not isinstance(patterns, (list, tuple)) else list(patterns)
+        for p in new_list:
+            store.add(pattern_from_text(p) if isinstance(p, str) else p)
+        self.patterns = store.list()
+        backfill = replay_blocks.where(F.col("slot_no") > rollback_slot)
+        self.process_batch(backfill, 0)
+        return self.patterns
 
     # ---- resolve: replay logs into a queryable Index --------------------
 
