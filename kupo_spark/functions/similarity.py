@@ -65,12 +65,66 @@ def quantized(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.expr(QUANT).alias("q"))
 
 
+#: query sets up to this size ride the task closure (one driver collect, one
+#: numpy matmul per Arrow batch — the fast path); above it the query side
+#: stays distributed and pairs with the corpus through an equi-join on the
+#: restriction key (bucket / centroid / label) — no driver materialization.
+#: Same shape as dedup.BROADCAST_ID_LIMIT: an explicit, documented gate.
+QUERY_COLLECT_LIMIT = 100_000
+
+#: exact int64 norm / dot as JVM expressions (the join path's scorer; the
+#: closure path computes the same integers with numpy — bit-identical)
+_NORM = "aggregate({v}, 0L, (a, x) -> a + x * x)"
+_DOT = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+_COSINE = (
+    "round(cast(dot as double) /"
+    " (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"
+)
+
+
+def _valid(df: DataFrame, col: str = "q") -> DataFrame:
+    return df.where(F.col(col).isNotNull() & (F.size(col) == DIM))
+
+
+def _join_scored(corpus_keyed: DataFrame, queries_keyed: DataFrame, keys: list[str]) -> DataFrame:
+    """Distributed pairing: equi-join quantized queries × corpus on the
+    restriction ``keys`` (empty = brute-force cartesian), with both sides'
+    norms hoisted BEFORE the join so the per-pair work is one exact int64
+    ``zip_with`` dot.  The query side is never collected — at a large query
+    set this is the only shape that survives (the closure path would
+    materialize the queries on the driver and ship them with every task)."""
+    c = _valid(corpus_keyed).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.expr(_NORM.format(v="q")).alias("nc"),
+        *keys,
+    )
+    qk = _valid(queries_keyed).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.expr(_NORM.format(v="q")).alias("nq"),
+        *keys,
+    )
+    joined = c.join(qk, keys) if keys else c.crossJoin(qk)
+    return (
+        joined.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("cosine", F.expr(_COSINE))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def brute_force_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5
+    emb: DataFrame, n_queries: int = 10, k: int = 5, distributed: bool | None = None
 ) -> DataFrame:
     """Exact cosine top-k of every corpus vector for each of the first
     `n_queries` vec_ids (self excluded); deterministic tie-break on
     neighbor id.
+
+    ``distributed`` (default: auto at ``QUERY_COLLECT_LIMIT``) keeps the
+    query side as a DataFrame and pairs it with the corpus through a
+    cartesian join (brute force IS all-pairs) — exact same integers, no
+    driver collect; use when the query set is itself corpus-sized.
 
     Scoring is ONE corpus scan with the (small, by contract) query matrix
     riding the task closure: each Arrow batch of corpus vectors is scored
@@ -88,6 +142,11 @@ def brute_force_topk(
     import pandas as pd
 
     q = quantized(emb)
+    if distributed is None:
+        distributed = n_queries > QUERY_COLLECT_LIMIT
+    if distributed:
+        scored = _join_scored(q, q.where(F.col("vec_id") < n_queries), [])
+        return topk_merge(scored, k)
     qrows = q.where(F.col("vec_id") < n_queries).collect()
     qrows = [r for r in qrows if r.q is not None and len(r.q) == DIM]
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
@@ -196,13 +255,20 @@ def _keyed_vector_scores(corpus: DataFrame, key_col: str, keyed_query_rows) -> D
 
 
 def label_filtered_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 3
+    emb: DataFrame, n_queries: int = 10, k: int = 3, distributed: bool | None = None
 ) -> DataFrame:
     """Filtered ANN: exact top-k restricted to corpus vectors sharing the
     query's label (the metadata-predicate + vector-search composition; at
     scale the corpus is partitioned by the filter column so the search
-    reads only matching partitions and scores them vectorized)."""
+    reads only matching partitions and scores them vectorized).
+    ``distributed`` pairs via a label equi-join instead of collecting the
+    query side (auto above ``QUERY_COLLECT_LIMIT``)."""
     q = emb.select("vec_id", "label", F.expr(QUANT).alias("q"))
+    if distributed is None:
+        distributed = n_queries > QUERY_COLLECT_LIMIT
+    if distributed:
+        scored = _join_scored(q, q.where(F.col("vec_id") < n_queries), ["label"])
+        return topk_merge(scored, k)
     qrows = q.where(F.col("vec_id") < n_queries).collect()
     scored = _keyed_vector_scores(q, "label", qrows)
     return topk_merge(scored, k)
@@ -475,22 +541,76 @@ def _probe_rows(qvec_rows, centroid_rows, nprobe: int) -> list:
     return out
 
 
+def nearest_centroids_multi(q: DataFrame, centroid_rows, nprobe: int) -> DataFrame:
+    """(vec_id, centroid_id) × nprobe: each vector's ``nprobe`` nearest
+    cells — the distributed multi-probe fan-out (:func:`_probe_rows` without
+    the driver loop).  Centroids ride the closure (tiny by construction);
+    exact int distances; stable argsort over ascending cell ids gives the
+    same tie-break as the driver-side variant and the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(centroid_rows, key=lambda r: r.centroid_id)
+    cids = np.array([r.centroid_id for r in crows], dtype=np.int64)
+    cmat = (
+        np.array([r.cv for r in crows], dtype=np.int64)
+        if crows
+        else np.zeros((0, DIM), dtype=np.int64)
+    )
+    cn = (cmat * cmat).sum(axis=1)
+    npb = min(nprobe, len(cids))
+
+    def probe(batches):
+        for pdf in batches:
+            if npb == 0:
+                continue
+            ok = pdf["q"].map(lambda v: v is not None and len(v) == DIM)
+            pdf = pdf[ok]
+            if len(pdf) == 0:
+                continue
+            qmat = np.array(pdf["q"].tolist(), dtype=np.int64)
+            d = (qmat * qmat).sum(axis=1)[:, None] - 2 * (qmat @ cmat.T) + cn[None, :]
+            idx = np.argsort(d, axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, npb),
+                    "centroid_id": cids[idx].reshape(-1),
+                }
+            )
+
+    return q.mapInPandas(probe, "vec_id long, centroid_id long")
+
+
 def ivf_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5,
     n_centroids: int = N_CENTROIDS, kmeans_iters: int = 0, nprobe: int = 1,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """ANN top-k over the query's ``nprobe`` nearest IVF cells (candidates
     share a probed cell; each corpus vector lives in exactly one cell, so
     probes never double-count a neighbor).  At 100 TB the corpus is stored
     partitioned by centroid_id, so a probe reads exactly ``nprobe``
     partitions — recall rises with nprobe at linear read cost, the
-    standard IVF quality dial."""
+    standard IVF quality dial.
+
+    ``distributed`` (default: auto at ``QUERY_COLLECT_LIMIT``) keeps the
+    query side as a DataFrame: probes are computed executor-side against
+    the closure-shipped centroids (bounded at ``n_centroids`` rows — the
+    one collect this path keeps) and candidates pair via a centroid_id
+    equi-join."""
     q = quantized(emb)
     # collect the centroids ONCE: assignment and probe fan-out both need
     # them, and with kmeans_iters>0 the lineage is the whole Lloyd loop
     crows = _ivf_centroids(emb, n_centroids, kmeans_iters).collect()
     assign = nearest_centroid_rows(q, crows)
     qa = q.join(assign, "vec_id")
+    if distributed is None:
+        distributed = n_queries > QUERY_COLLECT_LIMIT
+    if distributed:
+        queries = q.where(F.col("vec_id") < n_queries)
+        probes = nearest_centroids_multi(queries, crows, max(1, nprobe))
+        scored = _join_scored(qa, queries.join(probes, "vec_id"), ["centroid_id"])
+        return topk_merge(scored, k)
     if nprobe <= 1:
         qrows = qa.where(F.col("vec_id") < n_queries).collect()
     else:
@@ -501,12 +621,22 @@ def ivf_topk(
 
 
 def lsh_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, planes: int = N_PLANES
+    emb: DataFrame, n_queries: int = 10, k: int = 5, planes: int = N_PLANES,
+    distributed: bool | None = None,
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket."""
+    """ANN top-k: candidates restricted to the query's LSH bucket.
+
+    ``distributed`` (default: auto at ``QUERY_COLLECT_LIMIT``) keeps the
+    query side as a DataFrame and pairs with the corpus via a bucket
+    equi-join — only bucket-mates shuffle, no driver collect."""
     q = quantized(emb)
     buckets = lsh_buckets(emb, planes)
     qb = q.join(buckets, "vec_id")
+    if distributed is None:
+        distributed = n_queries > QUERY_COLLECT_LIMIT
+    if distributed:
+        scored = _join_scored(qb, qb.where(F.col("vec_id") < n_queries), ["bucket"])
+        return topk_merge(scored, k)
     qrows = qb.where(F.col("vec_id") < n_queries).collect()
     scored = _keyed_vector_scores(qb, "bucket", qrows)
     return topk_merge(scored, k)

@@ -222,3 +222,80 @@ def test_ivf_recall_non_decreasing_in_nprobe(spark):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4
     assert r4 > r1 or r1 == 1.0
+
+
+# ---------------------------------------------------------------------------
+# distributed query side (join path): no driver materialization, same rows
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select("query_id", "neighbor_id", "cosine", "rank").collect()}
+
+
+def test_distributed_paths_match_closure_paths(spark):
+    """The join path must be bit-identical to the closure path: same exact
+    integer dots, same cosine rounding, same tie-breaks — at the oracle's
+    n_queries=10 AND at a corpus-sized query set."""
+    from kupo_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        label_filtered_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(EMB)
+    n_corpus = emb.count()
+    for fn, kw in [
+        (brute_force_topk, {}),
+        (lsh_topk, {}),
+        (ivf_topk, {}),
+        (ivf_topk, {"nprobe": 3}),
+        (ivf_topk, {"kmeans_iters": 1}),
+        (label_filtered_topk, {}),
+    ]:
+        for nq in (10, n_corpus):
+            a = _rows(fn(emb, n_queries=nq, k=3, distributed=False, **kw))
+            b = _rows(fn(emb, n_queries=nq, k=3, distributed=True, **kw))
+            assert a == b, (fn.__name__, kw, nq)
+
+
+def test_distributed_path_never_collects_queries(spark, monkeypatch):
+    """Proof of no driver materialization: poison DataFrame.collect — plan
+    construction on the distributed path must survive for the bucket/label/
+    brute-force variants (IVF legitimately collects its ≤n_centroids
+    centroid rows, checked separately)."""
+    from kupo_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(EMB)
+    # patch the CONCRETE class (pyspark 4's classic DataFrame shadows the
+    # pyspark.sql.DataFrame facade methods)
+    DataFrame = type(emb)
+    plans = {}
+    orig = DataFrame.collect
+
+    def poisoned(self):
+        raise AssertionError("driver collect on the distributed query path")
+
+    monkeypatch.setattr(DataFrame, "collect", poisoned)
+    plans["brute"] = sim.brute_force_topk(emb, n_queries=10**9, k=3)
+    plans["lsh"] = sim.lsh_topk(emb, n_queries=10**9, k=3)
+    plans["label"] = sim.label_filtered_topk(emb, n_queries=10**9, k=3)
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    # the plans execute, and the keyed variants pair through a real join
+    assert plans["brute"].count() > 0
+    for name in ("lsh", "label"):
+        assert plans[name].count() > 0
+        assert "Join" in formatted_plan(plans[name])
+    # IVF distributed: only the centroid collect remains — count the calls
+    calls = []
+
+    def counting(self):
+        calls.append(self.columns)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    df = sim.ivf_topk(emb, n_queries=10**9, k=3, nprobe=2)
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert len(calls) == 1 and set(calls[0]) == {"centroid_id", "cv"}
+    assert df.count() > 0
