@@ -154,6 +154,52 @@ def reshuffle_address(header: int, payment: bytes, delegation: bytes | None) -> 
     return "".join(parts)
 
 
+def unshuffle_address(row_hex: str) -> tuple[int, bytes]:
+    """Inverse of :func:`reshuffle_address` — the index row back to the
+    ledger serialization (``addressFromRow``, ``Database.hs:601-615``):
+
+    * tag 1 (base):       tag ‖ delegation(28) ‖ header ‖ payment  →
+      header ‖ payment ‖ delegation
+    * tag 2 (pointer):    tag ‖ ptr ‖ header ‖ payment  → header ‖ payment ‖
+      ptr (the pointer is variable-width, so parse from the tail)
+    * tag 3 (enterprise): tag ‖ header ‖ payment → header ‖ payment
+    * tag 0 (bootstrap):  tag ‖ cbor → cbor (the Byron address bytes verbatim)
+
+    Returns ``(tag, ledger_bytes)``.
+    """
+    raw = bytes.fromhex(row_hex)
+    tag, body = raw[0], raw[1:]
+    if tag == 0:
+        return tag, body
+    if tag == 1:
+        delegation, header, payment = body[:28], body[28], body[29:]
+        return tag, bytes([header]) + payment + delegation
+    if tag == 2:
+        payment, header, ptr = body[-28:], body[-29], body[:-29]
+        return tag, bytes([header]) + payment + ptr
+    if tag == 3:
+        return tag, bytes([body[0]]) + body[1:]
+    raise ValueError(f"unknown address tag {tag}")
+
+
+def address_to_text(address: str) -> str:
+    """Rendered address for the JSON surface (``addressToJson``,
+    ``Address.hs:25-34``): bech32 with hrp by the header's network nibble
+    for shelley-era rows, base58 for bootstrap rows.  Addresses that are
+    already rendered text (bech32/base58 pass-through sources like the
+    Ogmios/Hydra decoders keep the wire form) are returned verbatim."""
+    if not (len(address) >= 4 and address[:2] in ("00", "01", "02", "03")):
+        return address
+    try:
+        tag, ledger = unshuffle_address(address)
+    except ValueError:
+        return address
+    if tag == 0:
+        return base58_encode(ledger)
+    hrp = "addr" if (ledger[0] & 0x0F) == 1 else "addr_test"
+    return bech32_encode(hrp, ledger)
+
+
 def address_from_bech32(text: str) -> str | None:
     """addr…/addr_test… bech32 → reshuffled hex address; stake…/stake_test…
     → the delegation credential hex (for `*/stake1…` patterns)."""

@@ -126,11 +126,14 @@ def test_result_json_shape(index):
     rows = result_json(index, "*", status="unspent").collect()
     row = next(r for r in rows if json.loads(r["result"])["value"]["assets"])
     payload = json.loads(row["result"])
-    assert set(payload.keys()) == {
+    base = {
         "transaction_index", "transaction_id", "output_index", "address",
-        "value", "datum_hash", "datum_type", "script_hash", "created_at",
-        "spent_at",
+        "value", "datum_hash", "script_hash", "created_at", "spent_at",
     }
+    # AsReference mode: datum_type present iff the output has a datum
+    # (datumToJson vs NoDatum, Pattern.hs:465-471); never a datum/script key
+    expected = base | ({"datum_type"} if payload["datum_hash"] is not None else set())
+    assert set(payload.keys()) == expected
     assert set(payload["value"].keys()) == {"coins", "assets"}
     assert payload["spent_at"] is None
     assert payload["created_at"]["slot_no"] >= 0
