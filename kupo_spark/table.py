@@ -9,17 +9,24 @@ Storage over Cloud Object Stores", VLDB 2020 — see PAPERS.md), built only
 on the filesystem + parquet + pyarrow footers:
 
   root/
-    _txlog/
+    _delta_log/
       00000000000000000000.json          one commit = one file of actions
       00000000000000000010.checkpoint.json   folded state every N commits
-      _last_checkpoint                   {"version": N}
+      _checkpoint_hint                   {"version": N}
     part-*.parquet                       data files (never mutated)
     pcol=.../part-*.parquet              hive-partitioned data files
 
-Actions are JSON objects, one per line, mirroring Delta's vocabulary:
+Actions are JSON objects, one per line, in the **Delta protocol's wire
+layout** (delta.io PROTOCOL.md) — an external Delta reader pointed at
+``root`` replays the same commits (our JSON checkpoints and the hint file
+fall outside Delta's file-name patterns, so a foreign reader simply replays
+from version 0; timestamps are epoch millis, per-file stats a JSON string):
 
-  {"metaData": {"id", "schemaString", "partitionColumns", "createdTime"}}
-  {"add":    {"path", "partitionValues", "size", "stats", "dataChange"}}
+  {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+  {"metaData": {"id", "format", "schemaString", "partitionColumns",
+                "configuration", "createdTime"}}
+  {"add":    {"path", "partitionValues", "size", "modificationTime",
+              "dataChange", "stats"}}
   {"remove": {"path", "deletionTimestamp", "dataChange"}}
   {"commitInfo": {"operation", "timestamp", "readVersion", ...}}
 
@@ -71,11 +78,24 @@ __all__ = [
     "TableNotFoundError",
 ]
 
-LOG_DIR = "_txlog"
+LOG_DIR = "_delta_log"
+LEGACY_LOG_DIR = "_txlog"  # pre-interop tables keep opening
 CHECKPOINT_INTERVAL = 10
+#: the Delta protocol floor this layout satisfies (PROTOCOL.md: reader v1 =
+#: plain parquet + JSON log replay; writer v2 = appendOnly/invariants aware)
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 #: stats are collected for these parquet "physical types" only (min/max on
 #: truncated binary is unsafe for pruning without extra care)
 _STATS_TYPES = ("INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN")
+
+
+def _stats_of(add: dict) -> dict:
+    """The per-file stats object of an add action.  Stored as a JSON string
+    (Delta's serialization); legacy commits carried a dict."""
+    s = add.get("stats")
+    if s is None:
+        return {}
+    return json.loads(s) if isinstance(s, str) else s
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -123,28 +143,38 @@ class _Tx:
 
 
 def _pa_stats(local_path: Path) -> dict:
-    """numRecords + per-column min/max from the parquet footer only."""
+    """numRecords + per-column min/max/nullCount from the parquet footer
+    only (the Delta per-file statistics object, PROTOCOL.md §Per-file
+    Statistics)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(str(local_path)).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            if col.physical_type not in _STATS_TYPES:
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
             name = col.path_in_schema
             if "." in name:  # nested — no file-level pruning
+                continue
+            st = col.statistics
+            if st is not None and st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if col.physical_type not in _STATS_TYPES:
+                continue
+            if st is None or not st.has_min_max:
                 continue
             mn, mx = st.min, st.max
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    return {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
 
 
 class Table:
@@ -156,7 +186,11 @@ class Table:
         self.root = Path(root)
         self.log = self.root / LOG_DIR
         if not self.log.exists():
-            raise TableNotFoundError(f"no transaction log at {self.log}")
+            legacy = self.root / LEGACY_LOG_DIR
+            if legacy.exists():
+                self.log = legacy
+            else:
+                raise TableNotFoundError(f"no transaction log at {self.log}")
 
     # -- creation ---------------------------------------------------------
 
@@ -171,13 +205,15 @@ class Table:
             raise FileExistsError(f"table already exists at {root}")
         meta = {
             "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
             "schemaString": schema.json(),
             "partitionColumns": partition_by or [],
-            "createdTime": time.time(),
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
         }
         t._write_commit(
             0,
-            [{"metaData": meta}, _commit_info("CREATE", -1)],
+            [{"protocol": dict(PROTOCOL)}, {"metaData": meta}, _commit_info("CREATE", -1)],
         )
         return t
 
@@ -202,7 +238,9 @@ class Table:
         return max(versions, default=-1)
 
     def _last_checkpoint_version(self, at_or_before: int) -> int | None:
-        hint = self.log / "_last_checkpoint"
+        hint = self.log / "_checkpoint_hint"
+        if not hint.exists():
+            hint = self.log / "_last_checkpoint"  # legacy tables
         if hint.exists():
             v = json.loads(hint.read_text())["version"]
             if v <= at_or_before and self._checkpoint_path(v).exists():
@@ -245,15 +283,22 @@ class Table:
         snap = self.snapshot(version)
         payload = {
             "version": version,
+            "protocol": dict(PROTOCOL),
             "metaData": snap.metadata,
             "adds": list(snap.adds.values()),
         }
         tmp = self.log / f".ckpt-{uuid.uuid4().hex}"
         tmp.write_text(json.dumps(payload))
         os.replace(tmp, self._checkpoint_path(version))
+        # NOT named `_last_checkpoint`: that name promises a PARQUET
+        # checkpoint to external Delta readers (they'd fail to open it);
+        # our JSON checkpoints are an internal recovery shortcut, and both
+        # `<v>.checkpoint.json` and this hint fall outside the file-name
+        # patterns a Delta reader replays, so external opens just replay
+        # the commit JSONs from version 0.
         hint = self.log / f".lc-{uuid.uuid4().hex}"
         hint.write_text(json.dumps({"version": version}))
-        os.replace(hint, self.log / "_last_checkpoint")
+        os.replace(hint, self.log / "_checkpoint_hint")
 
     # -- snapshots --------------------------------------------------------
 
@@ -283,7 +328,9 @@ class Table:
                 elif "remove" in a:
                     adds.pop(a["remove"]["path"], None)
                 elif "commitInfo" in a:
-                    ts = a["commitInfo"]["timestamp"]
+                    ts = a["commitInfo"]["timestamp"] / 1000.0
+                # "protocol" and unknown actions: replay ignores them
+                # (reader-version-1 behavior)
         return Snapshot(version=v, metadata=metadata, adds=adds, timestamp=ts)
 
     def version_at(self, timestamp: float) -> int:
@@ -291,7 +338,7 @@ class Table:
         best = None
         for v in range(self.latest_version() + 1):
             for a in self._read_actions(v):
-                if "commitInfo" in a and a["commitInfo"]["timestamp"] <= timestamp:
+                if "commitInfo" in a and a["commitInfo"]["timestamp"] / 1000.0 <= timestamp:
                     best = v
         if best is None:
             raise ValueError(f"no commit at or before timestamp {timestamp}")
@@ -329,7 +376,7 @@ class Table:
         schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
         files = snap.files
         if stats_filter is not None:
-            files = [a for a in files if stats_filter(a.get("stats") or {})]
+            files = [a for a in files if stats_filter(_stats_of(a))]
         if not files:
             return spark.createDataFrame([], schema)
         paths = [str(self.root / a["path"]) for a in files]
@@ -368,9 +415,10 @@ class Table:
                     "path": str(rel),
                     "partitionValues": pvals,
                     "size": dest.stat().st_size,
-                    "modificationTime": now,
+                    "modificationTime": int(now * 1000),
                     "dataChange": True,
-                    "stats": _pa_stats(dest),
+                    # Delta serializes per-file stats as a JSON *string*
+                    "stats": json.dumps(_pa_stats(dest)),
                 }
             )
         import shutil
@@ -400,12 +448,12 @@ class Table:
                 if tx.metadata is not None:
                     actions.append({"metaData": tx.metadata})
                 actions.extend({"add": a} for a in tx.adds)
-                now = time.time()
+                now_ms = int(time.time() * 1000)
                 actions.extend(
                     {
                         "remove": {
                             "path": p,
-                            "deletionTimestamp": now,
+                            "deletionTimestamp": now_ms,
                             "dataChange": tx.operation != "OPTIMIZE",
                         }
                     }
@@ -640,7 +688,7 @@ def _commit_info(operation: str, read_version: int) -> dict:
     return {
         "commitInfo": {
             "operation": operation,
-            "timestamp": time.time(),
+            "timestamp": int(time.time() * 1000),  # epoch millis, Delta-style
             "readVersion": read_version,
         }
     }

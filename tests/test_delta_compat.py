@@ -1,0 +1,144 @@
+"""Delta-protocol wire compatibility of the Table transaction log.
+
+Validates the emitted action JSON against the published Delta transaction
+protocol (delta.io PROTOCOL.md) at the schema level — field names, types,
+and serialization conventions an external Delta reader depends on — so a
+foreign reader pointed at a ``Table`` root can replay the log.  If the
+``deltalake`` package is ever available in the environment, the round-trip
+test at the bottom opens the table with it directly.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kupo_spark.table import Table, _stats_of
+
+COMMIT_RE = re.compile(r"^\d{20}\.json$")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket"), F.lit("x").alias("label")
+    )
+    t = Table.create(str(tmp_path / "t"), df.schema, partition_by=["bucket"])
+    t.append(df)
+    t.delete_where(spark, "id < 5")
+    t.optimize(spark)
+    return t
+
+
+def _actions(table):
+    for p in sorted(table.log.iterdir()):
+        if COMMIT_RE.match(p.name):
+            v = int(p.name.split(".")[0])
+            for line in p.read_text().splitlines():
+                if line:
+                    yield v, json.loads(line)
+
+
+def test_log_directory_and_file_names(table):
+    assert table.log.name == "_delta_log"
+    commits = [p.name for p in table.log.iterdir() if COMMIT_RE.match(p.name)]
+    assert "00000000000000000000.json" in commits
+    # nothing else in the log dir collides with Delta's reader patterns
+    for p in table.log.iterdir():
+        if not COMMIT_RE.match(p.name):
+            assert not p.name.endswith(".parquet")
+            assert p.name != "_last_checkpoint"  # promises a parquet ckpt
+
+
+def test_version_zero_protocol_and_metadata(table):
+    v0 = [a for v, a in _actions(table) if v == 0]
+    kinds = [next(iter(a)) for a in v0]
+    assert "protocol" in kinds and "metaData" in kinds
+    proto = next(a["protocol"] for a in v0 if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    assert set(meta) >= {
+        "id", "format", "schemaString", "partitionColumns",
+        "configuration", "createdTime",
+    }
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert isinstance(meta["createdTime"], int)  # epoch millis
+    assert meta["partitionColumns"] == ["bucket"]
+    # schemaString parses as the Spark/Delta struct JSON
+    sch = json.loads(meta["schemaString"])
+    assert sch["type"] == "struct" and {f["name"] for f in sch["fields"]} == {
+        "id", "bucket", "label",
+    }
+
+
+def test_add_and_remove_action_wire_shape(table):
+    adds = [a["add"] for _, a in _actions(table) if "add" in a]
+    removes = [a["remove"] for _, a in _actions(table) if "remove" in a]
+    assert adds and removes
+    for a in adds:
+        assert set(a) >= {
+            "path", "partitionValues", "size", "modificationTime",
+            "dataChange", "stats",
+        }
+        assert isinstance(a["size"], int) and isinstance(a["modificationTime"], int)
+        assert a["modificationTime"] > 10**12  # millis, not seconds
+        assert isinstance(a["dataChange"], bool)
+        assert not a["path"].startswith("/")  # relative to the table root
+        # partitionValues: string -> string (Delta's serialization)
+        for k, v in a["partitionValues"].items():
+            assert isinstance(k, str) and isinstance(v, str)
+        # stats is a JSON *string* with the protocol's field names
+        assert isinstance(a["stats"], str)
+        st = json.loads(a["stats"])
+        assert set(st) == {"numRecords", "minValues", "maxValues", "nullCount"}
+        assert isinstance(st["numRecords"], int)
+    for r in removes:
+        assert set(r) >= {"path", "deletionTimestamp", "dataChange"}
+        assert isinstance(r["deletionTimestamp"], int)
+        assert r["deletionTimestamp"] > 10**12
+
+
+def test_commit_info_timestamps_are_millis(table):
+    infos = [a["commitInfo"] for _, a in _actions(table) if "commitInfo" in a]
+    assert infos
+    for ci in infos:
+        assert isinstance(ci["timestamp"], int) and ci["timestamp"] > 10**12
+        assert "operation" in ci and "readVersion" in ci
+
+
+def test_replay_from_zero_matches_internal_snapshot(spark, table):
+    """What a foreign reader does: ignore our checkpoints, fold the commit
+    JSONs from version 0.  The resulting live-file set must equal the
+    internal snapshot's."""
+    adds: dict[str, dict] = {}
+    for _, a in _actions(table):
+        if "add" in a:
+            adds[a["add"]["path"]] = a["add"]
+        elif "remove" in a:
+            adds.pop(a["remove"]["path"], None)
+    snap = table.snapshot()
+    assert set(adds) == set(snap.adds)
+    # and the data those files hold is the table's content
+    paths = [str(table.root / p) for p in adds]
+    df = spark.read.option("basePath", str(table.root)).parquet(*paths)
+    assert df.count() == table.read(spark).count() == 95
+
+
+def test_stats_accessor_handles_both_serializations(table):
+    snap = table.snapshot()
+    for a in snap.files:
+        st = _stats_of(a)
+        assert "numRecords" in st
+    # legacy dict form still accepted
+    assert _stats_of({"stats": {"numRecords": 3}}) == {"numRecords": 3}
+    assert _stats_of({}) == {}
+
+
+def test_deltalake_roundtrip_if_available(spark, table):
+    deltalake = pytest.importorskip("deltalake")
+    dt = deltalake.DeltaTable(str(table.root))
+    assert dt.version() == table.latest_version()
+    assert sorted(dt.files()) == sorted(table.snapshot().adds)

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kupo_spark.operators.layout import zorder_by
-from kupo_spark.table import Table
+from kupo_spark.table import Table, _stats_of
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -19,7 +19,7 @@ def _mk_table(spark, path, df):
 
 def _files_kept(t, pred):
     snap = t.snapshot()
-    kept = [a for a in snap.files if pred(a.get("stats") or {})]
+    kept = [a for a in snap.files if pred(_stats_of(a))]
     return len(kept), len(snap.files)
 
 

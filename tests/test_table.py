@@ -18,6 +18,7 @@ from kupo_spark.table import (
     ConcurrentDeleteError,
     ConcurrentWriteError,
     Table,
+    _stats_of,
     _Tx,
 )
 
@@ -85,7 +86,8 @@ def test_delete_where_rewrites_only_hit_files(spark, table):
     v2 = table.append(_df(spark, 100, 200, label="b"))
     before = table.snapshot()
     untouched = {
-        a["path"] for a in before.files if a["stats"]["minValues"]["id"] >= 100
+        a["path"] for a in before.files
+        if _stats_of(a)["minValues"]["id"] >= 100
     }
     table.delete_where(spark, "id < 10")
     after = table.snapshot()
@@ -209,13 +211,13 @@ def test_checkpoint_recovery_matches_full_replay(spark, table):
         table.append(_df(spark, i, i + 1))
     ckpts = list(table.log.glob("*.checkpoint.json"))
     assert ckpts, "expected a checkpoint after >10 commits"
-    hint = json.loads((table.log / "_last_checkpoint").read_text())
+    hint = json.loads((table.log / "_checkpoint_hint").read_text())
     snap_fast = table.snapshot()  # uses checkpoint + tail
     assert hint["version"] <= snap_fast.version
     # force full replay by hiding the checkpoints; state must be identical
     for p in ckpts:
         p.rename(p.with_suffix(".hidden"))
-    (table.log / "_last_checkpoint").unlink()
+    (table.log / "_checkpoint_hint").unlink()
     snap_slow = Table(str(table.root)).snapshot()
     assert snap_slow.adds == snap_fast.adds
     assert table.read(spark).count() == 13
@@ -227,7 +229,7 @@ def test_stats_skipping_prunes_files_from_plan(spark, table):
     table.append(_df(spark, 200, 300))
     snap = table.snapshot()
     assert all(
-        "id" in (a["stats"] or {}).get("minValues", {}) for a in snap.files
+        "id" in _stats_of(a).get("minValues", {}) for a in snap.files
     )
     full = table.read(spark)
     pruned = table.read(
