@@ -233,8 +233,13 @@ def count_inputs_sql(pattern: Pattern | str = "*") -> str:
     return PRELUDE + f"SELECT COUNT(*) AS n FROM inputs i WHERE {to_sql(pattern)}"
 
 
-def count_inputs_multi_sql(arms: list[tuple[str, Pattern | str]]) -> str:
-    """A1 for several patterns in one statement, tagged by marker."""
+def count_inputs_multi_sql(
+    arms: list[tuple[str, Pattern | str]],
+    policies_arm: tuple[str, Pattern | str] | None = None,
+) -> str:
+    """A1 for several patterns in one statement, tagged by marker;
+    ``policies_arm`` appends an A2 countPolicies arm under the same tag
+    column (one driver row certifies both aggregates)."""
     parts = []
     for marker, pattern in arms:
         if isinstance(pattern, str):
@@ -243,6 +248,103 @@ def count_inputs_multi_sql(arms: list[tuple[str, Pattern | str]]) -> str:
             f"SELECT '{marker}' AS pattern, COUNT(*) AS n FROM inputs i "
             f"WHERE {to_sql(pattern)}"
         )
+    if policies_arm is not None:
+        marker, pattern = policies_arm
+        if isinstance(pattern, str):
+            pattern = pattern_from_text(pattern)
+        parts.append(
+            f"SELECT '{marker}' AS pattern, COUNT(*) AS n FROM policies p "
+            "WHERE EXISTS (SELECT 1 FROM inputs i "
+            f"WHERE i.output_reference = p.output_reference AND {to_sql(pattern)})"
+        )
+    return PRELUDE + " UNION ALL ".join(parts)
+
+
+def _match_json_body(resolve_hashes: bool = False, quantity_as_string: bool = False) -> str:
+    """One SELECT over the PRELUDE CTEs that rebuilds ``resultToJson``
+    byte-for-byte in SQL (Pattern.hs:447-521) — the oracle for the
+    serving renderer.  Key rules mirrored: datum/script keys only under
+    resolve_hashes, datum_type only when a datum exists, policies emitted
+    DESCENDING / asset names ASCENDING, bare policy key on empty asset
+    names, quantities as integers or strings (QuantityEncoding.hs:32-52).
+    """
+    resolve, as_string = resolve_hashes, quantity_as_string
+
+    def qty(expr: str) -> str:
+        return f"'\"' || {expr} || '\"'" if as_string else expr
+
+    assets = (
+        "COALESCE((SELECT string_agg("
+        "'\"' || x.policy_id || "
+        "CASE WHEN x.asset_name = '' THEN '' ELSE '.' || x.asset_name END || "
+        f"'\":' || {qty('CAST(x.quantity AS VARCHAR)')}, "
+        "',' ORDER BY x.policy_id DESC, x.asset_name ASC) "
+        "FROM assets_tbl x WHERE x.output_reference = i.output_reference), '')"
+    )
+    datum_frag = (
+        "',\"datum\":' || CASE WHEN bd.binary_data IS NULL THEN 'null' "
+        "ELSE '\"' || bd.binary_data || '\"' END || "
+        if resolve
+        else ""
+    )
+    script_frag = (
+        "',\"script\":' || CASE WHEN sc.script IS NULL THEN 'null' ELSE "
+        "'{\"script\":\"' || substr(sc.script, 3) || '\",\"language\":\"' || "
+        "CASE substr(sc.script, 1, 2) WHEN '00' THEN 'native' "
+        "WHEN '01' THEN 'plutus:v1' WHEN '02' THEN 'plutus:v2' "
+        "ELSE 'plutus:v3' END || '\"}' END || "
+        if resolve
+        else ""
+    )
+    joins = (
+        " FROM inputs i"
+        " JOIN checkpoints c1 ON c1.slot_no = i.created_at"
+        " LEFT JOIN checkpoints c2 ON c2.slot_no = i.spent_at"
+        " LEFT JOIN binary_data bd ON bd.binary_data_hash = i.datum_hash"
+        " LEFT JOIN scripts sc ON sc.script_hash = i.script_hash"
+    )
+    return (
+        "SELECT i.output_reference, "
+        "'{\"transaction_index\":' || CAST(i.transaction_index AS VARCHAR) || "
+        "',\"transaction_id\":\"' || i.transaction_id || "
+        "'\",\"output_index\":' || CAST(i.output_index AS VARCHAR) || "
+        "',\"address\":\"' || i.address || "
+        f"'\",\"value\":{{\"coins\":' || {qty('CAST(i.coins AS VARCHAR)')} || "
+        f"',\"assets\":{{' || {assets} || '}}}}' || "
+        "',\"datum_hash\":' || CASE WHEN i.datum_hash IS NULL THEN 'null' "
+        "ELSE '\"' || i.datum_hash || '\"' END || "
+        + datum_frag
+        + "CASE WHEN i.datum_kind IN ('inline', 'reference') "
+        "THEN ',\"datum_type\":\"' || "
+        "(CASE WHEN i.datum_kind = 'inline' THEN 'inline' ELSE 'hash' END) || '\"' "
+        "ELSE '' END || "
+        "',\"script_hash\":' || CASE WHEN i.script_hash IS NULL THEN 'null' "
+        "ELSE '\"' || i.script_hash || '\"' END || "
+        + script_frag
+        + "',\"created_at\":{\"slot_no\":' || CAST(i.created_at AS VARCHAR) || "
+        "',\"header_hash\":\"' || c1.header_hash || '\"}' || "
+        "',\"spent_at\":' || CASE WHEN i.spent_at IS NULL THEN 'null' ELSE "
+        "'{\"slot_no\":' || CAST(i.spent_at AS VARCHAR) || "
+        "',\"header_hash\":\"' || c2.header_hash || "
+        "'\",\"transaction_id\":' || CASE WHEN i.spent_by IS NULL THEN 'null' "
+        "ELSE '\"' || i.spent_by || '\"' END || "
+        "',\"input_index\":' || CASE WHEN i.spent_input_index IS NULL THEN 'null' "
+        "ELSE CAST(i.spent_input_index AS VARCHAR) END || "
+        "',\"redeemer\":' || CASE WHEN i.spent_with IS NULL THEN 'null' "
+        "ELSE '\"' || i.spent_with || '\"' END || '}' END "
+        "|| '}' AS result" + joins
+    )
+
+
+def result_json_sql(arms: list[tuple[str, dict]]) -> str:
+    """C7 oracle: several render modes UNION ALL'd under one PRELUDE,
+    tagged by marker — pairs with a merged ``result_json`` driver row."""
+    parts = [
+        f"SELECT '{marker}' AS q, t{i}.* FROM ("
+        + _match_json_body(**spec)
+        + f") t{i}"
+        for i, (marker, spec) in enumerate(arms)
+    ]
     return PRELUDE + " UNION ALL ".join(parts)
 
 

@@ -280,6 +280,28 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+#: render-mode arms shared by the Spark row and its oracle (C7)
+RESULT_JSON_ARMS = [
+    ("plain", {}),
+    ("resolved", {"resolve_hashes": True}),
+    ("string", {"quantity_as_string": True}),
+]
+
+
+def _q_result_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 hard signal: the resultToJson-shaped payload (serve.result_json)
+    in default / resolve_hashes / asset-quantity=string modes, against a
+    DuckDB oracle that rebuilds the same JSON strings byte-for-byte."""
+    idx = get_index(spark, sf_dir)
+    df = None
+    for marker, spec in RESULT_JSON_ARMS:
+        arm = _serve.result_json(idx, "*", **spec).select(
+            F.lit(marker).alias("q"), "output_reference", "result"
+        )
+        df = arm if df is None else df.unionByName(arm)
+    return df
+
+
 def _merged_fold(spark: SparkSession, sf_dir: str, arms: list[tuple[str, dict]]) -> DataFrame:
     idx = get_index(spark, sf_dir)
     df = None
@@ -304,7 +326,7 @@ def queries() -> dict[str, QueryFn]:
             return _merged_fold(spark, sf_dir, _arms)
         out[f"q_{name}"] = mfn
 
-    # A1 for both the wildcard and a payment-credential pattern, one row
+    # A1 (wildcard + payment-credential) and A2 (countPolicies) in one row
     out["q_count_inputs"] = lambda s, d: (
         count_inputs(get_index(s, d), "*")
         .withColumn("pattern", F.lit("all"))
@@ -312,10 +334,13 @@ def queries() -> dict[str, QueryFn]:
             count_inputs(get_index(s, d), f"{PAY_CRED}/*")
             .withColumn("pattern", F.lit("payment"))
         )
+        .unionByName(
+            count_policies(get_index(s, d), f"{PAY_CRED}/*")
+            .withColumn("pattern", F.lit("policies"))
+        )
     )
-    out["q_count_policies"] = lambda s, d: count_policies(
-        get_index(s, d), f"{PAY_CRED}/*"
-    )
+    # C7 resultToJson byte-exact in all three encoder modes, one row
+    out["q_result_json"] = _q_result_json
     out["q_max_checkpoint"] = lambda s, d: cp.max_checkpoint(get_index(s, d))
     out["q_list_checkpoints"] = lambda s, d: cp.list_checkpoints(get_index(s, d))
     out["q_ancestors"] = lambda s, d: cp.ancestors(get_index(s, d), 500, 3)
@@ -382,9 +407,10 @@ def oracle_sql() -> dict[str, str]:
     for name, arms in MERGED_FOLD_SPECS.items():
         out[f"q_{name}"] = oracle.merged_fold_sql(arms)
     out["q_count_inputs"] = oracle.count_inputs_multi_sql(
-        [("all", "*"), ("payment", f"{PAY_CRED}/*")]
+        [("all", "*"), ("payment", f"{PAY_CRED}/*")],
+        policies_arm=("policies", f"{PAY_CRED}/*"),
     )
-    out["q_count_policies"] = oracle.count_policies_sql(f"{PAY_CRED}/*")
+    out["q_result_json"] = oracle.result_json_sql(RESULT_JSON_ARMS)
     out["q_max_checkpoint"] = oracle.max_checkpoint_sql()
     out["q_list_checkpoints"] = oracle.list_checkpoints_sql(cs.LONGEST_ROLLBACK)
     out["q_ancestors"] = oracle.ancestors_sql(500, 3)
