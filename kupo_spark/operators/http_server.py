@@ -1,0 +1,595 @@
+"""The HTTP surface as a real server — kupo's Warp app over the Spark engine.
+
+Reference: the WAI application in ``src/Kupo/App/Http.hs`` (routing at
+282-460, handlers at 488-916).  Every route, status code, guard and header
+of the reference maps onto the repo's existing operators:
+
+====================================  =====================================
+route                                 engine operator
+====================================  =====================================
+GET /health                           ``serve.health`` (content-negotiated
+                                      JSON vs Prometheus, Http.hs:488-540)
+GET /metrics                          ``serve.metrics_text``
+GET /checkpoints                      ``checkpoints.list_checkpoints``
+GET /checkpoints/{slot}[?strict]      ``checkpoints.checkpoint_by_slot``
+GET /matches[/{p1}[/{p2}]]            ``serve.result_json`` over the warm
+                                      ``Serving`` view, streamed
+DELETE /matches/{pattern}             ``maintenance.delete_by_pattern``
+                                      guarded by ``PatternStore``
+GET /datums/{hash}                    ``checkpoints.get_binary_data``
+GET /scripts/{hash}                   ``checkpoints.get_script``
+GET /metadata/{slot}                  ``maintenance.metadata_by_slot_rendered``
+GET|PUT|DELETE /patterns[...]         ``PatternStore`` + batch put-patterns
+====================================  =====================================
+
+Transport is the stdlib ``ThreadingHTTPServer`` — the Spark driver IS the
+HTTP tier, exactly kupo's single-process shape; queries execute on the
+cluster and stream back through ``toLocalIterator`` (chunked responses, no
+driver materialization of large results).  On a production deployment the
+same handler code fronts a long-lived Spark Connect session.
+
+Reference-faithful details carried over:
+
+* ``v1`` route prefix stripped (Http.hs:312-313); OPTIONS → CORS 200;
+  unknown route → 404 ``{"hint": …}``; wrong method → 405 (Error.hs).
+* ETag / If-None-Match on the data routes: the ETag is the most recent
+  checkpoint's header hash, a 304 carries the same cache headers
+  (``cacheOr``, Http.hs:461-471); responses add ``X-Most-Recent-Checkpoint``.
+* patterns span up to TWO path segments, joined back with ``/``
+  (``pathParametersToText``, Http.hs:473-482).
+* ``Accept: application/json;asset-quantity=string`` switches quantities to
+  string encoding and echoes the parameter in Content-Type
+  (QuantityEncoding.hs:32-52).
+* DELETE /matches refuses patterns overlapping the active set
+  (``Errors.stillActivePattern``, Http.hs:697-699).
+* PUT /patterns validates the rollback point against the safe zone
+  (Http.hs:866-872) before rolling back + backfilling with the enlarged
+  set; the batch equivalence is documented on :meth:`_put_patterns`.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kupo_spark.operators import checkpoints as cp
+from kupo_spark.operators import maintenance as mt
+from kupo_spark.operators import serve as _serve
+from kupo_spark.operators.indexer import Index, build_index
+from kupo_spark.operators.pattern_store import PatternStore
+from kupo_spark.operators.serving import Serving
+from kupo_spark.patterns import PatternError, pattern_from_text, pattern_to_text, to_column
+
+_HEX = re.compile(r"^[0-9a-f]+$")
+
+#: Error hints (Error.hs) — kupo's wording is long-form; the hint text here
+#: is ours, the (status, shape) contract is the reference's.
+_ERRORS = {
+    "invalid_pattern": (400, "Invalid pattern! See the Patterns documentation."),
+    "invalid_slot": (400, "Invalid slot number."),
+    "invalid_strict_mode": (400, "Invalid 'strict' query flag."),
+    "invalid_status_flag": (400, "Cannot ask for both 'spent' and 'unspent' results."),
+    "invalid_filter": (400, "Invalid match filter: asset_name requires policy_id; output_index requires transaction_id."),
+    "invalid_order": (400, "Invalid 'order': expected most_recent_first or oldest_first."),
+    "malformed_hash": (400, "Malformed hash digest: expected base16."),
+    "still_active": (400, "Cannot delete matches still covered by an active pattern."),
+    "malformed_point": (400, "Malformed rollback point: expected {\"slot_no\": ...}."),
+    "unknown_point": (400, "Rollback point is not a known checkpoint."),
+    "unsafe_rollback": (400, "Rollback point is beyond the safe zone (longest_rollback)."),
+    "not_found": (404, "Route not found."),
+    "method_not_allowed": (405, "Method not allowed on this route."),
+    "no_replay_source": (503, "No replay source configured; PUT /patterns unavailable."),
+}
+
+
+def _script_json(tagged_hex: str) -> dict:
+    """scriptToJson (Script.hs:109-123) driver-side: language-tagged bytes
+    → {"script", "language"}."""
+    lang = {"00": "native", "01": "plutus:v1", "02": "plutus:v2", "03": "plutus:v3"}[
+        tagged_hex[:2]
+    ]
+    return {"script": tagged_hex[2:], "language": lang}
+
+
+class KupoHttpServer:
+    """Serve the index over HTTP.  ``blocks`` (the chain-sync replay
+    source) enables GET /metadata and PUT /patterns; without it those
+    routes answer 503/404-equivalent errors honestly."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index: Index,
+        blocks: DataFrame | None = None,
+        patterns=("*",),
+        store_path: str | None = None,
+        longest_rollback: int | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        from kupo_spark.chainspec import LONGEST_ROLLBACK
+
+        self._spark = spark
+        self._blocks = blocks
+        self._lock = threading.RLock()
+        self._longest_rollback = (
+            LONGEST_ROLLBACK if longest_rollback is None else longest_rollback
+        )
+        if store_path is None:
+            import tempfile
+
+            store_path = tempfile.mkdtemp(prefix="kupo-patterns-") + "/patterns.txt"
+        self.store = PatternStore(store_path)
+        for p in patterns:
+            self.store.add(p)
+        self._swap_index(index)
+        self._httpd: ThreadingHTTPServer | None = None
+        self._host, self._port = host, port
+
+    # -- index state (swapped atomically under the mutation lock) ---------
+
+    def _swap_index(self, index: Index) -> None:
+        serving = Serving(index)
+        with self._lock:
+            old = getattr(self, "serving", None)
+            self.index = index
+            self.serving = serving
+            if old is not None:
+                old.close()
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> "KupoHttpServer":
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((self._host, self._port), handler)
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return self
+
+    @property
+    def url(self) -> str:
+        assert self._httpd is not None, "server not started"
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def close(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- mutations --------------------------------------------------------
+
+    def _delete_matches(self, pattern_text: str) -> int:
+        p = self.store.guard_delete_matches(pattern_text)  # raises on overlap
+        with self._lock:
+            n = self.index.inputs.where(to_column(p)).count()
+            self._swap_index(mt.delete_by_pattern(self.index, p))
+        return n
+
+    def _put_patterns(self, new_patterns: list[str], rollback_slot: int) -> list[str]:
+        """PUT /patterns, batch form.  The streaming engine replays
+        (rollback → install → backfill, ``streaming/indexer.py:244``); in
+        batch mode over the full replay source the same final state is one
+        expression: build with the ENLARGED set, then drop rows only the
+        NEW patterns match whose ``created_at`` ≤ the rollback point —
+        exactly the reference's contract that pre-point matches of new
+        patterns stay absent (they were never rolled forward over).
+        Old-pattern rows are untouched (rollback deletes + backfill
+        re-adds them); spent-marks are global, as in any full replay."""
+        if self._blocks is None:
+            raise _Unavailable("no_replay_source")
+        row = self.index.checkpoints.agg(
+            F.max("slot_no").alias("tip"),
+            F.max(F.when(F.col("slot_no") == rollback_slot, 1)).alias("hit"),
+        ).collect()[0]
+        if row["hit"] is None:
+            raise _Unavailable("unknown_point")
+        if row["tip"] - rollback_slot > self._longest_rollback:
+            raise _Unavailable("unsafe_rollback")
+        with self._lock:
+            old = self.store.list()
+            for p in new_patterns:
+                self.store.add(p)
+            union_pats = self.store.list()
+            idx = build_index(self._blocks, patterns=union_pats)
+            old_pred = F.lit(False)
+            for p in old:
+                old_pred = old_pred | to_column(p)
+            keep = (F.col("created_at") > F.lit(rollback_slot)) | old_pred
+            inputs = idx.inputs.where(keep)
+            surviving = inputs.select("output_reference")
+            self._swap_index(
+                Index(
+                    inputs=inputs,
+                    checkpoints=idx.checkpoints,
+                    policies=idx.policies.join(surviving, "output_reference", "left_semi"),
+                    assets=idx.assets.join(surviving, "output_reference", "left_semi"),
+                    binary_data=idx.binary_data,
+                    scripts=idx.scripts,
+                )
+            )
+            return [pattern_to_text(p) for p in self.store.list()]
+
+
+class _Unavailable(Exception):
+    def __init__(self, key: str):
+        self.key = key
+
+
+def _make_handler(srv: KupoHttpServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # -- plumbing -----------------------------------------------------
+
+        def log_message(self, *args):  # quiet test output
+            pass
+
+        def _send(self, status: int, body: bytes, content_type: str, extra=()):
+            self.send_response(status)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, status: int, obj, extra=()):
+            self._send(
+                status,
+                json.dumps(obj, separators=(",", ":")).encode(),
+                "application/json;charset=utf-8",
+                extra,
+            )
+
+        def _error(self, key: str):
+            status, hint = _ERRORS[key]
+            self._json(status, {"hint": hint})
+
+        def _tip(self):
+            row = srv.index.checkpoints.agg(
+                F.max("slot_no").alias("slot"),
+                F.max_by("header_hash", "slot_no").alias("hash"),
+            ).collect()[0]
+            return row["slot"], row["hash"]
+
+        def _cache_headers(self):
+            """addCacheHeaders (Http.hs:942-957): ETag = tip header hash,
+            X-Most-Recent-Checkpoint = tip slot."""
+            slot, h = self._tip()
+            if slot is None:
+                return [("X-Most-Recent-Checkpoint", "0")]
+            return [("X-Most-Recent-Checkpoint", str(slot)), ("ETag", h)]
+
+        def _not_modified_or(self, fn):
+            """cacheOr (Http.hs:461-471): If-None-Match against the most
+            recent checkpoint's header hash."""
+            _, h = self._tip()
+            inm = self.headers.get("If-None-Match")
+            if inm is not None and inm == h:
+                self._send(304, b"", "application/json;charset=utf-8", self._cache_headers())
+            else:
+                fn()
+
+        def _stream_array(self, chunks, content_type, extra=()):
+            """Chunked JSON array from an iterator — the analog of
+            responseStreamJson (no driver materialization)."""
+            self.send_response(200)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("Access-Control-Allow-Origin", "*")
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+
+            def w(b: bytes):
+                self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+
+            w(b"[")
+            first = True
+            for c in chunks:
+                w((b"" if first else b",") + c.encode())
+                first = False
+            w(b"]")
+            self.wfile.write(b"0\r\n\r\n")
+
+        # -- routing ------------------------------------------------------
+
+        def do_OPTIONS(self):
+            self._send(200, b"", "application/json;charset=utf-8")
+
+        def do_GET(self):
+            self._route("GET")
+
+        def do_DELETE(self):
+            self._route("DELETE")
+
+        def do_PUT(self):
+            self._route("PUT")
+
+        def _route(self, method: str):
+            try:
+                u = urlparse(self.path)
+                parts = [p for p in u.path.split("/") if p]
+                if parts and parts[0] == "v1":
+                    parts = parts[1:]
+                q = parse_qs(u.query, keep_blank_values=True)
+                if not parts:
+                    return self._error("not_found")
+                head, args = parts[0], parts[1:]
+                if head == "health":
+                    return self._health(method, args, forced=None)
+                if head == "metrics":
+                    return self._health(method, args, forced=200)
+                if head == "checkpoints":
+                    return self._guarded(method, lambda: self._checkpoints(method, args, q))
+                if head == "matches":
+                    return self._guarded(method, lambda: self._matches(method, args, q))
+                if head == "datums":
+                    return self._guarded(method, lambda: self._datum(method, args))
+                if head == "scripts":
+                    return self._guarded(method, lambda: self._script(method, args))
+                if head == "metadata":
+                    return self._guarded(method, lambda: self._metadata(method, args, q))
+                if head == "patterns":
+                    return self._patterns(method, args)
+                return self._error("not_found")
+            except _Unavailable as e:
+                return self._error(e.key)
+            except BrokenPipeError:
+                pass
+            except Exception:
+                import traceback
+
+                body = json.dumps({"hint": "Unexpected server error."}).encode()
+                traceback.print_exc()
+                try:
+                    self._send(500, body, "application/json;charset=utf-8")
+                except Exception:
+                    pass
+
+        def _guarded(self, method: str, fn):
+            if method == "GET":
+                return self._not_modified_or(fn)
+            return fn()
+
+        # -- handlers -----------------------------------------------------
+
+        def _health(self, method, args, forced):
+            if method != "GET":
+                return self._error("method_not_allowed")
+            if args:
+                return self._error("not_found")
+            accept = self.headers.get("Accept", "")
+            h = _serve.health(srv.index).collect()[0]
+            # handleGetHealth's negotiation (Http.hs:496-512): text/plain
+            # and */* → Prometheus text; application/json or no Accept →
+            # JSON (except /metrics, where no Accept also means text)
+            if "text/plain" in accept:
+                want_prometheus = True
+            elif "application/json" in accept:
+                want_prometheus = False
+            elif "*/*" in accept:
+                want_prometheus = True
+            else:
+                want_prometheus = forced == 200
+            if want_prometheus:
+                self._send(
+                    200,
+                    _serve.metrics_text(srv.index).encode(),
+                    "text/plain;charset=utf-8",
+                    self._cache_headers(),
+                )
+            else:
+                self._json(
+                    forced or 200,
+                    {
+                        "connection_status": "connected",
+                        "most_recent_checkpoint": h["most_recent_checkpoint"],
+                        "most_recent_node_tip": h["most_recent_checkpoint"],
+                        "version": "kupo-spark",
+                    },
+                    self._cache_headers(),
+                )
+
+        def _checkpoints(self, method, args, q):
+            if method != "GET":
+                return self._error("method_not_allowed")
+            if not args:
+                # listCheckpointsDesc: newest first
+                rows = (
+                    cp.list_checkpoints(srv.index)
+                    .orderBy(F.col("slot_no").desc())
+                    .collect()
+                )
+                return self._json(
+                    200,
+                    [{"slot_no": r["slot_no"], "header_hash": r["header_hash"]} for r in rows],
+                    self._cache_headers(),
+                )
+            if len(args) > 1:
+                return self._error("not_found")
+            try:
+                slot = int(args[0])
+            except ValueError:
+                return self._error("invalid_slot")
+            strict = "strict" in q
+            if strict and q["strict"] not in ([""], ["true"]):
+                return self._error("invalid_strict_mode")
+            rows = cp.checkpoint_by_slot(srv.index, slot, strict=strict).collect()
+            body = (
+                {"slot_no": rows[0]["slot_no"], "header_hash": rows[0]["header_hash"]}
+                if rows
+                else None
+            )
+            return self._json(200, body, self._cache_headers())
+
+        def _matches(self, method, args, q):
+            if len(args) > 2:
+                return self._error("not_found")
+            pattern_text = "/".join(args) if args else "*"
+            try:
+                pattern = pattern_from_text(pattern_text)
+            except PatternError:
+                return self._error("invalid_pattern")
+            if method == "DELETE":
+                try:
+                    n = srv._delete_matches(pattern_text)
+                except PatternError:
+                    return self._error("still_active")
+                return self._json(200, {"deleted": n})
+            if method != "GET":
+                return self._error("method_not_allowed")
+            if "spent" in q and "unspent" in q:
+                return self._error("invalid_status_flag")
+            status = "spent" if "spent" in q else ("unspent" if "unspent" in q else None)
+            order = q.get("order", ["most_recent_first"])[0]
+            if order not in ("most_recent_first", "oldest_first"):
+                return self._error("invalid_order")
+            if "asset_name" in q and "policy_id" not in q:
+                return self._error("invalid_filter")
+            if "output_index" in q and "transaction_id" not in q:
+                return self._error("invalid_filter")
+            kwargs: dict = {"status": status, "sorted_result": True, "order": order}
+            for name in ("created_after", "created_before", "spent_after", "spent_before"):
+                if name in q:
+                    try:
+                        kwargs[name] = int(q[name][0])
+                    except ValueError:
+                        return self._error("invalid_slot")
+            if "policy_id" in q:
+                kwargs["filter_policy_id"] = q["policy_id"][0]
+            if "asset_name" in q:
+                kwargs["filter_asset_name"] = q["asset_name"][0]
+            if "transaction_id" in q:
+                kwargs["filter_transaction_id"] = q["transaction_id"][0]
+            if "output_index" in q:
+                kwargs["filter_output_index"] = int(q["output_index"][0])
+            as_string = "asset-quantity=string" in self.headers.get("Accept", "")
+            ct = "application/json;charset=utf-8" + (
+                ";asset-quantity=string" if as_string else ""
+            )
+            df = _serve.result_json(
+                srv.serving.index,
+                pattern,
+                resolve_hashes="resolve_hashes" in q,
+                quantity_as_string=as_string,
+                rendered_addresses=False,
+                **kwargs,
+            )
+            rows = (r["result"] for r in df.toLocalIterator())
+            return self._stream_array(rows, ct, self._cache_headers())
+
+        def _datum(self, method, args):
+            if method != "GET":
+                return self._error("method_not_allowed")
+            if len(args) != 1:
+                return self._error("not_found")
+            if not _HEX.match(args[0]) or len(args[0]) % 2:
+                return self._error("malformed_hash")
+            rows = cp.get_binary_data(srv.index, args[0]).collect()
+            body = {"datum": rows[0]["binary_data"]} if rows else None
+            return self._json(200, body, self._cache_headers())
+
+        def _script(self, method, args):
+            if method != "GET":
+                return self._error("method_not_allowed")
+            if len(args) != 1:
+                return self._error("not_found")
+            if not _HEX.match(args[0]) or len(args[0]) % 2:
+                return self._error("malformed_hash")
+            rows = cp.get_script(srv.index, args[0]).collect()
+            body = _script_json(rows[0]["script"]) if rows else None
+            return self._json(200, body, self._cache_headers())
+
+        def _metadata(self, method, args, q):
+            if method != "GET":
+                return self._error("method_not_allowed")
+            if len(args) != 1:
+                return self._error("not_found")
+            if srv._blocks is None:
+                return self._error("no_replay_source")
+            try:
+                slot = int(args[0])
+            except ValueError:
+                return self._error("invalid_slot")
+            if slot == 0:
+                return self._json(200, [], self._cache_headers())
+            # resolve to the greatest checkpoint ≤ slot (listAncestorsDesc
+            # of the successor, Http.hs:773-776)
+            anc = cp.ancestors(srv.index, slot + 1, 1).collect()
+            if not anc:
+                return self._json(200, [], self._cache_headers())
+            a_slot, a_hash = anc[0]["slot_no"], anc[0]["header_hash"]
+            tid = q.get("transaction_id", [None])[0]
+            rows = mt.metadata_by_slot_rendered(srv._blocks, a_slot, tid).collect()
+            chunks = (r["metadata_json"] for r in rows)
+            return self._stream_array(
+                chunks,
+                "application/json;charset=utf-8",
+                [("X-Block-Header-Hash", a_hash), *self._cache_headers()],
+            )
+
+        def _patterns(self, method, args):
+            if method == "GET":
+                if not args:
+                    return self._json(
+                        200, sorted(pattern_to_text(p) for p in srv.store.list())
+                    )
+                if len(args) > 2:
+                    return self._error("not_found")
+                try:
+                    return self._json(
+                        200,
+                        sorted(
+                            pattern_to_text(p)
+                            for p in srv.store.matching("/".join(args))
+                        ),
+                    )
+                except PatternError:
+                    return self._error("invalid_pattern")
+            if method == "DELETE":
+                if not args or len(args) > 2:
+                    return self._error("invalid_pattern")
+                try:
+                    before = len(srv.store.list())
+                    remaining = srv.store.remove("/".join(args))
+                except PatternError:
+                    return self._error("invalid_pattern")
+                return self._json(200, {"deleted": before - len(remaining)})
+            if method == "PUT":
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    return self._error("malformed_point")
+                since = body.get("rollback_to", {})
+                if not isinstance(since, dict) or "slot_no" not in since:
+                    return self._error("malformed_point")
+                pats = body.get("patterns", ["/".join(args)] if args else [])
+                if not pats:
+                    return self._error("invalid_pattern")
+                try:
+                    for p in pats:
+                        pattern_from_text(p)
+                except PatternError:
+                    return self._error("invalid_pattern")
+                active = srv._put_patterns(pats, int(since["slot_no"]))
+                return self._json(200, sorted(active))
+            return self._error("method_not_allowed")
+
+    return Handler

@@ -121,11 +121,24 @@ def result_json(
     bech32/base58 wire text (``addressToJson``); pass-through sources
     (Ogmios/Hydra) already store wire text and are returned verbatim.
     """
+    # the chain-order sort (O1) must ride OVER the assets join below, or
+    # the join would destroy it — so fold unsorted and sort the rendered
+    # frame at the end
+    sorted_result = fold_kwargs.pop("sorted_result", False)
+    order = fold_kwargs.pop("order", "most_recent_first")
     rows = fold_inputs(index, pattern, resolve_hashes=resolve_hashes, **fold_kwargs)
     # re-attach assets + datum_kind for rendering (fold's result projection
     # mirrors kupo's row; the JSON adds the value map and datum_type)
     extra = index.inputs.select("output_reference", "assets", "datum_kind")
     df = rows.join(extra, "output_reference", "inner")
+    if sorted_result:
+        keys = ["created_at", "transaction_index", "output_index"]
+        df = df.orderBy(
+            *[
+                F.col(k).desc() if order == "most_recent_first" else F.col(k).asc()
+                for k in keys
+            ]
+        )
 
     addr = render_address(F.col("address")) if rendered_addresses else F.col("address")
     has_datum = F.col("datum_kind").isin("inline", "reference")
