@@ -158,6 +158,26 @@ def minhash_signatures(docs: DataFrame, n: int = N_MINHASH, k: int = 3) -> DataF
     return wide.select("doc_id", F.expr(f"stack({n}, {stack}) as (i, sig)"))
 
 
+def band_keys_from_wide(
+    wide: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND
+) -> DataFrame:
+    """(doc_id, band, key) from an already-materialized wide signature
+    frame — pure projection, zero shuffles.  A row whose signatures are
+    NULL (a document with no shingles, e.g. re-read from a signature
+    store) gets NULL band keys, so an equi-join on (band, key) can never
+    pair two shingle-less documents."""
+    band_exprs = []
+    for b in range(bands):
+        cols = ", ".join(f"cast(sig_{b * rows + r} as string)" for r in range(rows))
+        band_exprs.append(
+            f"{b}, CASE WHEN sig_{b * rows} IS NULL THEN NULL"
+            f" ELSE md5(concat_ws('|', {cols})) END"
+        )
+    return wide.select(
+        "doc_id", F.expr(f"stack({bands}, {', '.join(band_exprs)}) as (band, key)")
+    )
+
+
 def lsh_band_keys(
     docs: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND, k: int = 3,
     sh: DataFrame | None = None,
@@ -167,13 +187,7 @@ def lsh_band_keys(
     derived from the wide signature row by pure projection (zero shuffles
     beyond the signature groupBy)."""
     wide = minhash_signatures_wide(docs, bands * rows, k, sh=sh)
-    band_exprs = []
-    for b in range(bands):
-        cols = ", ".join(f"cast(sig_{b * rows + r} as string)" for r in range(rows))
-        band_exprs.append(f"{b}, md5(concat_ws('|', {cols}))")
-    return wide.select(
-        "doc_id", F.expr(f"stack({bands}, {', '.join(band_exprs)}) as (band, key)")
-    )
+    return band_keys_from_wide(wide, bands, rows)
 
 
 def lsh_candidate_pairs(
@@ -329,3 +343,144 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     agg = tok.groupBy("doc_id").agg(*votes)
     sig = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
     return agg.select("doc_id", F.expr(f"cast({sig} as bigint)").alias("simhash"))
+
+
+def chunk_tiles(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, pos, chunk): non-overlapping k-token tiles covering the
+    whole document.  The trailing tile may be short; a document with no
+    tokens yields one empty tile so it survives reassembly."""
+    n_tiles = f"greatest(1, cast(ceil(size(t) / cast({k} as double)) as int))"
+    return docs.select("doc_id", F.expr(TOKENS).alias("t")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, {n_tiles}),"
+                f" i -> array_join(slice(t, (i - 1) * {k} + 1, {k}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+
+
+def exact_substring_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Exact substring (chunk-level) deduplication in the style of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2021): tile every document into k-token chunks, keep only the
+    corpus-wide FIRST occurrence of each distinct chunk (first = smallest
+    (doc_id, pos)), drop every later occurrence — within the same
+    document or across documents — and reassemble each document from its
+    surviving chunks.
+
+    Returns (doc_id, clean_text, n_tiles, n_removed); clean_text is
+    whitespace-normalized (tokens re-joined with single spaces), so a
+    document with no duplicated chunks round-trips to its normalized
+    text.
+
+    Scale design: the paper's suffix array is replaced by the
+    shuffle-native equivalent — a row_number window partitioned by
+    md5(chunk) (fixed-width uniform key, skew-free by construction), so
+    the whole operator is ONE exchange on the chunk hash plus ONE
+    groupBy(doc_id) for reassembly.  No join-back and no posting-list
+    blow-up: every tile occurs exactly once on each side of the window.
+    A pathological hot chunk ("click here to subscribe" boilerplate)
+    concentrates its occurrences on one partition; the payload per row is
+    one k-token string, so the skew ceiling is bytes-of-duplicates, not
+    pairs-of-duplicates."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    ranked = (
+        chunk_tiles(docs, k)
+        .withColumn("h", F.expr("md5(chunk)"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN rn = 1 THEN struct(pos, chunk) END)), p -> p.chunk), ' ')"
+        ).alias("clean_text"),
+        F.count("*").alias("n_tiles"),
+        F.sum(F.expr("CASE WHEN rn = 1 THEN 0 ELSE 1 END")).alias("n_removed"),
+    )
+
+
+def minhash_est_pairs(
+    docs: DataFrame, threshold: float = 0.5, bands: int = N_BANDS,
+    rows: int = ROWS_PER_BAND, k: int = 3, wide: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard): LSH candidates verified by SIGNATURE
+    AGREEMENT (fraction of equal min-hashes) instead of the exact shingle
+    intersection — the estimator E[matches/n] = J(a, b).
+
+    This is the sketch-only dedup path: verification reads nothing but
+    the n·8-byte signature rows, so a corpus can be deduplicated — and,
+    crucially, INCREMENTALLY deduplicated against a stored signature
+    table (:mod:`kupo_spark.functions.incremental`) — without re-reading
+    or re-shingling any previously seen text.  At 100 TB of text the
+    signature store is ~100 bytes/doc; the exact-verify path
+    (:func:`minhash_near_dup_pairs`) would have to persist or recompute
+    the full shingle sets."""
+    if wide is None:
+        wide = minhash_signatures_wide(docs, bands * rows, k)
+    wide = wide.persist()
+    bk = band_keys_from_wide(wide, bands, rows)
+    a = bk.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bk.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return estimate_pairs(cand, wide, wide, bands * rows, threshold)
+
+
+def estimate_pairs(
+    cand: DataFrame, wide_a: DataFrame, wide_b: DataFrame, n: int,
+    threshold: float,
+) -> DataFrame:
+    """Signature-agreement verification of candidate pairs: join the two
+    wide signature frames onto (doc_a, doc_b) and score
+    est_jaccard = |{i : sig_a_i = sig_b_i}| / n.  Two equi-joins on doc
+    ids, matches counted by a codegen CASE chain — no explode back to
+    (doc, i) rows (which would 12× the shuffle volume)."""
+    wa = wide_a.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(n)],
+    )
+    wb = wide_b.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(n)],
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a_sig_{i} = b_sig_{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn("est_jaccard", F.expr(f"round(({matches}) / {n}.0, 6)"))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_est_dedup(
+    docs: DataFrame, threshold: float = 0.5, bands: int = N_BANDS,
+    rows: int = ROWS_PER_BAND, k: int = 3,
+) -> DataFrame:
+    """(doc_id, keep, dup_of): the keep/drop verdict over the sketch-only
+    pair list.  A document is dropped iff SOME earlier document (smaller
+    doc_id — kept or itself dropped) is an est-jaccard near-duplicate;
+    dup_of is the smallest such doc_id, -1 when kept.  Referencing ALL
+    earlier documents (not just kept ones) keeps the rule batch-size
+    invariant, which is what makes the incremental store exactly
+    equivalent to a one-shot pass (tested)."""
+    dups = (
+        minhash_est_pairs(docs, threshold, bands, rows, k)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("dup_of"))
+    )
+    return docs.select("doc_id").join(dups, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNull().alias("keep"),
+        F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+    )

@@ -330,24 +330,15 @@ def lsh_buckets(emb: DataFrame, planes: int = N_PLANES, dim: int = DIM) -> DataF
     return quantized(emb).mapInPandas(project, "vec_id long, bucket string")
 
 
-def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.3, planes: int = N_PLANES
-) -> DataFrame:
-    """Embedding-cosine near-duplicates, the ANN-gated scale path: candidate
-    pairs must share a sign-LSH bucket (linear candidate generation — the
-    bucket join only pairs bucket-mates, never all-pairs), then the exact
-    integer cosine verifies candidates only.  Returns (vec_a < vec_b,
-    cosine ≥ threshold).  Recall is the standard LSH trade: a pair at angle
-    θ survives all `planes` hyperplanes with probability (1 − θ/π)^planes —
-    raise recall with band OR-ing exactly as in the MinHash pipeline."""
+def _group_pairs_fn():
+    """Pandas fn for applyInPandas: all ordered pairs WITHIN one group (an
+    LSH bucket / a k-means cell), scored by exact int64 dot + norms via a
+    blocked matmul — the temp is (block × n), not (n × n), so a hot group
+    degrades gracefully instead of materializing n² at once."""
     import numpy as np
     import pandas as pd
 
-    q = quantized(emb)
-    b = lsh_buckets(emb, planes)
-    qb = q.join(b, "vec_id")
-
-    def bucket_pairs(key, pdf):
+    def group_pairs(key, pdf):
         ok = pdf["q"].map(lambda v: v is not None and len(v) == DIM)
         pdf = pdf[ok]
         n = len(pdf)
@@ -360,8 +351,6 @@ def embedding_near_dup_pairs(
         ids = pdf["vec_id"].values[order]
         mat = np.array(pdf["q"].tolist(), dtype=np.int64)[order]
         norms = (mat * mat).sum(axis=1)
-        # block the row side so the temp is (block × n), not (n × n) — a
-        # hot bucket degrades gracefully instead of materializing n² at once
         chunks = []
         for lo in range(0, n - 1, 1024):
             hi = min(lo + 1024, n - 1)
@@ -382,17 +371,76 @@ def embedding_near_dup_pairs(
             )
         return pd.concat(chunks) if chunks else empty
 
-    scored = qb.groupBy("bucket").applyInPandas(
-        bucket_pairs, "vec_a long, vec_b long, dot long, nq long, nc long"
-    )
-    scored = scored.withColumn(
+    return group_pairs
+
+
+_PAIRS_SCHEMA = "vec_a long, vec_b long, dot long, nq long, nc long"
+
+
+def _scored_pairs_within(grouped) -> DataFrame:
+    """GroupedData → (vec_a < vec_b, cosine): blocked pairwise scoring plus
+    the JVM-side rounded-cosine projection shared by every within-group
+    pair path."""
+    scored = grouped.applyInPandas(_group_pairs_fn(), _PAIRS_SCHEMA)
+    return scored.withColumn(
         "cosine",
         F.expr(
             "round(cast(dot as double) /"
             " (sqrt(cast(nq as double)) * sqrt(cast(nc as double))), 6)"
         ),
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.3, planes: int = N_PLANES
+) -> DataFrame:
+    """Embedding-cosine near-duplicates, the ANN-gated scale path: candidate
+    pairs must share a sign-LSH bucket (linear candidate generation — the
+    bucket join only pairs bucket-mates, never all-pairs), then the exact
+    integer cosine verifies candidates only.  Returns (vec_a < vec_b,
+    cosine ≥ threshold).  Recall is the standard LSH trade: a pair at angle
+    θ survives all `planes` hyperplanes with probability (1 − θ/π)^planes —
+    raise recall with band OR-ing exactly as in the MinHash pipeline."""
+    q = quantized(emb)
+    b = lsh_buckets(emb, planes)
+    qb = q.join(b, "vec_id")
+    scored = _scored_pairs_within(qb.groupBy("bucket"))
     return scored.where(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = 0.3, n_centroids: int = 16,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster the embeddings with k-means,
+    then within each cluster drop every vector that has cosine ≥ threshold
+    with an earlier (smaller-id) cluster-mate.  Returns
+    (vec_id, cell, keep, dup_of) with dup_of = the smallest such earlier
+    id (-1 when kept).  The dropped-by rule references ALL earlier
+    cluster-mates — kept or themselves dropped — so the verdict for a
+    vector never depends on processing order, only on the id order (same
+    batch-invariance contract as :func:`dedup.minhash_est_dedup`).
+
+    Scale design: identical candidate-gating shape to the LSH near-dup
+    path, with the k-means cell as the blocking key — pairwise work is
+    Σ|cell|² bounded by the coarse quantizer, the per-cell scoring is the
+    shared blocked int64 matmul, and the verdict is one map-side-combinable
+    min per dropped vector.  The cluster step reuses :func:`ivf_assign`
+    (exact-integer Lloyd), so an oracle engine re-derives identical cells."""
+    assigned = ivf_assign(emb, n_centroids, kmeans_iters)
+    qa = quantized(emb).join(assigned, "vec_id")
+    scored = _scored_pairs_within(qa.groupBy("centroid_id"))
+    dups = (
+        scored.where(F.col("cosine") >= threshold)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("centroid_id").alias("cell"),
+        F.col("dup_of").isNull().alias("keep"),
+        F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+    )
 
 
 N_CENTROIDS = 16

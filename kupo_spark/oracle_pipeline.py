@@ -570,3 +570,129 @@ SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS n_bytes
 FROM documents
 """
+
+
+def exact_substring_dedup_sql(k: int = 8) -> str:
+    """Mirrors dedup.exact_substring_dedup: k-token tiles, first-occurrence
+    (doc_id, pos) wins per distinct chunk, documents reassembled from the
+    surviving tiles."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS t FROM documents
+),
+tiles AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i * {k} + 1 : i * {k} + {k}], ' ') AS chunk
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(greatest(1, CAST(ceil(len(t) / {k}.0) AS BIGINT)))) AS i
+    FROM toks)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+  FROM tiles
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text,
+  count(*) AS n_tiles,
+  CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_removed
+FROM ranked GROUP BY doc_id
+"""
+
+
+def dedup_exact_and_substring_sql(k: int = 8) -> str:
+    """Tagged union: the exact-dedup table plus the substring-dedup verdict
+    (clean_text folded to its md5 so the driver's value hash pins the full
+    reassembled text byte-for-byte)."""
+    sub = exact_substring_dedup_sql(k).strip().rstrip()
+    return f"""
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+g AS (SELECT content_hash, min(doc_id) AS canonical_doc_id, count(*) AS group_size
+      FROM h GROUP BY 1),
+sub AS ({sub})
+SELECT 'exact' AS q, h.doc_id, h.content_hash, g.canonical_doc_id, g.group_size
+FROM h JOIN g USING (content_hash)
+UNION ALL
+SELECT 'substring', doc_id, md5(clean_text), n_tiles, n_removed FROM sub
+"""
+
+
+def minhash_est_pairs_sql(threshold: float = 0.5) -> str:
+    """Mirrors dedup.minhash_est_pairs: LSH candidates verified by
+    signature agreement (fraction of equal min-hashes)."""
+    n = N_BANDS * ROWS_PER_BAND
+    return f"""
+WITH {SHINGLES_CTE},{_sigs_bands_ctes(n, ROWS_PER_BAND)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / {n}.0, 6) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+def minhash_lsh_and_est_sql(threshold: float = 0.5) -> str:
+    """Tagged union: exact-verified LSH near-dup pairs plus the sketch-only
+    (signature-agreement) pair list."""
+    exact = minhash_lsh_sql(threshold).strip()
+    est = minhash_est_pairs_sql(threshold).strip()
+    return f"""
+SELECT 'lsh' AS q, * FROM ({exact})
+UNION ALL
+SELECT 'est', * FROM ({est})
+"""
+
+
+def minhash_est_dedup_sql(threshold: float = 0.5) -> str:
+    """Mirrors dedup.minhash_est_dedup: drop iff some smaller-id document
+    is an est-jaccard near-duplicate; dup_of = min such id."""
+    est = minhash_est_pairs_sql(threshold).strip()
+    return f"""
+WITH est AS ({est}),
+dups AS (SELECT doc_b AS doc_id, min(doc_a) AS dup_of FROM est GROUP BY 1)
+SELECT d.doc_id, dup.doc_id IS NULL AS keep,
+       coalesce(dup.dup_of, -1) AS dup_of
+FROM documents d LEFT JOIN dups dup USING (doc_id)
+"""
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.3, n_centroids: int = 16, kmeans_iters: int = 2
+) -> str:
+    """Mirrors similarity.semantic_dedup: k-means cells (exact-int Lloyd),
+    within-cell rounded cosine, drop-by-earlier-cluster-mate verdict."""
+    ctes, cent = _kmeans_ctes(n_centroids, kmeans_iters)
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain},
+scored_assign AS (SELECT vec_id, centroid_id, {_D2} AS dist2 FROM qv, {cent} c),
+ranked_assign AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
+  FROM scored_assign
+),
+assigned AS (SELECT vec_id, centroid_id FROM ranked_assign WHERE rn = 1),
+qa AS (SELECT qv.vec_id, qv.q, a.centroid_id FROM qv JOIN assigned a USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.q, b.q) /
+               (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))), 6) AS cosine
+  FROM qa a JOIN qa b USING (centroid_id)
+  WHERE a.vec_id < b.vec_id
+),
+dups AS (
+  SELECT vec_b AS vec_id, min(vec_a) AS dup_of FROM pairs
+  WHERE cosine >= {threshold} GROUP BY 1
+)
+SELECT a.vec_id, a.centroid_id AS cell, d.vec_id IS NULL AS keep,
+       coalesce(d.dup_of, -1) AS dup_of
+FROM assigned a LEFT JOIN dups d USING (vec_id)
+"""

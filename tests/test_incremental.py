@@ -1,0 +1,147 @@
+"""Exact substring dedup, sketch-only (est-jaccard) dedup, and the
+incremental signature store: DuckDB oracle parity, the batch≡incremental
+equivalence the store is designed around, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kupo_spark import oracle_pipeline
+from kupo_spark.functions.dedup import (
+    exact_substring_dedup,
+    minhash_est_dedup,
+    minhash_est_pairs,
+)
+from kupo_spark.functions.incremental import IncrementalDeduper
+from tools.check_correctness import rows_key
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def _match(sdf, duck, sql):
+    srows, scols = sdf.collect(), sdf.columns
+    res = duck.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows) > 0
+    assert sorted(scols) == sorted(ocols)
+    assert rows_key(srows, scols) == rows_key(orows, ocols)
+
+
+def test_substring_dedup_matches_duckdb(docs, duck):
+    _match(
+        exact_substring_dedup(docs, k=8),
+        duck,
+        oracle_pipeline.exact_substring_dedup_sql(8),
+    )
+
+
+def test_substring_dedup_removes_cross_doc_repeats(spark):
+    # dedup is tile-aligned: the shared boilerplate must start a tile
+    boiler = "click here to subscribe now"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta"),
+        (3, "unique words only in this one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in exact_substring_dedup(docs, k=5).collect()}
+    # doc 1 holds the first occurrence of both of its tiles -> intact
+    assert out[1].clean_text == rows[0][1] and out[1].n_removed == 0
+    # doc 2's first tile IS the boilerplate tile already seen in doc 1
+    assert out[2].clean_text == "epsilon zeta eta theta"
+    assert out[2].n_removed == 1 and out[2].n_tiles == 2
+    assert out[3].clean_text == rows[2][1] and out[3].n_removed == 0
+
+
+def test_substring_dedup_within_doc_repeat_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in exact_substring_dedup(docs, k=2).collect()}
+    assert out[1].clean_text == "a b" and out[1].n_removed == 2
+    assert out[2].clean_text == "" and out[2].n_tiles == 1
+
+
+def test_substring_dedup_plan_stays_jvm(docs):
+    from kupo_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(exact_substring_dedup(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_est_dedup_matches_duckdb(docs, duck):
+    _match(
+        minhash_est_dedup(docs, threshold=0.5),
+        duck,
+        oracle_pipeline.minhash_est_dedup_sql(0.5),
+    )
+
+
+def test_est_pairs_subset_of_candidates_and_nonempty(docs):
+    pairs = minhash_est_pairs(docs, threshold=0.5).collect()
+    assert len(pairs) > 0
+    assert all(r.doc_a < r.doc_b and 0.5 <= r.est_jaccard <= 1.0 for r in pairs)
+
+
+def _verdict_set(df):
+    return sorted((r.doc_id, r.keep, r.dup_of) for r in df.collect())
+
+
+@pytest.mark.parametrize("n_batches", [2, 3])
+def test_incremental_equals_batch(spark, docs, tmp_path, n_batches):
+    batch_verdict = _verdict_set(minhash_est_dedup(docs, threshold=0.5))
+    n = docs.count()
+    dd = IncrementalDeduper(spark, str(tmp_path / "store"), threshold=0.5)
+    got = []
+    for i in range(n_batches):
+        lo, hi = i * n // n_batches, (i + 1) * n // n_batches
+        batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        got.extend(_verdict_set(dd.add_batch(batch)))
+    assert sorted(got) == batch_verdict
+    # every batch doc is stored, with its verdict's keep flag
+    stored = {r.doc_id: r.keep for r in dd.stored().collect()}
+    assert stored == {d: k for d, k, _ in batch_verdict}
+
+
+def test_incremental_reopen_continues(spark, docs, tmp_path):
+    root = str(tmp_path / "store")
+    half = docs.count() // 2
+    IncrementalDeduper(spark, root, threshold=0.5).add_batch(
+        docs.where(F.col("doc_id") < half)
+    )
+    # a NEW deduper over the same root sees the stored signatures
+    dd2 = IncrementalDeduper(spark, root, threshold=0.5)
+    got = _verdict_set(dd2.add_batch(docs.where(F.col("doc_id") >= half)))
+    full = {
+        (r.doc_id, r.keep, r.dup_of)
+        for r in minhash_est_dedup(docs, threshold=0.5).collect()
+        if r.doc_id >= half
+    }
+    assert set(got) == full
+
+
+def test_incremental_rejects_non_monotone_batch(spark, docs, tmp_path):
+    dd = IncrementalDeduper(spark, str(tmp_path / "store"), threshold=0.5)
+    dd.add_batch(docs.where(F.col("doc_id") >= 100))
+    with pytest.raises(ValueError, match="id-monotone"):
+        dd.add_batch(docs.where(F.col("doc_id") < 100))
+
+
+def test_incremental_handles_shingle_less_docs(spark, tmp_path):
+    # "a b" has < 3 tokens -> no shingles -> NULL signatures; it must be
+    # stored and kept, and never pair with another shingle-less doc
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "x y"), (3, "one two three four five")],
+        "doc_id long, text string",
+    )
+    dd = IncrementalDeduper(spark, str(tmp_path / "store"), threshold=0.5)
+    verdict = _verdict_set(dd.add_batch(docs))
+    assert verdict == [(1, True, -1), (2, True, -1), (3, True, -1)]
+    assert dd.stored().count() == 3

@@ -299,3 +299,38 @@ def test_distributed_path_never_collects_queries(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", orig)
     assert len(calls) == 1 and set(calls[0]) == {"centroid_id", "cv"}
     assert df.count() > 0
+
+
+def test_semantic_dedup_matches_duckdb(spark, duck):
+    from kupo_spark import oracle_pipeline
+    from kupo_spark.functions.similarity import semantic_dedup
+    from tools.check_correctness import rows_key
+
+    emb = spark.read.parquet(EMB)
+    sdf = semantic_dedup(emb, threshold=0.3, kmeans_iters=2)
+    srows, scols = sdf.collect(), sdf.columns
+    res = duck.execute(oracle_pipeline.semantic_dedup_sql(0.3, 16, 2))
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows) > 0
+    assert rows_key(srows, scols) == rows_key(orows, ocols)
+    # the verdict actually drops something at this threshold, every
+    # dropped vector points at a smaller id, kept rows carry -1
+    by_id = {r.vec_id: r for r in srows}
+    dropped = [r for r in srows if not r.keep]
+    assert dropped, "threshold produced no dups -- fixture is degenerate"
+    for r in dropped:
+        assert r.dup_of < r.vec_id
+        assert by_id[r.dup_of].cell == r.cell
+    assert all(r.dup_of == -1 for r in srows if r.keep)
+
+
+def test_semantic_dedup_verdict_is_order_invariant(spark):
+    # the drop rule references ALL earlier cluster-mates, so feeding the
+    # frame with a different partitioning cannot change the verdict
+    from kupo_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet(EMB)
+    a = sorted(map(tuple, semantic_dedup(emb, threshold=0.3).collect()))
+    b = sorted(map(tuple, semantic_dedup(emb.repartition(7), threshold=0.3).collect()))
+    assert a == b
