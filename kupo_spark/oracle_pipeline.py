@@ -696,3 +696,21 @@ SELECT a.vec_id, a.centroid_id AS cell, d.vec_id IS NULL AS keep,
        coalesce(d.dup_of, -1) AS dup_of
 FROM assigned a LEFT JOIN dups d USING (vec_id)
 """
+
+
+def lsh_buckets_near_dup_and_semdedup_sql(
+    threshold: float = 0.3, planes: int = N_PLANES, dim: int = DIM,
+    n_centroids: int = 16, kmeans_iters: int = 2,
+) -> str:
+    """The lsh_buckets_and_near_dup union plus the SemDeDup verdict arm
+    (cell stringified into the bucket slot, dup_of into vec_b, keep as
+    1.0/0.0 in the cosine slot)."""
+    base = lsh_buckets_and_near_dup_sql(threshold, planes, dim).strip()
+    sem = semantic_dedup_sql(threshold, n_centroids, kmeans_iters).strip()
+    return f"""
+SELECT * FROM ({base})
+UNION ALL
+SELECT 'semdedup' AS q, vec_id, CAST(cell AS VARCHAR) AS bucket,
+       dup_of AS vec_b, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS cosine
+FROM ({sem})
+"""

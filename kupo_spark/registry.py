@@ -190,14 +190,54 @@ def _lsh_buckets_and_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("near_dup").alias("q"), F.col("vec_a").alias("vec_id"),
         F.lit("").alias("bucket"), "vec_b", "cosine",
     )
-    return buckets.unionByName(near)
+    # SemDeDup verdict rides the same slot: cell -> bucket (stringified),
+    # dup_of -> vec_b, keep -> cosine (1.0 kept / 0.0 dropped)
+    sem = similarity.semantic_dedup(emb, threshold=0.3, kmeans_iters=2).select(
+        F.lit("semdedup").alias("q"), "vec_id",
+        F.col("cell").cast("string").alias("bucket"),
+        F.col("dup_of").alias("vec_b"),
+        F.expr("CASE WHEN keep THEN 1.0 ELSE 0.0 END").cast("double").alias("cosine"),
+    )
+    return buckets.unionByName(near).unionByName(sem)
+
+
+def _dedup_exact_and_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tagged union: the exact-dedup table plus the substring-dedup verdict;
+    # clean_text folds to md5 so the value hash pins the reassembled text,
+    # and (n_tiles, n_removed) reuse the exact arm's numeric slots
+    docs = _docs(spark, sf_dir)
+    exact = dedup.exact_duplicates(docs).select(
+        F.lit("exact").alias("q"), "doc_id", "content_hash",
+        "canonical_doc_id", "group_size",
+    )
+    sub = dedup.exact_substring_dedup(docs, k=8).select(
+        F.lit("substring").alias("q"), "doc_id",
+        F.expr("md5(clean_text)").alias("content_hash"),
+        F.col("n_tiles").alias("canonical_doc_id"),
+        F.col("n_removed").cast("long").alias("group_size"),
+    )
+    return exact.unionByName(sub)
+
+
+def _minhash_lsh_and_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tagged union: exact-verified LSH pairs + the sketch-only
+    # (signature-agreement) pair list the incremental store is built on
+    docs = _docs(spark, sf_dir)
+    exact = dedup.minhash_near_dup_pairs(docs, threshold=0.5).select(
+        F.lit("lsh").alias("q"), "doc_a", "doc_b", "jaccard"
+    )
+    est = dedup.minhash_est_pairs(docs, threshold=0.5).select(
+        F.lit("est").alias("q"), "doc_a", "doc_b",
+        F.col("est_jaccard").alias("jaccard"),
+    )
+    return exact.unionByName(est)
 
 
 #: LLM-data-pipeline operators: name → (spark callable, oracle SQL | None)
 PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "q_dedup_exact": (
-        lambda s, d: dedup.exact_duplicates(_docs(s, d)),
-        oracle_pipeline.dedup_exact_sql(),
+        _dedup_exact_and_substring,
+        oracle_pipeline.dedup_exact_and_substring_sql(8),
     ),
     "q_text_token_stats": (
         lambda s, d: textops.token_stats(_docs(s, d)),
@@ -226,8 +266,8 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         oracle_pipeline.ngram_jaccard_sql(0.5, max_df=100),
     ),
     "q_dedup_minhash_lsh": (
-        lambda s, d: dedup.minhash_near_dup_pairs(_docs(s, d), threshold=0.5),
-        oracle_pipeline.minhash_lsh_sql(0.5),
+        _minhash_lsh_and_est,
+        oracle_pipeline.minhash_lsh_and_est_sql(0.5),
     ),
     "q_dedup_simhash": (
         lambda s, d: dedup.simhash(_docs(s, d)),
@@ -242,7 +282,7 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # bucket, exact integer cosine verifies candidates only)
     "q_embedding_lsh_buckets": (
         lambda s, d: _lsh_buckets_and_near_dup(s, d),
-        oracle_pipeline.lsh_buckets_and_near_dup_sql(0.3),
+        oracle_pipeline.lsh_buckets_near_dup_and_semdedup_sql(0.3),
     ),
     "q_multimodal_features": (
         lambda s, d: multimodal.extract_features(multimodal.as_media_table(_docs(s, d))),
