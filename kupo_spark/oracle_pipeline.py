@@ -714,3 +714,51 @@ SELECT 'semdedup' AS q, vec_id, CAST(cell AS VARCHAR) AS bucket,
        dup_of AS vec_b, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS cosine
 FROM ({sem})
 """
+
+
+def lm_score_sql(alpha: float = 0.4) -> str:
+    """Mirrors functions.lm.lm_score (self-trained): bigram stupid backoff,
+    per-token average log score."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+pairs AS (
+  SELECT doc_id, i AS pos, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM toks WHERE len(t) >= 2)
+),
+uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+bi AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN bi.c IS NOT NULL THEN ln(bi.c / u1.c)
+              ELSE ln({alpha} * coalesce(u2.c, 1) / n.n) END AS lp
+  FROM pairs p
+  LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+  LEFT JOIN uni u1 ON u1.w = p.w1
+  LEFT JOIN uni u2 ON u2.w = p.w2
+  CROSS JOIN n
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         round(sum(lp) / count(*), 6) AS avg_logprob
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_transitions, 0) AS n_transitions,
+       coalesce(p.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def tfidf_and_lm_sql(top: int = 3, alpha: float = 0.4) -> str:
+    """Tagged union: per-doc top tf-idf terms plus the bigram-LM
+    (stupid-backoff) typicality score — avg_logprob rides the tfidf slot,
+    n_transitions the rank slot."""
+    tf = tfidf_sql(top).strip()
+    lm = lm_score_sql(alpha).strip()
+    return f"""
+SELECT 'tfidf' AS q, * FROM ({tf})
+UNION ALL
+SELECT 'lm', doc_id, '' AS term, avg_logprob AS tfidf,
+       CAST(n_transitions AS INTEGER) AS rank
+FROM ({lm})
+"""

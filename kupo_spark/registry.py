@@ -219,6 +219,24 @@ def _dedup_exact_and_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(sub)
 
 
+def _tfidf_and_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tagged union: top tf-idf terms + the bigram-LM (stupid backoff)
+    # typicality score; avg_logprob rides the tfidf slot, n_transitions
+    # the rank slot
+    from kupo_spark.functions import lm
+
+    docs = _docs(spark, sf_dir)
+    tf = textops.tfidf_top_terms(docs, top=3).withColumn("q", F.lit("tfidf")).select(
+        "q", "doc_id", "term", "tfidf", "rank"
+    )
+    lmrow = lm.lm_score(docs).select(
+        F.lit("lm").alias("q"), "doc_id", F.lit("").alias("term"),
+        F.col("avg_logprob").alias("tfidf"),
+        F.col("n_transitions").cast("int").alias("rank"),
+    )
+    return tf.unionByName(lmrow)
+
+
 def _minhash_lsh_and_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tagged union: exact-verified LSH pairs + the sketch-only
     # (signature-agreement) pair list the incremental store is built on
@@ -252,8 +270,8 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         oracle_pipeline.lang_id_sql(),
     ),
     "q_text_tfidf": (
-        lambda s, d: textops.tfidf_top_terms(_docs(s, d), top=3),
-        oracle_pipeline.tfidf_sql(3),
+        lambda s, d: _tfidf_and_lm(s, d),
+        oracle_pipeline.tfidf_and_lm_sql(3),
     ),
     "q_text_fingerprint": (
         lambda s, d: textops.fingerprint(_docs(s, d)),
