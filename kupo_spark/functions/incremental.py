@@ -47,10 +47,13 @@ from kupo_spark.table import Table
 
 
 def store_schema(n_sigs: int) -> StructType:
+    # the verdict (keep, dup_of) is stored alongside the sketch so a
+    # replayed batch (streaming retry) can return its original verdicts
+    # instead of recomputing against a store that already advanced
     return StructType(
         [StructField("doc_id", LongType())]
         + [StructField(f"sig_{i}", LongType()) for i in range(n_sigs)]
-        + [StructField("keep", BooleanType())]
+        + [StructField("keep", BooleanType()), StructField("dup_of", LongType())]
     )
 
 
@@ -93,6 +96,12 @@ class IncrementalDeduper:
         max_stored = stored.agg(F.max("doc_id")).collect()[0][0]
         min_new = docs.agg(F.min("doc_id")).collect()[0][0]
         if max_stored is not None and min_new is not None and min_new <= max_stored:
+            # replay? (streaming retry re-delivers a batch the store already
+            # absorbed) -> return the stored verdicts, touch nothing
+            ids = docs.select("doc_id")
+            hit = stored.join(ids, "doc_id", "inner").persist()
+            if hit.count() == ids.count():
+                return hit.select("doc_id", "keep", "dup_of")
             raise ValueError(
                 f"batch is not id-monotone: new doc_id {min_new} <= "
                 f"stored max {max_stored}"
@@ -104,7 +113,7 @@ class IncrementalDeduper:
             .join(minhash_signatures_wide(docs, self.n, self.k), "doc_id", "left")
             .persist()
         )
-        universe = stored.drop("keep").unionByName(wide_new)
+        universe = stored.drop("keep", "dup_of").unionByName(wide_new)
         bk_new = band_keys_from_wide(wide_new, self.bands, self.rows)
         bk_all = band_keys_from_wide(universe, self.bands, self.rows)
         cand = (
@@ -133,9 +142,7 @@ class IncrementalDeduper:
             .persist()
         )
         verdict.count()  # pin the verdict before the store advances
-        self.table.append(
-            wide_new.join(verdict.select("doc_id", "keep"), "doc_id")
-        )
+        self.table.append(wide_new.join(verdict, "doc_id"))
         stored.unpersist()
         wide_new.unpersist()
         return verdict

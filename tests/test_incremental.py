@@ -145,3 +145,52 @@ def test_incremental_handles_shingle_less_docs(spark, tmp_path):
     verdict = _verdict_set(dd.add_batch(docs))
     assert verdict == [(1, True, -1), (2, True, -1), (3, True, -1)]
     assert dd.stored().count() == 3
+
+
+def test_add_batch_replay_returns_original_verdicts(spark, docs, tmp_path):
+    dd = IncrementalDeduper(spark, str(tmp_path / "store"), threshold=0.5)
+    b1 = docs.where(F.col("doc_id") < 250)
+    first = _verdict_set(dd.add_batch(b1))
+    dd.add_batch(docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") < 400)))
+    # replaying batch 1 after the store advanced: same verdicts, no growth
+    n_before = dd.stored().count()
+    replay = _verdict_set(dd.add_batch(b1))
+    assert replay == first
+    assert dd.stored().count() == n_before
+    # a PARTIAL overlap is corruption, not a replay
+    with pytest.raises(ValueError, match="id-monotone"):
+        dd.add_batch(docs.where((F.col("doc_id") >= 240) & (F.col("doc_id") < 420)))
+
+
+def test_streaming_near_dedup_equals_batch(spark, docs, tmp_path):
+    import os
+    import time as _t
+
+    from kupo_spark.streaming.corpus import streaming_near_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # three id-monotone files, mtimes staggered so the file source
+    # processes them in order, one per micro-batch
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    now = _t.time() - 3600
+    for i, lo in enumerate(range(0, 500, 200)):
+        p = f"{src}/f{i}.parquet"
+        pdf[(pdf.doc_id >= lo) & (pdf.doc_id < lo + 200)].to_parquet(p)
+        os.utime(p, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt, store = (str(tmp_path / d) for d in ("out", "ckpt", "store"))
+    q = streaming_near_dedup(
+        stream, store, out, ckpt, threshold=0.5, availableNow=True
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.doc_id, r.keep, r.dup_of)
+        for r in spark.read.parquet(out).select("doc_id", "keep", "dup_of").collect()
+    )
+    want = _verdict_set(minhash_est_dedup(docs, threshold=0.5))
+    assert got == want
