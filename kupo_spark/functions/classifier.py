@@ -56,6 +56,16 @@ class QualityModel:
         return f"1.0 / (1.0 + exp(-({dot} + {self.intercept!r})))"
 
 
+#: one L2-regularized training run (sf0.001, reg_param=0.01), frozen as
+#: literals: the SCORING path — the 100 TB side — gets a driver-checked
+#: DuckDB oracle (the training side is MLlib's, pinned by the parity test)
+FROZEN_QUALITY_MODEL = QualityModel(
+    features=tuple(FEATURES),
+    weights=(0.248369, 24.992556, 0.032772, 0.095865, 18.384326, -58.317366),
+    intercept=-1.167894,
+)
+
+
 def train_quality_classifier(
     docs: DataFrame,
     labels: DataFrame | None = None,

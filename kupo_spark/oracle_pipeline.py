@@ -762,3 +762,28 @@ SELECT 'lm', doc_id, '' AS term, avg_logprob AS tfidf,
        CAST(n_transitions AS INTEGER) AS rank
 FROM ({lm})
 """
+
+
+def quality_and_clf_sql() -> str:
+    """Tagged union: the heuristic quality/Gopher row plus the FROZEN
+    learned-classifier verdict — prob (rounded 6) rides the
+    stopword_ratio slot, pred the gopher_pass slot.  The sigmoid is
+    recomputed from the same rounded feature columns both engines emit,
+    with the weights as shared literals, so the scoring path (not just
+    the features) is oracle-checked."""
+    from kupo_spark.functions.classifier import FROZEN_QUALITY_MODEL as M
+
+    q = quality_sql().strip()
+    dot = " + ".join(
+        f"({w!r} * CAST({f} AS DOUBLE))" for f, w in zip(M.features, M.weights)
+    )
+    prob = f"round(1.0 / (1.0 + exp(-({dot} + {M.intercept!r}))), 6)"
+    return f"""
+SELECT 'quality' AS q, * FROM ({q})
+UNION ALL
+SELECT 'clf', doc_id, {prob} AS stopword_ratio, -1.0 AS quality_score,
+       CAST(-1 AS BIGINT) AS n_tokens, -1.0 AS avg_token_len,
+       -1.0 AS frac_dup_2gram, -1.0 AS top_2gram_frac,
+       {prob} >= 0.5 AS gopher_pass
+FROM ({q})
+"""

@@ -219,6 +219,28 @@ def _dedup_exact_and_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(sub)
 
 
+def _quality_and_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tagged union: heuristic quality/Gopher row + the frozen learned
+    # classifier's verdict (prob -> stopword_ratio slot, pred ->
+    # gopher_pass slot); scoring recomputed from the same rounded
+    # features in both engines, weights as shared literals
+    from kupo_spark.functions.classifier import FROZEN_QUALITY_MODEL, score_quality
+
+    docs = _docs(spark, sf_dir)
+    quality = textops.quality_score(docs).select(F.lit("quality").alias("q"), "*")
+    clf = score_quality(docs, FROZEN_QUALITY_MODEL).select(
+        F.lit("clf").alias("q"), "doc_id",
+        F.round("prob", 6).alias("stopword_ratio"),
+        F.lit(-1.0).alias("quality_score"),
+        F.lit(-1).alias("n_tokens"),
+        F.lit(-1.0).alias("avg_token_len"),
+        F.lit(-1.0).alias("frac_dup_2gram"),
+        F.lit(-1.0).alias("top_2gram_frac"),
+        (F.round("prob", 6) >= 0.5).alias("gopher_pass"),
+    )
+    return quality.unionByName(clf)
+
+
 def _tfidf_and_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tagged union: top tf-idf terms + the bigram-LM (stupid backoff)
     # typicality score; avg_logprob rides the tfidf slot, n_transitions
@@ -262,8 +284,8 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         oracle_pipeline.token_stats_sql(),
     ),
     "q_text_quality": (
-        lambda s, d: textops.quality_score(_docs(s, d)),
-        oracle_pipeline.quality_sql(),
+        lambda s, d: _quality_and_clf(s, d),
+        oracle_pipeline.quality_and_clf_sql(),
     ),
     "q_text_lang_id": (
         lambda s, d: textops.lang_id(_docs(s, d)),

@@ -73,3 +73,12 @@ def test_model_expr_roundtrip_literals():
     m = QualityModel(features=("a", "b"), weights=(0.5, -2.0), intercept=1.25)
     expr = m.score_expr()
     assert "0.5" in expr and "-2.0" in expr and "1.25" in expr
+
+
+def test_frozen_model_scores_spread(docs):
+    from kupo_spark.functions.classifier import FROZEN_QUALITY_MODEL
+
+    rows = score_quality(docs, FROZEN_QUALITY_MODEL).collect()
+    probs = [r.prob for r in rows]
+    assert 0.0 <= min(probs) and max(probs) <= 1.0
+    assert len({r.pred for r in rows}) == 2  # both verdicts occur
