@@ -132,6 +132,22 @@ def main() -> None:
         lambda: similarity.brute_force_topk(embs, n_queries=10, k=5).collect()
     )
 
+    # round-4 pipeline additions, reported as diagnostics (suffix `_diag`
+    # keeps them out of the headline `value`, which stays comparable
+    # across rounds)
+    from kupo_spark.functions.lm import lm_score  # noqa: E402
+
+    queries["q_substring_dedup_diag"] = timed(
+        lambda: dedup.exact_substring_dedup(docs).count()
+    )
+    queries["q_est_dedup_diag"] = timed(
+        lambda: dedup.minhash_est_dedup(docs, threshold=0.5).count()
+    )
+    queries["q_lm_score_diag"] = timed(lambda: lm_score(docs).count())
+    queries["q_semantic_dedup_diag"] = timed(
+        lambda: similarity.semantic_dedup(embs, threshold=0.3).count()
+    )
+
     # --- warm serving path (operators/serving.py): steady-state latency of
     # the point-lookup shapes kupo serves from a warm B-tree.  Reported
     # next to the cold numbers; `spark_job_floor` is the latency of the
@@ -168,6 +184,7 @@ def main() -> None:
         for k, v in queries.items()
         if not k.startswith("ingest")
         and "_warm" not in k
+        and not k.endswith("_diag")
         and k != "spark_job_floor"
     )
     print(

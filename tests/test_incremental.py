@@ -194,3 +194,56 @@ def test_streaming_near_dedup_equals_batch(spark, docs, tmp_path):
     )
     want = _verdict_set(minhash_est_dedup(docs, threshold=0.5))
     assert got == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["aa", "bb", "cc", "dd"]
+
+
+def _ref_substring_dedup(texts: list[tuple[int, list[str]]], k: int):
+    """Pure-Python reference: first (doc_id, pos) occurrence of each
+    chunk survives; docs reassembled from surviving tiles in pos order."""
+    import math
+
+    tiles = []
+    for d, toks in texts:
+        n = max(1, math.ceil(len(toks) / k))
+        for i in range(n):
+            tiles.append((d, i, " ".join(toks[i * k:(i + 1) * k])))
+    first = {}
+    for d, p, c in sorted(tiles):
+        first.setdefault(c, (d, p))
+    out = {}
+    for d, toks in texts:
+        n = max(1, math.ceil(len(toks) / k))
+        kept, removed = [], 0
+        for i in range(n):
+            c = " ".join(toks[i * k:(i + 1) * k])
+            if first[c] == (d, i):
+                kept.append(c)
+            else:
+                removed += 1
+        out[d] = (" ".join(kept), n, removed)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=9),
+        min_size=1, max_size=6,
+    ),
+    st.sampled_from([1, 2, 3]),
+)
+def test_substring_dedup_matches_python_reference(spark, token_lists, k):
+    texts = [(i, toks) for i, toks in enumerate(token_lists)]
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in texts], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tiles, r.n_removed)
+        for r in exact_substring_dedup(docs, k=k).collect()
+    }
+    assert got == _ref_substring_dedup(texts, k)
