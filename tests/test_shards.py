@@ -1,0 +1,81 @@
+"""Training-shard export: DuckDB parity of the (shard, pos) assignment,
+exact-once coverage, determinism across runs, and balance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kupo_spark.functions.shards import assign_shards, shard_key_expr, write_shards
+from tools.check_correctness import rows_key
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+N = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def test_assignment_matches_duckdb(docs, duck):
+    sdf = assign_shards(docs, N, seed="r4")
+    key = "md5('r4' || CAST(doc_id AS VARCHAR))"
+    sql = f"""
+WITH keyed AS (
+  SELECT doc_id, {key} AS k,
+         CAST(('0x' || substr({key}, 1, 15)) AS BIGINT) % {N} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+FROM keyed
+"""
+    srows, scols = sdf.collect(), sdf.columns
+    res = duck.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows) > 0
+    assert rows_key(srows, scols) == rows_key(orows, ocols)
+
+
+def test_every_doc_exactly_once_and_balanced(docs):
+    a = assign_shards(docs, N).collect()
+    n = docs.count()
+    assert len(a) == n and len({r.doc_id for r in a}) == n
+    sizes = {}
+    for r in a:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert set(sizes) <= set(range(N))
+    # binomial balance: no shard more than 2x the mean at 500/8 ~ 62
+    assert max(sizes.values()) < 2 * n / N
+    # pos is a dense 0..size-1 enumeration per shard
+    for s, size in sizes.items():
+        got = sorted(r.pos for r in a if r.shard == s)
+        assert got == list(range(size))
+
+
+def test_write_shards_deterministic_and_shuffled(docs, tmp_path, spark):
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = {r.shard: r.n_rows for r in write_shards(docs, out1, N, seed="x").collect()}
+    m2 = {r.shard: r.n_rows for r in write_shards(docs, out2, N, seed="x").collect()}
+    assert m1 == m2 and sum(m1.values()) == docs.count()
+    r1 = spark.read.parquet(out1).select("doc_id", "shard").collect()
+    r2 = spark.read.parquet(out2).select("doc_id", "shard").collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    # a different seed is a different permutation
+    m3 = write_shards(docs, str(tmp_path / "s3"), N, seed="y")
+    a_x = {r.doc_id: r.shard for r in assign_shards(docs, N, seed="x").collect()}
+    a_y = {r.doc_id: r.shard for r in assign_shards(docs, N, seed="y").collect()}
+    assert any(a_x[d] != a_y[d] for d in a_x)
+    # within a shard, doc order is key order, decorrelated from doc_id order
+    shard0 = [r.doc_id for r in spark.read.parquet(out1).where(F.col("shard") == 0)
+              .orderBy("k").collect()]
+    assert shard0 != sorted(shard0)
+
+
+def test_assignment_plan_stays_jvm(docs):
+    from kupo_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(assign_shards(docs, N))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
