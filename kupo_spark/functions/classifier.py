@@ -82,10 +82,11 @@ def train_quality_classifier(
 
     feats = quality_score(docs)
     if labels is None:
-        labels = feats.select(
-            "doc_id", F.col("gopher_pass").cast("double").alias("label")
-        )
-    data = feats.join(labels, "doc_id")
+        # same projection, no self-join: joining feats back onto itself
+        # would evaluate the O(len²) 2-gram lineage twice plus an exchange
+        data = feats.withColumn("label", F.col("gopher_pass").cast("double"))
+    else:
+        data = feats.join(labels, "doc_id")
     # snapshot the features before LBFGS: each iteration re-evaluates the
     # input, and the O(len²) 2-gram feature lineage is expensive to replay
     assembled = VectorAssembler(

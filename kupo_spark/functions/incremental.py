@@ -82,8 +82,52 @@ class IncrementalDeduper:
         self.n = bands * rows
         if Table.exists(root):
             self.table = Table(root)
+            if "dup_of" not in {f.name for f in self.table.schema().fields}:
+                self._migrate_v1(root)
         else:
             self.table = Table.create(root, store_schema(self.n))
+
+    def _migrate_v1(self, root: str) -> None:
+        """Schema migration from the pre-dup_of store layout: dup_of is
+        reconstructed EXACTLY from the stored sketches (kept docs are -1
+        by definition; a dropped doc's dup_of is the smallest earlier
+        near-duplicate, recomputable because ALL earlier docs' signatures
+        are in the store), then the log is rewritten in the new layout."""
+        import shutil
+        from pathlib import Path
+
+        from kupo_spark.table import LOG_DIR
+
+        old = self.table.read(self.spark).persist()
+        universe = old.drop("keep")
+        bk = band_keys_from_wide(universe, self.bands, self.rows)
+        cand = (
+            bk.select(F.col("doc_id").alias("doc_a"), "band", "key")
+            .join(
+                bk.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+                ["band", "key"],
+            )
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        dups = (
+            estimate_pairs(cand, universe, universe, self.n, self.threshold)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("doc_a").alias("dup_of"))
+        )
+        migrated = (
+            old.join(dups, "doc_id", "left")
+            .withColumn("dup_of", F.coalesce("dup_of", F.lit(-1)).cast("long"))
+            .select([f.name for f in store_schema(self.n).fields])
+            .persist()
+        )
+        migrated.count()  # pin before the old log goes away
+        shutil.rmtree(Path(root) / LOG_DIR)
+        self.table = Table.create(root, store_schema(self.n))
+        self.table.append(migrated)
+        old.unpersist()
+        migrated.unpersist()
 
     def stored(self) -> DataFrame:
         return self.table.read(self.spark)
@@ -97,15 +141,25 @@ class IncrementalDeduper:
         min_new = docs.agg(F.min("doc_id")).collect()[0][0]
         if max_stored is not None and min_new is not None and min_new <= max_stored:
             # replay? (streaming retry re-delivers a batch the store already
-            # absorbed) -> return the stored verdicts, touch nothing
+            # absorbed) -> return the stored verdicts, touch nothing.  The
+            # verdict is collected into a literal frame so both caches can
+            # be released before returning (a retrying streaming job must
+            # not pin a copy of the ever-growing store per retry).
             ids = docs.select("doc_id")
             hit = stored.join(ids, "doc_id", "inner").persist()
-            if hit.count() == ids.count():
-                return hit.select("doc_id", "keep", "dup_of")
-            raise ValueError(
-                f"batch is not id-monotone: new doc_id {min_new} <= "
-                f"stored max {max_stored}"
-            )
+            try:
+                if hit.count() == ids.count():
+                    rows = hit.select("doc_id", "keep", "dup_of").collect()
+                    return self.spark.createDataFrame(
+                        rows, "doc_id long, keep boolean, dup_of long"
+                    )
+                raise ValueError(
+                    f"batch is not id-monotone: new doc_id {min_new} <= "
+                    f"stored max {max_stored}"
+                )
+            finally:
+                hit.unpersist()
+                stored.unpersist()
         # one shingle scan of the NEW text only; docs with no shingles get
         # a NULL-sig row (kept, band-inert) so every batch doc is stored
         wide_new = (

@@ -2,12 +2,15 @@
 deterministic global shuffle of the curated corpus into fixed shard
 files that a training job streams sequentially.
 
-Shuffle key = md5(seed ‖ doc_id): a cryptographic permutation of the id
-space, so (a) the order is reproducible across runs, engines, and
+Shuffle key = md5(seed ‖ ':' ‖ doc_id): a cryptographic permutation of
+the id space, so (a) the order is reproducible across runs, engines, and
 retries — the same retry-stability contract as
 :mod:`kupo_spark.functions.sampling` — and (b) consecutive shard rows
 are an unbiased sample of the corpus (what SGD wants), no matter how the
-source was ordered (by crawl, by domain, by time).
+source was ordered (by crawl, by domain, by time).  The seed is bound as
+a literal COLUMN, never interpolated into SQL text (a quote in the seed
+must stay data, not syntax — sampling.py's rule), and the ':' separator
+keeps prefix-extending seeds ('1' vs '12') from colliding.
 
 Sharding is hash-mod on the same key: statistically balanced
 (binomial around N/n), deterministic, and embarrassingly parallel — no
@@ -23,14 +26,23 @@ LLM-data-pipeline family (SURVEY.md §2, pipeline operators).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def shard_key_expr(seed: str = "") -> str:
-    """Deterministic shuffle key: md5 over seed + doc id rendered in
-    decimal (engine-portable)."""
-    return f"md5(concat('{seed}', cast(doc_id as string)))"
+def shard_key(seed: str = "") -> Column:
+    """Deterministic shuffle key column: md5(seed:doc_id), seed bound as
+    a literal."""
+    return F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")))
+
+
+def shard_of(key: Column, n_shards: int) -> Column:
+    """Shard id from the key's 60-bit integer prefix — the ONE place the
+    conv/substr/pmod derivation lives (assign_shards, write_shards, and
+    the oracle tests all route through the same column)."""
+    return F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"), F.lit(n_shards)
+    )
 
 
 def assign_shards(docs: DataFrame, n_shards: int, seed: str = "") -> DataFrame:
@@ -40,14 +52,9 @@ def assign_shards(docs: DataFrame, n_shards: int, seed: str = "") -> DataFrame:
     partition holds ~N/n_shards rows."""
     from pyspark.sql.window import Window
 
-    key = shard_key_expr(seed)
     keyed = docs.select(
-        "doc_id",
-        F.expr(key).alias("k"),
-        F.expr(
-            f"pmod(cast(conv(substr({key}, 1, 15), 16, 10) as bigint), {n_shards})"
-        ).alias("shard"),
-    )
+        "doc_id", shard_key(seed).alias("k")
+    ).withColumn("shard", shard_of(F.col("k"), n_shards))
     w = Window.partitionBy("shard").orderBy("k", "doc_id")
     return keyed.select(
         "doc_id", "shard", (F.row_number().over(w) - 1).cast("long").alias("pos")
@@ -60,12 +67,8 @@ def write_shards(
     """Write the corpus as ``path/shard=S/`` parquet, rows of each shard
     in shuffled (key) order — one hash exchange + sortWithinPartitions,
     no global sort.  Returns (shard, n_rows) for the manifest."""
-    keyed = docs.withColumn("k", F.expr(shard_key_expr(seed))).withColumn(
-        "shard",
-        F.expr(
-            f"pmod(cast(conv(substr({shard_key_expr(seed)}, 1, 15), 16, 10) as bigint),"
-            f" {n_shards})"
-        ),
+    keyed = docs.withColumn("k", shard_key(seed)).withColumn(
+        "shard", shard_of(F.col("k"), n_shards)
     )
     (
         keyed.repartition(n_shards, "shard")

@@ -52,6 +52,24 @@ def test_quality_gate_drops_low_prob(docs):
     assert all(probs[d] < thr and base[d] for d in flagged)
 
 
-def test_default_gates_unchanged_by_new_args(docs):
-    a = sorted(map(tuple, curate(docs).collect()))
-    assert len(a) == docs.count()
+def test_new_gates_only_demote_previously_kept_docs(docs):
+    # enabling both learned gates must leave every earlier verdict intact:
+    # previously-dropped docs keep their reason; previously-kept docs are
+    # either still kept or demoted with one of the NEW reasons only
+    base = {r.doc_id: r for r in curate(docs).collect()}
+    gated = {
+        r.doc_id: r
+        for r in curate(
+            docs,
+            lm_floor=-10.0,
+            quality_model=FROZEN_QUALITY_MODEL,
+            quality_threshold=0.9,
+        ).collect()
+    }
+    assert set(base) == set(gated)
+    for d, b in base.items():
+        g = gated[d]
+        if not b.keep:
+            assert (g.keep, g.drop_reason) == (b.keep, b.drop_reason)
+        else:
+            assert g.keep or g.drop_reason in ("lm_outlier", "low_quality")

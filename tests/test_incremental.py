@@ -247,3 +247,34 @@ def test_substring_dedup_matches_python_reference(spark, token_lists, k):
         for r in exact_substring_dedup(docs, k=k).collect()
     }
     assert got == _ref_substring_dedup(texts, k)
+
+
+def test_store_migrates_from_pre_dup_of_layout(spark, docs, tmp_path):
+    # build a store, then strip dup_of to fake the v1 layout on disk;
+    # reopening must migrate and reconstruct dup_of exactly
+    import shutil
+    from pathlib import Path
+
+    from kupo_spark.table import LOG_DIR, Table
+
+    root = str(tmp_path / "store")
+    dd = IncrementalDeduper(spark, root, threshold=0.5)
+    want = _verdict_set(dd.add_batch(docs.where(F.col("doc_id") < 300)))
+    old_rows = dd.stored().drop("dup_of").persist()
+    old_rows.count()
+    old_schema = old_rows.schema
+    shutil.rmtree(Path(root) / LOG_DIR)
+    t = Table.create(root, old_schema)
+    t.append(old_rows)
+    # reopen: migration kicks in
+    dd2 = IncrementalDeduper(spark, root, threshold=0.5)
+    assert "dup_of" in {f.name for f in dd2.table.schema().fields}
+    migrated = sorted(
+        (r.doc_id, r.keep, r.dup_of)
+        for r in dd2.stored().select("doc_id", "keep", "dup_of").collect()
+    )
+    assert migrated == want
+    # and the migrated store keeps working
+    v2 = _verdict_set(dd2.add_batch(docs.where(F.col("doc_id") >= 300)))
+    full = _verdict_set(minhash_est_dedup(docs, threshold=0.5))
+    assert sorted(want + v2) == full

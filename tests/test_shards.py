@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kupo_spark.functions.shards import assign_shards, shard_key_expr, write_shards
+from kupo_spark.functions.shards import assign_shards, write_shards
 from tools.check_correctness import rows_key
 
 DOCS = "/root/testdata/sf0.001/documents.parquet"
@@ -20,7 +20,7 @@ def docs(spark):
 
 def test_assignment_matches_duckdb(docs, duck):
     sdf = assign_shards(docs, N, seed="r4")
-    key = "md5('r4' || CAST(doc_id AS VARCHAR))"
+    key = "md5('r4' || ':' || CAST(doc_id AS VARCHAR))"
     sql = f"""
 WITH keyed AS (
   SELECT doc_id, {key} AS k,
@@ -72,6 +72,25 @@ def test_write_shards_deterministic_and_shuffled(docs, tmp_path, spark):
     shard0 = [r.doc_id for r in spark.read.parquet(out1).where(F.col("shard") == 0)
               .orderBy("k").collect()]
     assert shard0 != sorted(shard0)
+
+
+def test_quote_seed_is_data_not_syntax(docs):
+    # the seed is bound as a literal column; a quote must not break (or
+    # rewrite) the expression
+    a = assign_shards(docs, N, seed="it's").collect()
+    assert len(a) == docs.count()
+
+
+def test_prefix_seeds_are_independent(spark):
+    # ':' separator: seed '1' doc 23 must not collide with seed '12' doc 3
+    from kupo_spark.functions.shards import shard_key
+
+    d = spark.createDataFrame([(23,), (3,)], "doc_id long")
+    keys = {r.doc_id: (r.a, r.b) for r in d.select(
+        "doc_id", shard_key("1").alias("a"), shard_key("12").alias("b")
+    ).collect()}
+    assert keys[23][0] != keys[3][1]  # '1:23' vs '12:3'
+    assert keys[23][0] != keys[23][1]  # different seeds differ per doc too
 
 
 def test_assignment_plan_stays_jvm(docs):
