@@ -187,3 +187,32 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.expr("md5(regexp_replace(lower(text), '[^a-z0-9 ]', ''))").alias("fingerprint"),
     ).withColumn("bucket", F.expr("substring(fingerprint, 1, 2)"))
+
+
+#: BPE-ish piece pattern: letter runs, digit runs, or one other mark —
+#: the granularity a byte-pair tokenizer bottoms out at before merges.
+#: Disjoint character classes, so Java regex (Spark) and RE2 (DuckDB)
+#: produce identical matches.
+BPE_PIECE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_piece_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_pieces, n_tokens, pieces_per_token): sub-word piece
+    counting — the "how many tokens will the tokenizer bill me for"
+    estimate next to the whitespace count.  One regexp_extract_all
+    projection, no shuffle."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{BPE_PIECE_RE}', 0))").alias(
+            "n_pieces"
+        ),
+        F.expr(f"size({TOKENS})").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_pieces",
+        "n_tokens",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0.0 "
+            "ELSE round(n_pieces / n_tokens, 6) END"
+        ).alias("pieces_per_token"),
+    )

@@ -787,3 +787,24 @@ SELECT 'clf', doc_id, {prob} AS stopword_ratio, -1.0 AS quality_score,
        {prob} >= 0.5 AS gopher_pass
 FROM ({q})
 """
+
+
+def token_stats_and_bpe_sql() -> str:
+    """Tagged union: whitespace token stats + the BPE-ish piece count
+    (n_pieces -> n_tokens slot, whitespace count -> n_uniq_tokens slot,
+    pieces_per_token -> avg_token_len slot)."""
+    from kupo_spark.functions.textops import BPE_PIECE_RE
+
+    base = token_stats_sql().strip()
+    return f"""
+SELECT 'ws' AS q, * FROM ({base})
+UNION ALL
+SELECT 'bpe', doc_id,
+  CAST(len(regexp_extract_all(text, '{BPE_PIECE_RE}')) AS BIGINT) AS n_tokens,
+  CAST(len({TOKS}) AS BIGINT) AS n_uniq_tokens,
+  CASE WHEN len({TOKS}) = 0 THEN 0.0
+       ELSE round(len(regexp_extract_all(text, '{BPE_PIECE_RE}')) / len({TOKS}), 6)
+  END AS avg_token_len,
+  -1.0 AS ttr
+FROM documents
+"""

@@ -219,6 +219,20 @@ def _dedup_exact_and_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(sub)
 
 
+def _token_stats_and_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tagged union: whitespace token stats + the BPE-ish piece count
+    docs = _docs(spark, sf_dir)
+    ws = textops.token_stats(docs).select(F.lit("ws").alias("q"), "*")
+    bpe = textops.bpe_piece_count(docs).select(
+        F.lit("bpe").alias("q"), "doc_id",
+        F.col("n_pieces").alias("n_tokens"),
+        F.col("n_tokens").alias("n_uniq_tokens"),
+        F.col("pieces_per_token").alias("avg_token_len"),
+        F.lit(-1.0).alias("ttr"),
+    )
+    return ws.unionByName(bpe)
+
+
 def _quality_and_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tagged union: heuristic quality/Gopher row + the frozen learned
     # classifier's verdict (prob -> stopword_ratio slot, pred ->
@@ -280,8 +294,8 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         oracle_pipeline.dedup_exact_and_substring_sql(8),
     ),
     "q_text_token_stats": (
-        lambda s, d: textops.token_stats(_docs(s, d)),
-        oracle_pipeline.token_stats_sql(),
+        lambda s, d: _token_stats_and_bpe(s, d),
+        oracle_pipeline.token_stats_and_bpe_sql(),
     ),
     "q_text_quality": (
         lambda s, d: _quality_and_clf(s, d),

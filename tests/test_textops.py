@@ -55,3 +55,18 @@ def test_no_python_in_quality_plan(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     plan = quality_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_piece_count_hand_computed(spark):
+    from kupo_spark.functions.textops import bpe_piece_count
+
+    docs = spark.createDataFrame(
+        [(1, "ab c3 d-e  f"), (2, ""), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bpe_piece_count(docs).collect()}
+    # ab | c | 3 | d | - | e | f
+    assert (got[1].n_pieces, got[1].n_tokens) == (7, 4)
+    assert got[1].pieces_per_token == 1.75
+    assert (got[2].n_pieces, got[2].n_tokens, got[2].pieces_per_token) == (0, 0, 0.0)
+    assert (got[3].n_pieces, got[3].n_tokens) == (2, 2)
