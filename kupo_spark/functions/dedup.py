@@ -457,7 +457,12 @@ def estimate_pairs(
     return (
         cand.join(wa, "doc_a")
         .join(wb, "doc_b")
-        .withColumn("est_jaccard", F.expr(f"round(({matches}) / {n}.0, 6)"))
+        .withColumn(
+            "est_jaccard",
+            # divide by a DOUBLE, not a decimal literal (int / 12.0 is
+            # DECIMAL in Spark SQL, which would leave the double lane)
+            F.expr(f"round(({matches}) / cast({n} as double), 6)"),
+        )
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )

@@ -629,7 +629,7 @@ cand AS (
 ),
 est AS (
   SELECT c.doc_a, c.doc_b,
-         round(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / {n}.0, 6) AS est_jaccard
+         round(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / CAST({n} AS DOUBLE), 6) AS est_jaccard
   FROM cand c
   JOIN sigs sa ON sa.doc_id = c.doc_a
   JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i

@@ -278,3 +278,23 @@ def test_store_migrates_from_pre_dup_of_layout(spark, docs, tmp_path):
     v2 = _verdict_set(dd2.add_batch(docs.where(F.col("doc_id") >= 300)))
     full = _verdict_set(minhash_est_dedup(docs, threshold=0.5))
     assert sorted(want + v2) == full
+
+
+def test_est_jaccard_tracks_exact_jaccard(docs):
+    # estimator sanity: E[matches/n] = J. With n=12 the per-pair std is
+    # sqrt(J(1-J)/12) <= 0.145, so the mean |est - exact| over the
+    # candidate pairs must stay well inside 0.2
+    from kupo_spark.functions.dedup import minhash_near_dup_pairs
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_dup_pairs(docs, threshold=0.0).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_est_pairs(docs, threshold=0.0).collect()
+    }
+    common = set(exact) & set(est)
+    assert len(common) >= 20
+    diffs = [abs(exact[p] - est[p]) for p in common]
+    assert sum(diffs) / len(diffs) < 0.2
