@@ -1,0 +1,93 @@
+"""End-to-end training-data preparation — every stage of the pipeline
+composed the way a user would actually ship it:
+
+    scrub → substring dedup → curate (exact/near dedup + length +
+    optional LM/classifier gates) → deterministic sample → shard export
+
+One call, one stats report.  Each stage is the already-tested operator;
+the composition adds NO new distributed machinery — joins are on doc_id
+(uniform), each stage is shuffle-bounded by its own contract, and the
+whole flow is restart-safe because every stage is deterministic
+(md5-keyed sampling/sharding, id-ordered dedup verdicts).
+
+The stage ORDER is deliberate and matches production pipelines
+(RefinedWeb/FineWeb): scrubbing rewrites text BEFORE any hashing so
+redaction can't split duplicate groups; substring dedup rewrites before
+document-level dedup so shared boilerplate doesn't glue distinct
+documents into near-dup clusters; sampling runs after curation so the
+sample fraction applies to clean data; sharding is last.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kupo_spark.functions.curate import curate
+from kupo_spark.functions.dedup import exact_substring_dedup
+from kupo_spark.functions.sampling import deterministic_sample
+from kupo_spark.functions.scrub import pii_scrub
+from kupo_spark.functions.shards import write_shards
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    out_path: str,
+    n_shards: int = 16,
+    scrub: bool = True,
+    substring_k: int | None = None,
+    min_tokens: int = 20,
+    near_dup_threshold: float = 0.5,
+    lm_floor: float | None = None,
+    quality_model=None,
+    quality_threshold: float = 0.5,
+    sample_fraction: float | None = None,
+    seed: str = "0",
+) -> tuple[DataFrame, dict]:
+    """Run the full preparation flow; returns (shard manifest, report).
+
+    The report counts documents entering/surviving each stage plus the
+    curation drop-reason histogram — the numbers a dataset card needs."""
+    report: dict = {"n_input": docs.count()}
+    d = docs.select("doc_id", "text")
+
+    if scrub:
+        s = pii_scrub(d)
+        d = s.select("doc_id", F.col("text_scrubbed").alias("text"))
+        report["n_had_pii"] = s.where("has_pii").count()
+
+    if substring_k is not None:
+        sub = exact_substring_dedup(d, k=substring_k)
+        report["n_chunks_removed"] = (
+            sub.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
+        d = sub.select("doc_id", F.col("clean_text").alias("text"))
+
+    d = d.persist()  # three signals + the final join all read this frame
+    verdict = curate(
+        d,
+        min_tokens=min_tokens,
+        near_dup_threshold=near_dup_threshold,
+        lm_floor=lm_floor,
+        quality_model=quality_model,
+        quality_threshold=quality_threshold,
+    ).persist()
+    report["drop_reasons"] = {
+        r.drop_reason: r.cnt
+        for r in verdict.where(~F.col("keep"))
+        .groupBy("drop_reason")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    kept = d.join(verdict.where("keep").select("doc_id"), "doc_id")
+    report["n_kept"] = report["n_input"] - sum(report["drop_reasons"].values())
+
+    if sample_fraction is not None:
+        kept = deterministic_sample(kept, sample_fraction, seed=seed)
+
+    manifest = write_shards(kept, out_path, n_shards, seed=seed)
+    report["n_exported"] = manifest.agg(F.sum("n_rows")).collect()[0][0] or 0
+    report["n_shards"] = manifest.count()
+    verdict.unpersist()
+    d.unpersist()
+    return manifest, report

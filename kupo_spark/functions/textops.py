@@ -57,12 +57,20 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.expr(TOKENS).alias("t"),
         F.expr("length(replace(text, ' ', ''))").alias("total_tok_chars"),
     )
+    # empty-document guards: real corpora (and the substring-dedup rewrite)
+    # produce zero-token docs; the ratios define to 0.0 there
     return t.select(
         "doc_id",
         F.expr("size(t)").alias("n_tokens"),
         F.expr("size(array_distinct(t))").alias("n_uniq_tokens"),
-        F.expr("round(total_tok_chars / size(t), 6)").alias("avg_token_len"),
-        F.expr("round(size(array_distinct(t)) / size(t), 6)").alias("ttr"),
+        F.expr(
+            "CASE WHEN size(t) = 0 THEN 0.0"
+            " ELSE round(total_tok_chars / size(t), 6) END"
+        ).alias("avg_token_len"),
+        F.expr(
+            "CASE WHEN size(t) = 0 THEN 0.0"
+            " ELSE round(size(array_distinct(t)) / size(t), 6) END"
+        ).alias("ttr"),
     )
 
 
@@ -99,16 +107,22 @@ def quality_score(docs: DataFrame) -> DataFrame:
         "gram_counts",
         F.expr("transform(array_distinct(grams), d -> size(filter(grams, x -> x = d)))"),
     )
+    # empty-document guards (same contract as token_stats: ratios are 0.0)
     scored = g.select(
         "doc_id",
-        F.expr(f"round(size(filter(t, x -> {stop_pred})) / size(t), 6)").alias(
-            "stopword_ratio"
-        ),
         F.expr(
-            "round(least(1.0, size(t) / 100.0) * (size(array_distinct(t)) / size(t)), 6)"
+            "CASE WHEN size(t) = 0 THEN 0.0 ELSE "
+            f"round(size(filter(t, x -> {stop_pred})) / size(t), 6) END"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "CASE WHEN size(t) = 0 THEN 0.0 ELSE "
+            "round(least(1.0, size(t) / 100.0) * (size(array_distinct(t)) / size(t)), 6) END"
         ).alias("quality_score"),
         F.expr("size(t)").alias("n_tokens"),
-        F.expr("round(total_tok_chars / size(t), 6)").alias("avg_token_len"),
+        F.expr(
+            "CASE WHEN size(t) = 0 THEN 0.0"
+            " ELSE round(total_tok_chars / size(t), 6) END"
+        ).alias("avg_token_len"),
         F.expr(
             "CASE WHEN size(grams) = 0 THEN cast(0.0 as double) ELSE "
             "round(aggregate(filter(gram_counts, c -> c > 1), 0, (a, c) -> a + c) "

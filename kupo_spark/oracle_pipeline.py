@@ -81,8 +81,8 @@ WITH t AS (
 SELECT doc_id,
   CAST(len(t) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_tokens,
-  round(total / len(t), 6) AS avg_token_len,
-  round(len(list_distinct(t)) / len(t), 6) AS ttr
+  CASE WHEN len(t) = 0 THEN 0.0 ELSE round(total / len(t), 6) END AS avg_token_len,
+  CASE WHEN len(t) = 0 THEN 0.0 ELSE round(len(list_distinct(t)) / len(t), 6) END AS ttr
 FROM t
 """
 
@@ -116,10 +116,12 @@ gc AS (
 ),
 m AS (
   SELECT doc_id,
-    round(len(list_filter(t, x -> {stop_pred})) / len(t), 6) AS stopword_ratio,
-    round(least(1.0, len(t) / 100.0) * (len(list_distinct(t)) / len(t)), 6) AS quality_score,
+    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+      round(len(list_filter(t, x -> {stop_pred})) / len(t), 6) END AS stopword_ratio,
+    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+      round(least(1.0, len(t) / 100.0) * (len(list_distinct(t)) / len(t)), 6) END AS quality_score,
     CAST(len(t) AS BIGINT) AS n_tokens,
-    round(total / len(t), 6) AS avg_token_len,
+    CASE WHEN len(t) = 0 THEN 0.0 ELSE round(total / len(t), 6) END AS avg_token_len,
     CASE WHEN len(grams) = 0 THEN 0.0 ELSE
       round(coalesce(list_sum(list_filter(gram_counts, c -> c > 1)), 0) / len(grams), 6)
     END AS frac_dup_2gram,

@@ -70,3 +70,14 @@ def test_bpe_piece_count_hand_computed(spark):
     assert got[1].pieces_per_token == 1.75
     assert (got[2].n_pieces, got[2].n_tokens, got[2].pieces_per_token) == (0, 0, 0.0)
     assert (got[3].n_pieces, got[3].n_tokens) == (2, 2)
+
+
+def test_empty_doc_stats_define_to_zero(spark):
+    from kupo_spark.functions.textops import quality_score, token_stats
+
+    docs = spark.createDataFrame([(1, ""), (2, "  ")], "doc_id long, text string")
+    ts = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert ts[1].n_tokens == 0 and ts[1].avg_token_len == 0.0 and ts[1].ttr == 0.0
+    qs = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert qs[2].stopword_ratio == 0.0 and qs[2].quality_score == 0.0
+    assert not qs[2].gopher_pass
