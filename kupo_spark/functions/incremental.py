@@ -92,12 +92,13 @@ class IncrementalDeduper:
         reconstructed EXACTLY from the stored sketches (kept docs are -1
         by definition; a dropped doc's dup_of is the smallest earlier
         near-duplicate, recomputable because ALL earlier docs' signatures
-        are in the store), then the log is rewritten in the new layout."""
-        import shutil
-        from pathlib import Path
+        are in the store).  The rewrite is ONE atomic schema-evolving
+        overwrite commit — a crash mid-migration leaves the v1 store
+        intact and the next open retries.
 
-        from kupo_spark.table import LOG_DIR
-
+        Requires the SAME threshold the store was built with: the
+        reconstruction is cross-checked against the stored keep flags
+        (keep ⟺ dup_of == -1) and a mismatch aborts the migration."""
         old = self.table.read(self.spark).persist()
         universe = old.drop("keep")
         bk = band_keys_from_wide(universe, self.bands, self.rows)
@@ -122,10 +123,19 @@ class IncrementalDeduper:
             .select([f.name for f in store_schema(self.n).fields])
             .persist()
         )
-        migrated.count()  # pin before the old log goes away
-        shutil.rmtree(Path(root) / LOG_DIR)
-        self.table = Table.create(root, store_schema(self.n))
-        self.table.append(migrated)
+        inconsistent = migrated.where(
+            F.col("keep") != (F.col("dup_of") == -1)
+        ).count()
+        if inconsistent:
+            migrated.unpersist()
+            old.unpersist()
+            raise ValueError(
+                f"v1 store migration: {inconsistent} rows where the "
+                f"reconstructed dup_of contradicts the stored keep flag — "
+                f"the store was built with a different threshold than "
+                f"{self.threshold}; reopen with the original threshold"
+            )
+        self.table.overwrite_schema(migrated, store_schema(self.n))
         old.unpersist()
         migrated.unpersist()
 
@@ -142,16 +152,16 @@ class IncrementalDeduper:
         if max_stored is not None and min_new is not None and min_new <= max_stored:
             # replay? (streaming retry re-delivers a batch the store already
             # absorbed) -> return the stored verdicts, touch nothing.  The
-            # verdict is collected into a literal frame so both caches can
-            # be released before returning (a retrying streaming job must
-            # not pin a copy of the ever-growing store per retry).
+            # verdict is localCheckpoint'ed (stays distributed — no driver
+            # materialization of a possibly-large batch) so both caches can
+            # be released before returning: a retrying streaming job must
+            # not pin a copy of the ever-growing store per retry.
             ids = docs.select("doc_id")
             hit = stored.join(ids, "doc_id", "inner").persist()
             try:
                 if hit.count() == ids.count():
-                    rows = hit.select("doc_id", "keep", "dup_of").collect()
-                    return self.spark.createDataFrame(
-                        rows, "doc_id long, keep boolean, dup_of long"
+                    return hit.select("doc_id", "keep", "dup_of").localCheckpoint(
+                        eager=True
                     )
                 raise ValueError(
                     f"batch is not id-monotone: new doc_id {min_new} <= "

@@ -50,20 +50,27 @@ def prepare_training_data(
     curation drop-reason histogram — the numbers a dataset card needs."""
     report: dict = {"n_input": docs.count()}
     d = docs.select("doc_id", "text")
+    stage_caches = []
 
+    # each rewrite stage persists BEFORE its report counter so the
+    # expensive lineage (5-pattern regex scrub, substring-dedup window)
+    # runs once, not once per counter plus once per downstream consumer
     if scrub:
-        s = pii_scrub(d)
-        d = s.select("doc_id", F.col("text_scrubbed").alias("text"))
+        s = pii_scrub(d).persist()
+        stage_caches.append(s)
         report["n_had_pii"] = s.where("has_pii").count()
+        d = s.select("doc_id", F.col("text_scrubbed").alias("text"))
 
     if substring_k is not None:
-        sub = exact_substring_dedup(d, k=substring_k)
+        sub = exact_substring_dedup(d, k=substring_k).persist()
+        stage_caches.append(sub)
         report["n_chunks_removed"] = (
             sub.agg(F.sum("n_removed")).collect()[0][0] or 0
         )
         d = sub.select("doc_id", F.col("clean_text").alias("text"))
 
     d = d.persist()  # three signals + the final join all read this frame
+    stage_caches.append(d)
     verdict = curate(
         d,
         min_tokens=min_tokens,
@@ -82,12 +89,19 @@ def prepare_training_data(
     kept = d.join(verdict.where("keep").select("doc_id"), "doc_id")
     report["n_kept"] = report["n_input"] - sum(report["drop_reasons"].values())
 
+    # per-stage seeds: the sample draw and the shard permutation share
+    # the md5(seed:doc_id) family, so handing both the SAME seed would
+    # fully correlate them (every exported key < fraction·2^60, and any
+    # later draw from that seed — a validation split, say — would select
+    # exactly the prefix of every shard).  Disjoint derived seeds give
+    # independent draws, per the sampling contract.
     if sample_fraction is not None:
-        kept = deterministic_sample(kept, sample_fraction, seed=seed)
+        kept = deterministic_sample(kept, sample_fraction, seed=f"{seed}:sample")
 
-    manifest = write_shards(kept, out_path, n_shards, seed=seed)
+    manifest = write_shards(kept, out_path, n_shards, seed=f"{seed}:shard")
     report["n_exported"] = manifest.agg(F.sum("n_rows")).collect()[0][0] or 0
     report["n_shards"] = manifest.count()
     verdict.unpersist()
-    d.unpersist()
+    for c in stage_caches:
+        c.unpersist()
     return manifest, report

@@ -29,18 +29,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-__all__ = ["deterministic_sample", "mix_by_source", "contamination"]
+__all__ = [
+    "deterministic_sample", "mix_by_source", "contamination",
+    "md5_key", "key_prefix_int",
+]
 
 #: md5 is 128-bit; compare on the first 15 hex digits (60 bits) as int —
 #: exact in int64, same arithmetic both engines
 _MOD = 1 << 60
 
 
+def md5_key(seed: str, id_col: str = "doc_id") -> F.Column:
+    """md5(seed:id) — THE hash family of the deterministic-draw stages
+    (sampling, mixing, shard export).  The seed is bound as a literal
+    column (never interpolated into SQL text — a quote in the seed must
+    stay data, not syntax) and the ':' separator keeps prefix-extending
+    seeds from colliding."""
+    return F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+
+
+def key_prefix_int(key: F.Column) -> F.Column:
+    """First 60 bits of the hex digest as a non-negative int64 (exact in
+    int64, same arithmetic in DuckDB)."""
+    return F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint")
+
+
 def _keep(seed: str, fraction) -> F.Column:
-    # seed bound as a literal column (never interpolated into SQL text —
-    # a quote in the seed must stay data, not syntax)
-    key = F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string"))
-    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    h = key_prefix_int(md5_key(seed))
     return h < (F.lit(_MOD).cast("double") * fraction).cast("bigint")
 
 

@@ -29,20 +29,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kupo_spark.functions.sampling import key_prefix_int, md5_key
+
 
 def shard_key(seed: str = "") -> Column:
-    """Deterministic shuffle key column: md5(seed:doc_id), seed bound as
-    a literal."""
-    return F.md5(F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string")))
+    """Deterministic shuffle key column: the sampling family's
+    md5(seed:doc_id) — ONE derivation shared with
+    :mod:`kupo_spark.functions.sampling`, so the quote-safety and
+    prefix-seed rules live in one place."""
+    return md5_key(seed)
 
 
 def shard_of(key: Column, n_shards: int) -> Column:
-    """Shard id from the key's 60-bit integer prefix — the ONE place the
-    conv/substr/pmod derivation lives (assign_shards, write_shards, and
-    the oracle tests all route through the same column)."""
-    return F.pmod(
-        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"), F.lit(n_shards)
-    )
+    """Shard id from the key's 60-bit integer prefix (shared
+    :func:`~kupo_spark.functions.sampling.key_prefix_int`)."""
+    return F.pmod(key_prefix_int(key), F.lit(n_shards))
 
 
 def assign_shards(docs: DataFrame, n_shards: int, seed: str = "") -> DataFrame:
@@ -73,6 +74,10 @@ def write_shards(
     (
         keyed.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "k", "doc_id")
+        # the key is pipeline-internal — don't bill every downstream
+        # training reader 32 bytes/row for it (the projection after the
+        # sort preserves in-partition order)
+        .drop("k")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

@@ -509,6 +509,27 @@ class Table:
             )
         )
 
+    def overwrite_schema(self, df: DataFrame, schema: StructType) -> int:
+        """Schema-evolving overwrite (Delta ``overwriteSchema``): ONE
+        atomic commit carrying the new metaData action plus the full file
+        replacement — a reader sees the old table or the new one, never a
+        half-migrated log, and a crash at any point leaves the previous
+        version intact."""
+        snap = self.snapshot()
+        meta = dict(snap.metadata)
+        meta["schemaString"] = schema.json()
+        adds = self._stage(df, meta["partitionColumns"])
+        return self._commit_tx(
+            _Tx(
+                "OVERWRITE",
+                adds=adds,
+                removes=sorted(snap.adds),
+                metadata=meta,
+                read_version=snap.version,
+                reads_whole_table=True,
+            )
+        )
+
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Delete matching rows by rewriting ONLY the files that contain
         them (copy-on-write, like Delta DELETE): non-matching files are

@@ -298,3 +298,27 @@ def test_est_jaccard_tracks_exact_jaccard(docs):
     assert len(common) >= 20
     diffs = [abs(exact[p] - est[p]) for p in common]
     assert sum(diffs) / len(diffs) < 0.2
+
+
+def test_migration_rejects_wrong_threshold(spark, docs, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    from kupo_spark.table import LOG_DIR, Table
+
+    root = str(tmp_path / "store")
+    dd = IncrementalDeduper(spark, root, threshold=0.5)
+    dd.add_batch(docs.where(F.col("doc_id") < 300))
+    old_rows = dd.stored().drop("dup_of").persist()
+    old_rows.count()
+    shutil.rmtree(Path(root) / LOG_DIR)
+    t = Table.create(root, old_rows.schema)
+    t.append(old_rows)
+    # the keep flags encode threshold 0.5; migrating at 0.9 contradicts them
+    with pytest.raises(ValueError, match="different threshold"):
+        IncrementalDeduper(spark, root, threshold=0.9)
+    # and the failed migration left the v1 store intact (atomicity)
+    assert Table(root).read(spark).count() == old_rows.count()
+    # reopening with the original threshold still migrates fine
+    dd2 = IncrementalDeduper(spark, root, threshold=0.5)
+    assert "dup_of" in {f.name for f in dd2.table.schema().fields}

@@ -68,9 +68,12 @@ def test_write_shards_deterministic_and_shuffled(docs, tmp_path, spark):
     a_x = {r.doc_id: r.shard for r in assign_shards(docs, N, seed="x").collect()}
     a_y = {r.doc_id: r.shard for r in assign_shards(docs, N, seed="y").collect()}
     assert any(a_x[d] != a_y[d] for d in a_x)
-    # within a shard, doc order is key order, decorrelated from doc_id order
-    shard0 = [r.doc_id for r in spark.read.parquet(out1).where(F.col("shard") == 0)
-              .orderBy("k").collect()]
+    # within a shard, file order is key order, decorrelated from doc_id
+    # order (the key column itself is dropped from the export; one file
+    # per shard, so read order == written order)
+    out_cols = spark.read.parquet(out1).columns
+    assert "k" not in out_cols
+    shard0 = [r.doc_id for r in spark.read.parquet(f"{out1}/shard=0").collect()]
     assert shard0 != sorted(shard0)
 
 

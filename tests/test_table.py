@@ -277,3 +277,25 @@ def test_read_appends_refuses_non_append_range(spark, table):
     assert table.read_appends(spark, -1, to_version=v_ok).count() == 100
     with pytest.raises(ValueError, match="bad version range"):
         table.read_appends(spark, 99)
+
+
+def test_overwrite_schema_is_one_atomic_commit(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kupo_spark.table import Table
+
+    root = str(tmp_path / "evolve")
+    t = Table.create(root, StructType([StructField("a", LongType())]))
+    t.append(spark.range(5).select(F.col("id").alias("a")))
+    v_before = t.latest_version()
+    new_schema = StructType(
+        [StructField("a", LongType()), StructField("b", StringType())]
+    )
+    df = spark.range(5).select(F.col("id").alias("a"), F.lit("x").alias("b"))
+    v = t.overwrite_schema(df, new_schema)
+    # exactly one new commit; new schema visible; old version still readable
+    assert v == v_before + 1 == t.latest_version()
+    assert [f.name for f in t.schema().fields] == ["a", "b"]
+    assert t.read(spark).columns == ["a", "b"] and t.read(spark).count() == 5
+    assert t.read(spark, version=v_before).columns == ["a"]
