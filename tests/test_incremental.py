@@ -322,3 +322,19 @@ def test_migration_rejects_wrong_threshold(spark, docs, tmp_path):
     # reopening with the original threshold still migrates fine
     dd2 = IncrementalDeduper(spark, root, threshold=0.5)
     assert "dup_of" in {f.name for f in dd2.table.schema().fields}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=499), min_size=1, max_size=3, unique=True))
+def test_incremental_equals_batch_any_split(spark, docs, tmp_path_factory, cuts):
+    # ANY id-monotone batch split yields the one-shot verdicts — the
+    # contract under random cut points, not just even halves
+    bounds = [0] + sorted(cuts) + [500]
+    root = str(tmp_path_factory.mktemp("hyp") / "store")
+    dd = IncrementalDeduper(spark, root, threshold=0.5)
+    got = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        got.extend(_verdict_set(dd.add_batch(batch)))
+    want = _verdict_set(minhash_est_dedup(docs, threshold=0.5))
+    assert sorted(got) == want
