@@ -142,6 +142,17 @@ class IncrementalDeduper:
     def stored(self) -> DataFrame:
         return self.table.read(self.spark)
 
+    def optimize(self, vacuum_retention_seconds: float | None = None) -> int:
+        """Operational maintenance for a long-lived store: every batch is
+        one small appended file, so after N batches the LSH probe reads N
+        files — bin-pack them (Delta OPTIMIZE, dataChange=false: replay
+        and time travel unaffected) and optionally vacuum files older
+        than the retention window.  Returns the new log version."""
+        v = self.table.optimize(self.spark)
+        if vacuum_retention_seconds is not None:
+            self.table.vacuum(vacuum_retention_seconds)
+        return v
+
     def add_batch(self, docs: DataFrame) -> DataFrame:
         """Dedup ``docs`` against the store and itself, append signatures,
         return (doc_id, keep, dup_of) — dup_of is the smallest earlier

@@ -338,3 +338,21 @@ def test_incremental_equals_batch_any_split(spark, docs, tmp_path_factory, cuts)
         got.extend(_verdict_set(dd.add_batch(batch)))
     want = _verdict_set(minhash_est_dedup(docs, threshold=0.5))
     assert sorted(got) == want
+
+
+def test_store_optimize_preserves_verdicts_and_replay(spark, docs, tmp_path):
+    dd = IncrementalDeduper(spark, str(tmp_path / "store"), threshold=0.5)
+    b1 = docs.where(F.col("doc_id") < 200)
+    v1 = _verdict_set(dd.add_batch(b1))
+    dd.add_batch(docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)))
+    before = _verdict_set(dd.stored().select("doc_id", "keep", "dup_of"))
+    n_files_before = len(dd.table.snapshot().files)
+    dd.optimize()
+    # fewer (or equal) files, identical contents, replay still works
+    assert len(dd.table.snapshot().files) <= n_files_before
+    assert _verdict_set(dd.stored().select("doc_id", "keep", "dup_of")) == before
+    assert _verdict_set(dd.add_batch(b1)) == v1
+    # and fresh batches continue normally through the compacted base
+    v3 = _verdict_set(dd.add_batch(docs.where(F.col("doc_id") >= 350)))
+    full = _verdict_set(minhash_est_dedup(docs, threshold=0.5))
+    assert sorted(before + v3) == full
