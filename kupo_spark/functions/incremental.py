@@ -163,16 +163,19 @@ class IncrementalDeduper:
         if max_stored is not None and min_new is not None and min_new <= max_stored:
             # replay? (streaming retry re-delivers a batch the store already
             # absorbed) -> return the stored verdicts, touch nothing.  The
-            # verdict is localCheckpoint'ed (stays distributed — no driver
-            # materialization of a possibly-large batch) so both caches can
-            # be released before returning: a retrying streaming job must
-            # not pin a copy of the ever-growing store per retry.
+            # returned frame is a FRESH un-cached plan over the store's
+            # immutable parquet files: no driver materialization (collect
+            # would OOM on a large batch), no cache pinned per retry, and
+            # no truncated lineage (localCheckpoint blocks die with their
+            # executor) — consuming it just re-reads the store once.
             ids = docs.select("doc_id")
             hit = stored.join(ids, "doc_id", "inner").persist()
             try:
                 if hit.count() == ids.count():
-                    return hit.select("doc_id", "keep", "dup_of").localCheckpoint(
-                        eager=True
+                    return (
+                        self.stored()
+                        .join(ids, "doc_id", "inner")
+                        .select("doc_id", "keep", "dup_of")
                     )
                 raise ValueError(
                     f"batch is not id-monotone: new doc_id {min_new} <= "

@@ -50,58 +50,75 @@ def prepare_training_data(
     curation drop-reason histogram — the numbers a dataset card needs."""
     report: dict = {"n_input": docs.count()}
     d = docs.select("doc_id", "text")
-    stage_caches = []
+    # at most ONE stage cache lives at a time: each rewrite stage persists
+    # BEFORE its report counter (so the expensive lineage — 5-pattern
+    # regex scrub, substring-dedup window — runs once), and the previous
+    # stage's cache is released as soon as its successor materializes;
+    # the finally releases whatever is live if any stage throws
+    live: list = []
 
-    # each rewrite stage persists BEFORE its report counter so the
-    # expensive lineage (5-pattern regex scrub, substring-dedup window)
-    # runs once, not once per counter plus once per downstream consumer
-    if scrub:
-        s = pii_scrub(d).persist()
-        stage_caches.append(s)
-        report["n_had_pii"] = s.where("has_pii").count()
-        d = s.select("doc_id", F.col("text_scrubbed").alias("text"))
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        live.append(df)
+        return df
 
-    if substring_k is not None:
-        sub = exact_substring_dedup(d, k=substring_k).persist()
-        stage_caches.append(sub)
-        report["n_chunks_removed"] = (
-            sub.agg(F.sum("n_removed")).collect()[0][0] or 0
+    def _release_upto(keep_last: int = 1) -> None:
+        while len(live) > keep_last:
+            live.pop(0).unpersist()
+
+    try:
+        if scrub:
+            s = _persist(pii_scrub(d))
+            report["n_had_pii"] = s.where("has_pii").count()
+            d = s.select("doc_id", F.col("text_scrubbed").alias("text"))
+
+        if substring_k is not None:
+            sub = _persist(exact_substring_dedup(d, k=substring_k))
+            report["n_chunks_removed"] = (
+                sub.agg(F.sum("n_removed")).collect()[0][0] or 0
+            )
+            # sub is materialized -> the scrub cache is dead
+            _release_upto(1)
+            d = sub.select("doc_id", F.col("clean_text").alias("text"))
+
+        d = _persist(d)  # three curation signals + the final join read this
+        verdict = _persist(
+            curate(
+                d,
+                min_tokens=min_tokens,
+                near_dup_threshold=near_dup_threshold,
+                lm_floor=lm_floor,
+                quality_model=quality_model,
+                quality_threshold=quality_threshold,
+            )
         )
-        d = sub.select("doc_id", F.col("clean_text").alias("text"))
+        report["drop_reasons"] = {
+            r.drop_reason: r.cnt
+            for r in verdict.where(~F.col("keep"))
+            .groupBy("drop_reason")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        # verdict (and therefore d) are materialized -> earlier rewrite
+        # caches are dead; keep d + verdict for the export join
+        _release_upto(2)
+        kept = d.join(verdict.where("keep").select("doc_id"), "doc_id")
+        report["n_kept"] = report["n_input"] - sum(report["drop_reasons"].values())
 
-    d = d.persist()  # three signals + the final join all read this frame
-    stage_caches.append(d)
-    verdict = curate(
-        d,
-        min_tokens=min_tokens,
-        near_dup_threshold=near_dup_threshold,
-        lm_floor=lm_floor,
-        quality_model=quality_model,
-        quality_threshold=quality_threshold,
-    ).persist()
-    report["drop_reasons"] = {
-        r.drop_reason: r.cnt
-        for r in verdict.where(~F.col("keep"))
-        .groupBy("drop_reason")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    }
-    kept = d.join(verdict.where("keep").select("doc_id"), "doc_id")
-    report["n_kept"] = report["n_input"] - sum(report["drop_reasons"].values())
+        # per-stage seeds: the sample draw and the shard permutation share
+        # the md5(seed:doc_id) family, so handing both the SAME seed would
+        # fully correlate them (every exported key < fraction·2^60, and
+        # any later draw from that seed — a validation split, say — would
+        # select exactly the prefix of every shard).  Disjoint derived
+        # seeds give independent draws, per the sampling contract.
+        if sample_fraction is not None:
+            kept = deterministic_sample(
+                kept, sample_fraction, seed=f"{seed}:sample"
+            )
 
-    # per-stage seeds: the sample draw and the shard permutation share
-    # the md5(seed:doc_id) family, so handing both the SAME seed would
-    # fully correlate them (every exported key < fraction·2^60, and any
-    # later draw from that seed — a validation split, say — would select
-    # exactly the prefix of every shard).  Disjoint derived seeds give
-    # independent draws, per the sampling contract.
-    if sample_fraction is not None:
-        kept = deterministic_sample(kept, sample_fraction, seed=f"{seed}:sample")
-
-    manifest = write_shards(kept, out_path, n_shards, seed=f"{seed}:shard")
-    report["n_exported"] = manifest.agg(F.sum("n_rows")).collect()[0][0] or 0
-    report["n_shards"] = manifest.count()
-    verdict.unpersist()
-    for c in stage_caches:
-        c.unpersist()
-    return manifest, report
+        manifest = write_shards(kept, out_path, n_shards, seed=f"{seed}:shard")
+        report["n_exported"] = manifest.agg(F.sum("n_rows")).collect()[0][0] or 0
+        report["n_shards"] = manifest.count()
+        return manifest, report
+    finally:
+        _release_upto(0)

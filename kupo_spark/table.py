@@ -473,6 +473,14 @@ class Table:
         """Inspect the commits that beat us to [lost_version, latest]."""
         for v in range(lost_version, self.latest_version() + 1):
             for a in self._read_actions(v):
+                # Delta's metadata rule: a schema/metaData change conflicts
+                # with EVERY concurrent transaction — its reads and its
+                # staged files were validated against the old schema
+                if "metaData" in a:
+                    raise ConcurrentWriteError(
+                        f"{tx.operation} at read-version {tx.read_version} "
+                        f"raced with a metadata change committed as version {v}"
+                    )
                 if "add" in a and tx.reads_whole_table and a["add"]["dataChange"]:
                     raise ConcurrentWriteError(
                         f"{tx.operation} at read-version {tx.read_version} "
@@ -518,6 +526,12 @@ class Table:
         snap = self.snapshot()
         meta = dict(snap.metadata)
         meta["schemaString"] = schema.json()
+        # normalize the frame to the DECLARED schema before staging — a
+        # missing column fails here, at write time, instead of bricking
+        # every later read against metadata the files don't match
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
         adds = self._stage(df, meta["partitionColumns"])
         return self._commit_tx(
             _Tx(

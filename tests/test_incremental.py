@@ -348,8 +348,10 @@ def test_store_optimize_preserves_verdicts_and_replay(spark, docs, tmp_path):
     before = _verdict_set(dd.stored().select("doc_id", "keep", "dup_of"))
     n_files_before = len(dd.table.snapshot().files)
     dd.optimize()
-    # fewer (or equal) files, identical contents, replay still works
-    assert len(dd.table.snapshot().files) <= n_files_before
+    # strictly fewer files (two small appends MUST bin-pack), identical
+    # contents, replay still works
+    assert n_files_before >= 2
+    assert len(dd.table.snapshot().files) < n_files_before
     assert _verdict_set(dd.stored().select("doc_id", "keep", "dup_of")) == before
     assert _verdict_set(dd.add_batch(b1)) == v1
     # and fresh batches continue normally through the compacted base

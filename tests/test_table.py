@@ -299,3 +299,52 @@ def test_overwrite_schema_is_one_atomic_commit(spark, tmp_path):
     assert [f.name for f in t.schema().fields] == ["a", "b"]
     assert t.read(spark).columns == ["a", "b"] and t.read(spark).count() == 5
     assert t.read(spark, version=v_before).columns == ["a"]
+
+
+def test_append_conflicts_with_concurrent_schema_change(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kupo_spark.table import ConcurrentWriteError, Table
+
+    root = str(tmp_path / "race")
+    t = Table.create(root, StructType([StructField("a", LongType())]))
+    t.append(spark.range(3).select(F.col("id").alias("a")))
+    # writer A reads v1 and stages an old-schema append; writer B lands a
+    # schema change first; A's rebase must fail, not mix old-schema files
+    # into the new-schema table
+    a_view = Table(root)
+    snap = a_view.snapshot()  # A's read
+    new_schema = StructType([StructField("a", LongType()), StructField("b", StringType())])
+    t.overwrite_schema(
+        spark.range(3).select(F.col("id").alias("a"), F.lit("x").alias("b")),
+        new_schema,
+    )
+    from kupo_spark.table import _Tx
+
+    adds = a_view._stage(
+        spark.range(2).select(F.col("id").alias("a")),
+        snap.metadata["partitionColumns"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriteError, match="metadata change"):
+        a_view._commit_tx(_Tx("APPEND", adds=adds, read_version=snap.version))
+
+
+def test_overwrite_schema_rejects_mismatched_frame(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kupo_spark.table import Table
+
+    root = str(tmp_path / "strict")
+    t = Table.create(root, StructType([StructField("a", LongType())]))
+    t.append(spark.range(2).select(F.col("id").alias("a")))
+    new_schema = StructType([StructField("a", LongType()), StructField("b", StringType())])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # missing column fails at WRITE time
+        t.overwrite_schema(spark.range(2).select(F.col("id").alias("a")), new_schema)
+    # table untouched by the failed call
+    assert [f.name for f in t.schema().fields] == ["a"]
