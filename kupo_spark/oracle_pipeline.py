@@ -523,6 +523,115 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+#: per-subspace L2² between a vector's sub-slice and a sub-centroid (exact
+#: ints < 2^53 per term, so double arithmetic is exact)
+_D2SUB = "list_dot_product(sub, sub) - 2 * list_dot_product(sub, cv) + list_dot_product(cv, cv)"
+
+
+def _pq_codebook_ctes(
+    m: int, bits: int, iters: int, sample: int, dim: int = DIM
+) -> tuple[list[str], str]:
+    """CTE chain re-deriving ``pq.train_codebooks`` exactly: one generic
+    (vec_id, subspace j, sub-slice) table drives all ``m`` per-subspace
+    codebooks through ``iters`` unrolled Lloyd rounds — argmin assignment
+    (exact-int L2², ties on lowest centroid id = seed order), per-dimension
+    floor-mean, and the empty-cluster-keeps-its-centroid rule as a COALESCE
+    against the previous round's book.  Returns (ctes, final-book-cte);
+    the chain defines ``qv`` and ``subs`` for reuse downstream."""
+    dsub = dim // m
+    k = 1 << bits
+    ctes = [
+        f"qv AS (SELECT vec_id, {QUANT} AS q FROM embeddings WHERE {_VALID_EMB})",
+        f"""subs AS (
+  SELECT vec_id, jj.j AS j, list_slice(q, jj.j * {dsub} + 1, (jj.j + 1) * {dsub}) AS sub
+  FROM qv CROSS JOIN (SELECT unnest(range({m})) AS j) jj)""",
+        f"strain AS (SELECT * FROM subs WHERE vec_id < {sample})",
+        f"cb0 AS (SELECT j, vec_id AS cid, sub AS cv FROM strain WHERE vec_id < {k})",
+    ]
+    prev = "cb0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""pa{i} AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY {_D2SUB} ASC, c.cid ASC) AS rn
+    FROM strain s JOIN {prev} c USING (j))
+  WHERE rn = 1)""")
+        ctes.append(f"""ps{i} AS (
+  SELECT a.j, a.cid, p.pos, sum(s.sub[p.pos + 1]) AS sm, count(*) AS c
+  FROM strain s JOIN pa{i} a ON s.vec_id = a.vec_id AND s.j = a.j
+  CROSS JOIN (SELECT unnest(range({dsub})) AS pos) p
+  GROUP BY 1, 2, 3)""")
+        ctes.append(f"""pm{i} AS (
+  SELECT j, cid, list(CAST((sm - ((sm % c + c) % c)) / c AS BIGINT) ORDER BY pos) AS cv
+  FROM ps{i} GROUP BY 1, 2)""")
+        ctes.append(f"""cb{i} AS (
+  SELECT p.j, p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN pm{i} n ON p.j = n.j AND p.cid = n.cid)""")
+        prev = f"cb{i}"
+    return ctes, prev
+
+
+def pq_adc_topk_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    bits: int = 4,
+    iters: int = 2,
+    sample: int = 4096,
+) -> str:
+    """ADC top-k over PQ codes, re-derived end to end: codebook training
+    (``_pq_codebook_ctes``), corpus encode (argmin sub-centroid per
+    subspace), and per-candidate ADC = Σ_j L2²(query sub_j, centroid of
+    code_j) — exactly ``pq.pq_adc_topk``'s arithmetic (cosine = −ADC as
+    double, rank ties on neighbor_id)."""
+    ctes, cb = _pq_codebook_ctes(m, bits, iters, sample)
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain},
+enc AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY {_D2SUB} ASC, c.cid ASC) AS rn
+    FROM subs s JOIN {cb} c USING (j))
+  WHERE rn = 1),
+qsubs AS (SELECT vec_id AS query_id, j, sub FROM subs WHERE vec_id < {n_queries}),
+adist AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         sum(list_dot_product(q.sub, q.sub) - 2 * list_dot_product(q.sub, c.cv)
+             + list_dot_product(c.cv, c.cv)) AS ad
+  FROM enc e
+  JOIN {cb} c ON e.j = c.j AND e.cid = c.cid
+  JOIN qsubs q ON q.j = e.j
+  WHERE e.vec_id <> q.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, CAST(-ad AS DOUBLE) AS cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY ad ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM adist)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_topk_and_pq_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    kmeans_iters: int = 2,
+    pq_iters: int = 2,
+) -> str:
+    """Tagged union: the IVF cell-restricted top-k plus the PQ/ADC top-k —
+    the two 100 TB ANN tiers (coarse partition, compressed scoring) under
+    one driver row."""
+    ivf = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters)
+    adc = pq_adc_topk_sql(n_queries, k, iters=pq_iters)
+    return f"""
+SELECT 'ivf' AS q, * FROM ({ivf})
+UNION ALL
+SELECT 'pq' AS q, * FROM ({adc})
+"""
+
+
 def tfidf_sql(top: int = 3) -> str:
     return f"""
 WITH tok AS (

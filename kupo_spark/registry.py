@@ -367,11 +367,29 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda s, d: similarity.lsh_topk(_embs(s, d), n_queries=10, k=5),
         oracle_pipeline.lsh_topk_sql(10, 5),
     ),
+    # tagged union (50-row budget): the two 100 TB ANN tiers — IVF coarse
+    # partitioning and PQ/ADC compressed scoring.  The pq arm re-derives
+    # codebook training (per-subspace exact-int Lloyd), corpus encode, and
+    # the ADC table arithmetic in the oracle end to end.
     "q_embedding_ivf_topk": (
-        lambda s, d: similarity.ivf_topk(_embs(s, d), n_queries=10, k=5, kmeans_iters=2),
-        oracle_pipeline.ivf_topk_sql(10, 5, kmeans_iters=2),
+        lambda s, d: _ivf_and_pq_topk(s, d),
+        oracle_pipeline.ivf_topk_and_pq_sql(10, 5, kmeans_iters=2, pq_iters=2),
     ),
 }
+
+
+def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kupo_spark.functions import pq
+
+    emb = _embs(spark, sf_dir)
+    ivf = similarity.ivf_topk(emb, n_queries=10, k=5, kmeans_iters=2).select(
+        F.lit("ivf").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    books = pq.train_codebooks(emb, iters=2)
+    adc = pq.pq_adc_topk(emb, books, n_queries=10, k=5).select(
+        F.lit("pq").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return ivf.unionByName(adc)
 
 
 #: render-mode arms shared by the Spark row and its oracle (C7)
