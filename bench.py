@@ -172,6 +172,21 @@ def main() -> None:
     queries["q_delegation_warm"] = timed_warm(
         lambda: serving.fold_rows(f"*/{deleg}")
     )
+    # the remaining BASELINE shapes, warm: kupo's oha numbers are taken
+    # against a warm long-lived server, so the warm repo numbers are the
+    # like-for-like comparison for every shape, not just point lookups
+    queries["q_delegation_spent_after_warm"] = timed_warm(
+        lambda: serving.fold_rows(f"*/{deleg}", status="spent", spent_after=5000)
+    )
+    queries["q_policy_warm"] = timed_warm(
+        lambda: serving.fold_rows(f"{policy}.*")
+    )
+    queries["q_policy_range_warm"] = timed_warm(
+        lambda: serving.fold_rows(f"{policy}.*", created_before=6000, spent_after=3000)
+    )
+    queries["q_policy_resolve_hashes_warm"] = timed_warm(
+        lambda: serving.fold_rows(f"{policy}.*", resolve_hashes=True)
+    )
     # first-sight latency (plan built per request: + ~60 ms Catalyst)
     queries["q_transaction_id_warm_fresh"] = timed_warm(
         lambda: serving.fold(f"*@{txid}", use_plan_cache=False).collect()
