@@ -1,0 +1,332 @@
+"""kupo-spark command line — the reference binary's surface, Spark-backed.
+
+Mirrors the reference's command set (``src/Kupo/Options.hs:109-113``)::
+
+    python -m kupo_spark [run] --events DIR --workdir DIR --since POINT \
+        [--match PATTERN]... [--until POINT] [--prune-utxo] \
+        [--defer-db-indexes] [--gc-interval SECONDS] [--read-only] \
+        [--in-memory] [--host IPv4] [--port TCP/PORT]
+    python -m kupo_spark copy --from DIR --into DIR [--match PATTERN]...
+    python -m kupo_spark health-check [--host IPv4] [--port TCP/PORT]
+    python -m kupo_spark version
+
+Flag-for-flag with the reference (``Options.hs:180-420``) except the
+chain-producer transports: the sandbox has no network, so ``--node-socket``
+/ ``--ogmios-host`` / ``--hydra-host`` become file replay sources —
+``--events`` (parquet event stream, the node-socket stand-in),
+``--ogmios-file`` (Ogmios nextBlock NDJSON), ``--hydra-file`` (Hydra
+ServerOutput NDJSON).  Semantics preserved:
+
+- ``--since`` is mandatory on first start, optional (validated) after —
+  ``startOrResume``, ``Configuration.hs:182-241``;
+- ``--until`` bounds the sync for point-in-time snapshots;
+- repeated ``--match`` is a logical disjunction;
+- ``--prune-utxo`` removes spent inputs instead of marking them;
+- ``--defer-db-indexes`` skips the post-sync compaction/layout pass (the
+  "install indexes on next start" trade, ``Options.hs:353-361``): the
+  next non-deferred start compacts;
+- ``--gc-interval`` runs the gardener loop (M2+M3, ``App.hs:633-674``)
+  in the background while serving;
+- ``--read-only`` serves an existing workdir and refuses mutations
+  (``Options.hs:363-370``);
+- ``--in-memory`` builds the index without a durable workdir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+
+__all__ = ["main", "build_parser", "parse_since", "parse_until"]
+
+VERSION = "kupo-spark 0.4.0"
+
+
+# ---- point parsing -------------------------------------------------------
+
+
+def parse_since(text: str | None):
+    """``--since``: 'origin' | SLOT | SLOT.HEADERHASH (Options.hs:296-316).
+    Returns None (absent) or (slot, header_hash|None)."""
+    if text is None:
+        return None
+    if text == "origin":
+        return (0, None)
+    slot, dot, h = text.partition(".")
+    if not slot.isdigit() or (dot and not h):
+        raise SystemExit(f"invalid --since '{text}': expected origin, SLOT or SLOT.HASH")
+    return (int(slot), h.lower() or None)
+
+
+def parse_until(text: str | None):
+    """``--until``: SLOT | SLOT.HEADERHASH (inclusive, Options.hs:319-329)."""
+    if text is None:
+        return None
+    slot, _, _ = text.partition(".")
+    if not slot.isdigit():
+        raise SystemExit(f"invalid --until '{text}': expected SLOT or SLOT.HASH")
+    return int(slot)
+
+
+# ---- source selection ----------------------------------------------------
+
+
+def _load_source(spark, args):
+    """One of --events / --ogmios-file / --hydra-file → blocks DataFrame."""
+    chosen = [o for o in ("events", "ogmios_file", "hydra_file") if getattr(args, o)]
+    if len(chosen) != 1:
+        raise SystemExit(
+            "exactly one chain source required: --events, --ogmios-file or --hydra-file"
+        )
+    if args.events:
+        from kupo_spark.chaingen import load_blocks
+
+        return load_blocks(spark, args.events.rstrip("/").removesuffix("/events.parquet"))
+    if args.ogmios_file:
+        from kupo_spark.sources.ogmios import read_ogmios_jsonl
+
+        return read_ogmios_jsonl(spark, args.ogmios_file)
+    from kupo_spark.sources.hydra import read_hydra_jsonl
+
+    return read_hydra_jsonl(spark, args.hydra_file)
+
+
+# ---- run -----------------------------------------------------------------
+
+
+def _assert_point(blocks, slot: int, header_hash: str) -> None:
+    """--since SLOT.HASH: the block at SLOT must carry HASH (the chain-sync
+    intersection check)."""
+    rows = blocks.where(blocks.slot_no == slot).select("header_hash").limit(1).collect()
+    if not rows or rows[0][0] != header_hash:
+        raise SystemExit(f"--since {slot}.{header_hash}: no such point on the chain")
+
+
+def _gardener(server, interval: float, prune_utxo: bool, stop: threading.Event):
+    """Background gardener loop (App.hs:633-674): prune spent inputs past
+    the safe zone (only under --prune-utxo) + orphan binary data."""
+    from kupo_spark.operators.gardener import run_gc
+    from kupo_spark.operators.maintenance import prune_binary_data
+
+    while not stop.wait(interval):
+        with server._lock:
+            nxt = run_gc(server.index) if prune_utxo else prune_binary_data(server.index)
+            server._swap_index(nxt)
+
+
+def cmd_run(args, serve_forever: bool = True):
+    from kupo_spark.session import get_spark
+
+    spark = get_spark("kupo-spark")
+
+    since = parse_since(args.since)
+    until = parse_until(args.until)
+    patterns = tuple(args.match) if args.match else ("*",)
+
+    blocks = None if args.read_only else _load_source(spark, args)
+    if blocks is not None and until is not None:
+        blocks = blocks.where(blocks.slot_no <= until)
+
+    store_path = None
+    indexer = None
+
+    if args.read_only:
+        if not args.workdir:
+            raise SystemExit("--read-only requires --workdir")
+        from kupo_spark.streaming.indexer import StreamingIndexer
+
+        indexer = StreamingIndexer(args.workdir, patterns=patterns)
+        index = indexer.resolved_index(spark)
+        store_path = f"{args.workdir}/patterns.txt"
+    elif args.in_memory:
+        if since is None:
+            raise SystemExit("--since is mandatory on first start")
+        if since[1] is not None:
+            _assert_point(blocks, *since)
+        from kupo_spark.operators.indexer import build_index
+
+        bounded = blocks.where(blocks.slot_no >= since[0])
+        index = build_index(
+            bounded, patterns=patterns, prune_utxo=args.prune_utxo, cache=True
+        )
+        index.inputs.count()  # materialize (kupo syncs before serving)
+    else:
+        if not args.workdir:
+            raise SystemExit("one of --workdir or --in-memory is required")
+        from kupo_spark.streaming.indexer import StreamingIndexer, start_or_resume
+
+        indexer = StreamingIndexer(args.workdir, patterns=patterns)
+        had_data = bool(indexer._committed())
+        start = start_or_resume(indexer, spark, None if since is None else since[0])
+        if since is not None and since[1] is not None:
+            _assert_point(blocks, *since)
+        # fresh start syncs FROM the point (inclusive); a resume re-enters
+        # AFTER the stored tip (the chain-sync intersection is the tip)
+        bounded = blocks.where(
+            blocks.slot_no > start if had_data else blocks.slot_no >= start
+        )
+        import uuid
+
+        # prune-utxo under a workdir is effected by the gardener loop (the
+        # reference prunes on GC too, App.hs:666-674); the log keeps spent
+        # marks so rollbacks stay cheap
+        indexer.process_batch(bounded, batch_id=0, dedup_scope=f"cli-{uuid.uuid4().hex}")
+        if args.defer_db_indexes:
+            index = indexer.resolved_index(spark)
+        else:
+            # compaction = the deferred-indexes endgame: lay the resolved
+            # state out as the queryable base (SURVEY §4)
+            index = indexer.compact(spark)
+        store_path = f"{args.workdir}/patterns.txt"
+
+    from kupo_spark.operators.http_server import KupoHttpServer
+
+    server = KupoHttpServer(
+        spark,
+        index,
+        blocks=blocks,
+        # a replica must not touch the master's pattern store: serve
+        # whatever is persisted there, install nothing
+        patterns=() if args.read_only else patterns,
+        store_path=store_path,
+        host=args.host,
+        port=args.port,
+        read_only=args.read_only,
+    ).start()
+    stop = threading.Event()
+    if args.gc_interval > 0 and not args.read_only:
+        threading.Thread(
+            target=_gardener,
+            args=(server, args.gc_interval, args.prune_utxo, stop),
+            daemon=True,
+        ).start()
+    print(f"kupo-spark listening on {server.url}", file=sys.stderr)
+    if not serve_forever:
+        server._stop_gc = stop  # let callers stop the gardener with the server
+        return server
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        stop.set()
+        server.close()
+    return None
+
+
+# ---- copy ----------------------------------------------------------------
+
+
+def cmd_copy(args):
+    """``copy --from --into [--match]...`` (Options.hs:111; the reference
+    copies a filtered database).  Without --match, the source's own pattern
+    store (falling back to '*') decides what survives."""
+    from kupo_spark.operators.copy import copy_index
+    from kupo_spark.operators.indexer import read_index
+    from kupo_spark.session import get_spark
+
+    spark = get_spark("kupo-spark-copy")
+    patterns = list(args.match)
+    if not patterns:
+        import os
+
+        store = f"{args.src.rstrip('/')}/patterns.txt"
+        if os.path.exists(store):
+            from kupo_spark.operators.pattern_store import PatternStore
+            from kupo_spark.patterns import pattern_to_text
+
+            patterns = [pattern_to_text(p) for p in PatternStore(store).list()]
+        if not patterns:
+            patterns = ["*"]
+    index = read_index(spark, args.src)
+    copy_index(index, patterns, args.dest)
+    print(f"copied {args.src} -> {args.dest} ({len(patterns)} pattern(s))", file=sys.stderr)
+    return 0
+
+
+# ---- health-check --------------------------------------------------------
+
+
+def cmd_health_check(args) -> int:
+    """GET /health; exit 0 iff the server answers healthy (the reference's
+    healthCheck command, used as a container liveness probe)."""
+    url = f"http://{args.host}:{args.port}/health"
+    req = urllib.request.Request(url, headers={"Accept": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            body = json.loads(resp.read())
+    except (urllib.error.URLError, OSError, json.JSONDecodeError) as exc:
+        print(f"health-check failed: {exc}", file=sys.stderr)
+        return 1
+    ok = body.get("connection_status") == "connected"
+    print(json.dumps(body))
+    return 0 if ok else 1
+
+
+# ---- parser --------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kupo-spark",
+        description="Fast, lightweight & configurable chain-index, on Spark.",
+    )
+    sub = p.add_subparsers(dest="command")
+
+    run = sub.add_parser("run", help="sync and serve an index (default command)")
+    _add_run_args(run)
+    _add_run_args(p)  # run is the default: flags work without the subcommand
+
+    cp = sub.add_parser("copy", help="copy a filtered index")
+    cp.add_argument("--from", dest="src", required=True, metavar="DIR")
+    cp.add_argument("--into", dest="dest", required=True, metavar="DIR")
+    cp.add_argument("--match", action="append", default=[], metavar="PATTERN")
+
+    hc = sub.add_parser("health-check", help="exit 0 iff a running server is healthy")
+    hc.add_argument("--host", default="127.0.0.1", metavar="IPv4")
+    hc.add_argument("--port", type=int, default=1442, metavar="TCP/PORT")
+
+    sub.add_parser("version", help="print version")
+    return p
+
+
+def _add_run_args(p: argparse.ArgumentParser) -> None:
+    src = p.add_argument_group("chain source (file replay transports)")
+    src.add_argument("--events", metavar="DIR", help="events parquet dir (node stand-in)")
+    src.add_argument("--ogmios-file", metavar="FILEPATH", help="Ogmios nextBlock NDJSON")
+    src.add_argument("--hydra-file", metavar="FILEPATH", help="Hydra ServerOutput NDJSON")
+    p.add_argument("--workdir", metavar="DIRECTORY", help="where the index is stored")
+    p.add_argument("--in-memory", action="store_true", help="no durable storage")
+    p.add_argument("--since", metavar="POINT", help="origin | SLOT | SLOT.HEADERHASH")
+    p.add_argument("--until", metavar="POINT|SLOT", help="sync up-to (inclusive)")
+    p.add_argument(
+        "--match", action="append", default=[], metavar="PATTERN",
+        help="pattern to match on; repeatable (logical 'or')",
+    )
+    p.add_argument("--prune-utxo", action="store_true")
+    p.add_argument("--gc-interval", type=float, default=3600, metavar="SECONDS")
+    p.add_argument("--defer-db-indexes", action="store_true")
+    p.add_argument("--read-only", action="store_true")
+    p.add_argument("--host", default="127.0.0.1", metavar="IPv4")
+    p.add_argument("--port", type=int, default=1442, metavar="TCP/PORT")
+
+
+def main(argv: list[str] | None = None, serve_forever: bool = True):
+    argv = sys.argv[1:] if argv is None else argv
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    cmd = args.command or "run"
+    if cmd == "version":
+        print(VERSION)
+        return 0
+    if cmd == "copy":
+        return cmd_copy(args)
+    if cmd == "health-check":
+        return cmd_health_check(args)
+    return cmd_run(args, serve_forever=serve_forever)

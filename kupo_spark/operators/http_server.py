@@ -85,6 +85,7 @@ _ERRORS = {
     "not_found": (404, "Route not found."),
     "method_not_allowed": (405, "Method not allowed on this route."),
     "no_replay_source": (503, "No replay source configured; PUT /patterns unavailable."),
+    "read_only": (503, "This is a read-only replica; mutations are unavailable."),
 }
 
 
@@ -112,11 +113,15 @@ class KupoHttpServer:
         longest_rollback: int | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        read_only: bool = False,
     ):
         from kupo_spark.chainspec import LONGEST_ROLLBACK
 
         self._spark = spark
         self._blocks = blocks
+        # --read-only replica (Options.hs:363-370): serve queries, refuse
+        # mutations — the master write server owns the index
+        self._read_only = read_only
         self._lock = threading.RLock()
         self._longest_rollback = (
             LONGEST_ROLLBACK if longest_rollback is None else longest_rollback
@@ -173,6 +178,8 @@ class KupoHttpServer:
     # -- mutations --------------------------------------------------------
 
     def _delete_matches(self, pattern_text: str) -> int:
+        if self._read_only:
+            raise _Unavailable("read_only")
         p = self.store.guard_delete_matches(pattern_text)  # raises on overlap
         with self._lock:
             n = self.index.inputs.where(to_column(p)).count()
@@ -189,6 +196,8 @@ class KupoHttpServer:
         patterns stay absent (they were never rolled forward over).
         Old-pattern rows are untouched (rollback deletes + backfill
         re-adds them); spent-marks are global, as in any full replay."""
+        if self._read_only:
+            raise _Unavailable("read_only")
         if self._blocks is None:
             raise _Unavailable("no_replay_source")
         row = self.index.checkpoints.agg(
@@ -563,6 +572,8 @@ def _make_handler(srv: KupoHttpServer):
                 except PatternError:
                     return self._error("invalid_pattern")
             if method == "DELETE":
+                if srv._read_only:
+                    return self._error("read_only")
                 if not args or len(args) > 2:
                     return self._error("invalid_pattern")
                 try:

@@ -347,15 +347,45 @@ def write_index(
         )
     if timings is not None:
         timings["write_side_tables"] = _time.time() - _t0
+    # schema sidecar: an empty table writes NO part files (partitionBy emits
+    # nothing for 0 rows), so inference on read-back would fail — a filtered
+    # copy can legitimately empty any table.  The sidecar also spares the
+    # footer-sampling inference pass on every open.
+    import json as _json
+
+    schemas = {"inputs": inputs.schema.jsonValue()}
+    for df, name in side:
+        schemas[name] = df.schema.jsonValue()
+    with open(f"{path}/_schemas.json", "w") as fh:
+        _json.dump(schemas, fh)
 
 
 def read_index(spark, path: str, slot_bucket: int = 1000) -> Index:
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    schemas: dict[str, StructType] = {}
+    sidecar = f"{path}/_schemas.json"
+    if _os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            schemas = {
+                k: StructType.fromJson(v) for k, v in _json.load(fh).items()
+            }
+
+    def rd(name: str):
+        reader = spark.read
+        if name in schemas:
+            reader = reader.schema(schemas[name])
+        return reader.parquet(f"{path}/{name}")
+
     return Index(
-        inputs=spark.read.parquet(f"{path}/inputs"),
-        checkpoints=spark.read.parquet(f"{path}/checkpoints"),
-        policies=spark.read.parquet(f"{path}/policies"),
-        assets=spark.read.parquet(f"{path}/assets"),
-        binary_data=spark.read.parquet(f"{path}/binary_data"),
-        scripts=spark.read.parquet(f"{path}/scripts"),
+        inputs=rd("inputs"),
+        checkpoints=rd("checkpoints"),
+        policies=rd("policies"),
+        assets=rd("assets"),
+        binary_data=rd("binary_data"),
+        scripts=rd("scripts"),
         slot_bucket=slot_bucket,
     )

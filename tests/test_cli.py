@@ -1,0 +1,219 @@
+"""The command-line surface (kupo_spark/cli.py) — the reference binary's
+command set (src/Kupo/Options.hs:109-113) over file replay transports."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from kupo_spark.cli import main, parse_since, parse_until
+from tests.conftest import SF_DIR
+
+
+def _get(url: str, accept: str = "application/json"):
+    req = urllib.request.Request(url, headers={"Accept": accept})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _request(url: str, method: str, body: bytes | None = None):
+    req = urllib.request.Request(url, method=method, data=body)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_version(capsys):
+    assert main(["version"]) == 0
+    assert "kupo-spark" in capsys.readouterr().out
+
+
+def test_parse_points():
+    assert parse_since(None) is None
+    assert parse_since("origin") == (0, None)
+    assert parse_since("123") == (123, None)
+    assert parse_since("123.ABCD") == (123, "abcd")
+    assert parse_until("456") == 456
+    assert parse_until("456.ff") == 456
+    with pytest.raises(SystemExit):
+        parse_since("tip-of-nothing")
+    with pytest.raises(SystemExit):
+        parse_until("nonsense")
+
+
+def test_run_requires_since_on_fresh_start():
+    with pytest.raises(SystemExit, match="since"):
+        main(
+            ["--events", SF_DIR, "--in-memory", "--gc-interval", "0", "--port", "0"],
+            serve_forever=False,
+        )
+
+
+def test_run_requires_exactly_one_source():
+    with pytest.raises(SystemExit, match="chain source"):
+        main(
+            ["--in-memory", "--since", "origin", "--gc-interval", "0", "--port", "0"],
+            serve_forever=False,
+        )
+
+
+def test_run_in_memory_serves_and_health_checks(index):
+    server = main(
+        [
+            "--events", SF_DIR, "--in-memory", "--since", "origin",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        status, health = _get(f"{server.url}/health")
+        assert status == 200
+        assert health["connection_status"] == "connected"
+        # the served index is the full batch build
+        status, matches = _get(f"{server.url}/matches")
+        assert status == 200
+        assert len(matches) == index.inputs.count()
+        # the health-check command is a usable liveness probe
+        port = int(server.url.rsplit(":", 1)[1])
+        assert main(["health-check", "--host", "127.0.0.1", "--port", str(port)]) == 0
+    finally:
+        server.close()
+
+
+def test_run_workdir_sync_then_resume(tmp_path, spark, index):
+    argv = [
+        "--events", SF_DIR, "--workdir", str(tmp_path / "db"), "--since", "origin",
+        "--gc-interval", "0", "--port", "0",
+    ]
+    server = main(argv, serve_forever=False)
+    try:
+        n_first = server.index.inputs.count()
+        assert n_first == index.inputs.count()
+    finally:
+        server.close()
+    # re-running the ORIGINAL launch command resumes (startOrResume,
+    # Configuration.hs:182-241) without double-ingesting
+    server = main(argv, serve_forever=False)
+    try:
+        assert server.index.inputs.count() == n_first
+    finally:
+        server.close()
+    # a --since NEWER than the stored tip is the reference's
+    # errConflictingSinceOptions
+    with pytest.raises(ValueError, match="more recent"):
+        main(
+            [
+                "--events", SF_DIR, "--workdir", str(tmp_path / "db"),
+                "--since", "10000000", "--gc-interval", "0", "--port", "0",
+            ],
+            serve_forever=False,
+        )
+
+
+def test_until_bounds_the_sync(index):
+    server = main(
+        [
+            "--events", SF_DIR, "--in-memory", "--since", "origin", "--until", "300",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        assert (
+            server.index.inputs.count()
+            == index.inputs.where("created_at <= 300").count()
+        )
+    finally:
+        server.close()
+
+
+def test_read_only_replica_serves_but_refuses_mutations(tmp_path):
+    argv = [
+        "--events", SF_DIR, "--workdir", str(tmp_path / "db"), "--since", "origin",
+        "--gc-interval", "0", "--port", "0",
+    ]
+    main(argv, serve_forever=False).close()
+    replica = main(
+        [
+            "--workdir", str(tmp_path / "db"), "--read-only",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        status, health = _get(f"{replica.url}/health")
+        assert status == 200 and health["connection_status"] == "connected"
+        status, _ = _get(f"{replica.url}/matches")
+        assert status == 200
+        status, body = _request(f"{replica.url}/patterns/%2A", "DELETE")
+        assert status == 503 and "read-only" in body["hint"]
+        status, body = _request(
+            f"{replica.url}/matches/%2A", "PUT",
+            json.dumps({"rollback_to": {"slot_no": 1}, "patterns": ["*"]}).encode(),
+        )
+        assert status in (400, 404, 405, 503)  # rejected, never a mutation
+        status, body = _request(
+            f"{replica.url}/patterns", "PUT",
+            json.dumps({"rollback_to": {"slot_no": 1}, "patterns": ["*"]}).encode(),
+        )
+        assert status == 503 and "read-only" in body["hint"]
+    finally:
+        replica.close()
+
+
+def test_copy_command(tmp_path, spark, index, capsys):
+    from kupo_spark import chainspec as cs
+    from kupo_spark.operators.indexer import read_index, write_index
+    from kupo_spark.patterns import any_to_column, pattern_from_text
+
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    write_index(index, src)
+    deleg = f"*/{cs.delegation_credential_of(5)}"
+    assert main(["copy", "--from", src, "--into", dest, "--match", deleg]) == 0
+    copied = read_index(spark, dest)
+    want = index.inputs.where(any_to_column([pattern_from_text(deleg)])).count()
+    assert want > 0
+    assert copied.inputs.count() == want
+    # a pattern matching nothing still yields a READABLE index (the schema
+    # sidecar survives the zero-part-file partitioned write)
+    empty_dest = str(tmp_path / "empty")
+    addr = cs.address_of(42)  # no tag-02 output of user 42 at this SF
+    assert main(["copy", "--from", src, "--into", empty_dest, "--match", addr]) == 0
+    assert read_index(spark, empty_dest).inputs.count() == 0
+
+
+def test_gardener_loop_prunes(index, monkeypatch):
+    """--gc-interval wires the gardener: a tick swaps in the GC'd index."""
+    import threading
+
+    from kupo_spark.cli import _gardener
+    from kupo_spark.operators.gardener import run_gc
+
+    class _Srv:
+        def __init__(self):
+            self.index = index
+            self._lock = threading.RLock()
+            self.swapped = None
+
+        def _swap_index(self, nxt):
+            self.swapped = nxt
+
+    srv = _Srv()
+    stop = threading.Event()
+    t = threading.Thread(target=_gardener, args=(srv, 0.05, True, stop))
+    t.start()
+    try:
+        for _ in range(200):
+            if srv.swapped is not None:
+                break
+            stop.wait(0.05)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert srv.swapped is not None
+    assert srv.swapped.inputs.count() == run_gc(index).inputs.count()
