@@ -51,10 +51,13 @@ VERSION = "kupo-spark 0.4.0"
 
 
 def parse_since(text: str | None):
-    """``--since``: 'origin' | SLOT | SLOT.HEADERHASH (Options.hs:296-316).
-    Returns None (absent) or (slot, header_hash|None)."""
+    """``--since``: 'origin' | 'tip' | SLOT | SLOT.HEADERHASH
+    (Options.hs:296-316).  Returns None (absent), the sentinel 'tip', or
+    (slot, header_hash|None)."""
     if text is None:
         return None
+    if text == "tip":
+        return "tip"
     if text == "origin":
         return (0, None)
     slot, dot, h = text.partition(".")
@@ -131,6 +134,12 @@ def cmd_run(args, serve_forever: bool = True):
     blocks = None if args.read_only else _load_source(spark, args)
     if blocks is not None and until is not None:
         blocks = blocks.where(blocks.slot_no <= until)
+    if since == "tip":
+        # SinceTip: start at the producer's current tip (S5 FetchTip,
+        # App.hs:444-469) — for a replay source, its final block; the tip
+        # block itself is indexed so the resume point is established
+        row = blocks.agg({"slot_no": "max"}).collect()[0]
+        since = (int(row[0] or 0), None)
 
     store_path = None
     indexer = None

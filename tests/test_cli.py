@@ -115,6 +115,24 @@ def test_run_workdir_sync_then_resume(tmp_path, spark, index):
         )
 
 
+def test_since_tip_starts_at_the_source_tip(index):
+    server = main(
+        [
+            "--events", SF_DIR, "--in-memory", "--since", "tip",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        tip = index.checkpoints.agg({"slot_no": "max"}).collect()[0][0]
+        assert (
+            server.index.inputs.count()
+            == index.inputs.where(f"created_at >= {tip}").count()
+        )
+    finally:
+        server.close()
+
+
 def test_until_bounds_the_sync(index):
     server = main(
         [
