@@ -67,13 +67,15 @@ def parse_since(text: str | None):
 
 
 def parse_until(text: str | None):
-    """``--until``: SLOT | SLOT.HEADERHASH (inclusive, Options.hs:319-329)."""
+    """``--until``: SLOT | SLOT.HEADERHASH (inclusive, Options.hs:319-329).
+    Returns None (absent) or (slot, header_hash|None); a point's hash is
+    asserted against the chain like ``--since``'s."""
     if text is None:
         return None
-    slot, _, _ = text.partition(".")
-    if not slot.isdigit():
+    slot, dot, h = text.partition(".")
+    if not slot.isdigit() or (dot and not h):
         raise SystemExit(f"invalid --until '{text}': expected SLOT or SLOT.HASH")
-    return int(slot)
+    return (int(slot), h.lower() or None)
 
 
 # ---- source selection ----------------------------------------------------
@@ -103,11 +105,40 @@ def _load_source(spark, args):
 
 
 def _assert_point(blocks, slot: int, header_hash: str) -> None:
-    """--since SLOT.HASH: the block at SLOT must carry HASH (the chain-sync
+    """SLOT.HASH points: the block at SLOT must carry HASH (the chain-sync
     intersection check)."""
     rows = blocks.where(blocks.slot_no == slot).select("header_hash").limit(1).collect()
     if not rows or rows[0][0] != header_hash:
-        raise SystemExit(f"--since {slot}.{header_hash}: no such point on the chain")
+        raise SystemExit(f"{slot}.{header_hash}: no such point on the chain")
+
+
+def _resolve_patterns(cli: list[str], store_path: str | None) -> tuple[str, ...]:
+    """``newPatternsCache`` (Configuration.hs:252-268): CLI patterns vs the
+    workdir's persisted set — both empty errors, one empty defers to the
+    other, both set and DIFFERENT errors ('use the HTTP API instead')."""
+    import os
+
+    from kupo_spark.operators.pattern_store import PatternStore
+    from kupo_spark.patterns import pattern_from_text, pattern_to_text
+
+    canon = sorted({pattern_to_text(pattern_from_text(p)) for p in cli})
+    persisted: list[str] = []
+    if store_path is not None and os.path.exists(store_path):
+        persisted = sorted(pattern_to_text(p) for p in PatternStore(store_path).list())
+    if not persisted and not canon:
+        raise SystemExit(
+            "no pattern defined: the indexer would index nothing — "
+            "define matching patterns with --match"
+        )
+    if not canon:
+        return tuple(persisted)
+    if persisted and persisted != canon:
+        raise SystemExit(
+            "configuration patterns are different from previously known "
+            "patterns; restarting with different --match options is not "
+            "allowed — use the HTTP API (PUT /patterns) instead"
+        )
+    return tuple(canon)
 
 
 def _gardener(server, interval: float, prune_utxo: bool, stop: threading.Event):
@@ -129,12 +160,17 @@ def cmd_run(args, serve_forever: bool = True):
 
     since = parse_since(args.since)
     until = parse_until(args.until)
-    patterns = tuple(args.match) if args.match else ("*",)
+    workdir_store = f"{args.workdir}/patterns.txt" if args.workdir else None
+    patterns = _resolve_patterns(
+        list(args.match), workdir_store if not args.in_memory else None
+    )
 
     blocks = None if args.read_only else _load_source(spark, args)
     if blocks is not None and until is not None:
-        blocks = blocks.where(blocks.slot_no <= until)
-    if since == "tip":
+        if until[1] is not None:
+            _assert_point(blocks, *until)
+        blocks = blocks.where(blocks.slot_no <= until[0])
+    if since == "tip" and blocks is not None:
         # SinceTip: start at the producer's current tip (S5 FetchTip,
         # App.hs:444-469) — for a replay source, its final block; the tip
         # block itself is indexed so the resume point is established
@@ -145,13 +181,15 @@ def cmd_run(args, serve_forever: bool = True):
     indexer = None
 
     if args.read_only:
+        # the replica only reads: --since is irrelevant, patterns come
+        # from the master's persisted store (already resolved above)
         if not args.workdir:
             raise SystemExit("--read-only requires --workdir")
         from kupo_spark.streaming.indexer import StreamingIndexer
 
         indexer = StreamingIndexer(args.workdir, patterns=patterns)
         index = indexer.resolved_index(spark)
-        store_path = f"{args.workdir}/patterns.txt"
+        store_path = workdir_store
     elif args.in_memory:
         if since is None:
             raise SystemExit("--since is mandatory on first start")
@@ -179,19 +217,27 @@ def cmd_run(args, serve_forever: bool = True):
         bounded = blocks.where(
             blocks.slot_no > start if had_data else blocks.slot_no >= start
         )
-        import uuid
+        # a restart with nothing new must not pay an ingest commit or a
+        # full base rewrite — restart cost stays O(1), not O(index)
+        ingested = not (had_data and bounded.isEmpty())
+        if ingested:
+            import uuid
 
-        # prune-utxo under a workdir is effected by the gardener loop (the
-        # reference prunes on GC too, App.hs:666-674); the log keeps spent
-        # marks so rollbacks stay cheap
-        indexer.process_batch(bounded, batch_id=0, dedup_scope=f"cli-{uuid.uuid4().hex}")
+            # prune-utxo under a workdir is effected by the gardener loop
+            # (the reference prunes on GC too, App.hs:666-674); the log
+            # keeps spent marks so rollbacks stay cheap
+            indexer.process_batch(
+                bounded, batch_id=0, dedup_scope=f"cli-{uuid.uuid4().hex}"
+            )
         if args.defer_db_indexes:
             index = indexer.resolved_index(spark)
+        elif not ingested and indexer._base_seq() == indexer._next_seq() - 1:
+            index = indexer._base_db().read(spark)  # base already current
         else:
             # compaction = the deferred-indexes endgame: lay the resolved
             # state out as the queryable base (SURVEY §4)
             index = indexer.compact(spark)
-        store_path = f"{args.workdir}/patterns.txt"
+        store_path = workdir_store
 
     from kupo_spark.operators.http_server import KupoHttpServer
 
@@ -208,6 +254,7 @@ def cmd_run(args, serve_forever: bool = True):
         read_only=args.read_only,
     ).start()
     stop = threading.Event()
+    server._stop_gc = stop  # KupoHttpServer.close() sets it (gardener dies with the server)
     if args.gc_interval > 0 and not args.read_only:
         threading.Thread(
             target=_gardener,
@@ -216,7 +263,6 @@ def cmd_run(args, serve_forever: bool = True):
         ).start()
     print(f"kupo-spark listening on {server.url}", file=sys.stderr)
     if not serve_forever:
-        server._stop_gc = stop  # let callers stop the gardener with the server
         return server
     try:
         while True:
@@ -224,7 +270,6 @@ def cmd_run(args, serve_forever: bool = True):
     except KeyboardInterrupt:
         pass
     finally:
-        stop.set()
         server.close()
     return None
 
@@ -235,7 +280,11 @@ def cmd_run(args, serve_forever: bool = True):
 def cmd_copy(args):
     """``copy --from --into [--match]...`` (Options.hs:111; the reference
     copies a filtered database).  Without --match, the source's own pattern
-    store (falling back to '*') decides what survives."""
+    store (falling back to '*') decides what survives.  The source may be
+    either a run workdir (streaming-log/catalog layout) or a plain exported
+    index (write_index layout)."""
+    import os
+
     from kupo_spark.operators.copy import copy_index
     from kupo_spark.operators.indexer import read_index
     from kupo_spark.session import get_spark
@@ -243,8 +292,6 @@ def cmd_copy(args):
     spark = get_spark("kupo-spark-copy")
     patterns = list(args.match)
     if not patterns:
-        import os
-
         store = f"{args.src.rstrip('/')}/patterns.txt"
         if os.path.exists(store):
             from kupo_spark.operators.pattern_store import PatternStore
@@ -253,7 +300,12 @@ def cmd_copy(args):
             patterns = [pattern_to_text(p) for p in PatternStore(store).list()]
         if not patterns:
             patterns = ["*"]
-    index = read_index(spark, args.src)
+    if os.path.isdir(f"{args.src.rstrip('/')}/_catalog"):
+        from kupo_spark.streaming.indexer import StreamingIndexer
+
+        index = StreamingIndexer(args.src, patterns=patterns).resolved_index(spark)
+    else:
+        index = read_index(spark, args.src)
     copy_index(index, patterns, args.dest)
     print(f"copied {args.src} -> {args.dest} ({len(patterns)} pattern(s))", file=sys.stderr)
     return 0

@@ -164,6 +164,9 @@ class KupoHttpServer:
         return f"http://{host}:{port}"
 
     def close(self) -> None:
+        stop = getattr(self, "_stop_gc", None)
+        if stop is not None:
+            stop.set()  # the CLI's gardener loop dies with the server
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()

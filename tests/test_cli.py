@@ -38,18 +38,23 @@ def test_parse_points():
     assert parse_since("origin") == (0, None)
     assert parse_since("123") == (123, None)
     assert parse_since("123.ABCD") == (123, "abcd")
-    assert parse_until("456") == 456
-    assert parse_until("456.ff") == 456
+    assert parse_since("tip") == "tip"
+    assert parse_until("456") == (456, None)
+    assert parse_until("456.FF") == (456, "ff")
     with pytest.raises(SystemExit):
         parse_since("tip-of-nothing")
     with pytest.raises(SystemExit):
         parse_until("nonsense")
+    with pytest.raises(SystemExit):
+        parse_until("300.")  # trailing dot without a hash
+    with pytest.raises(SystemExit):
+        parse_since("300.")
 
 
 def test_run_requires_since_on_fresh_start():
     with pytest.raises(SystemExit, match="since"):
         main(
-            ["--events", SF_DIR, "--in-memory", "--gc-interval", "0", "--port", "0"],
+            ["--events", SF_DIR, "--in-memory", "--match", "*", "--gc-interval", "0", "--port", "0"],
             serve_forever=False,
         )
 
@@ -57,7 +62,7 @@ def test_run_requires_since_on_fresh_start():
 def test_run_requires_exactly_one_source():
     with pytest.raises(SystemExit, match="chain source"):
         main(
-            ["--in-memory", "--since", "origin", "--gc-interval", "0", "--port", "0"],
+            ["--in-memory", "--since", "origin", "--match", "*", "--gc-interval", "0", "--port", "0"],
             serve_forever=False,
         )
 
@@ -65,7 +70,7 @@ def test_run_requires_exactly_one_source():
 def test_run_in_memory_serves_and_health_checks(index):
     server = main(
         [
-            "--events", SF_DIR, "--in-memory", "--since", "origin",
+            "--events", SF_DIR, "--in-memory", "--since", "origin", "--match", "*",
             "--gc-interval", "0", "--port", "0",
         ],
         serve_forever=False,
@@ -87,7 +92,7 @@ def test_run_in_memory_serves_and_health_checks(index):
 
 def test_run_workdir_sync_then_resume(tmp_path, spark, index):
     argv = [
-        "--events", SF_DIR, "--workdir", str(tmp_path / "db"), "--since", "origin",
+        "--events", SF_DIR, "--workdir", str(tmp_path / "db"), "--since", "origin", "--match", "*",
         "--gc-interval", "0", "--port", "0",
     ]
     server = main(argv, serve_forever=False)
@@ -109,7 +114,7 @@ def test_run_workdir_sync_then_resume(tmp_path, spark, index):
         main(
             [
                 "--events", SF_DIR, "--workdir", str(tmp_path / "db"),
-                "--since", "10000000", "--gc-interval", "0", "--port", "0",
+                "--since", "10000000", "--match", "*", "--gc-interval", "0", "--port", "0",
             ],
             serve_forever=False,
         )
@@ -118,7 +123,7 @@ def test_run_workdir_sync_then_resume(tmp_path, spark, index):
 def test_since_tip_starts_at_the_source_tip(index):
     server = main(
         [
-            "--events", SF_DIR, "--in-memory", "--since", "tip",
+            "--events", SF_DIR, "--in-memory", "--since", "tip", "--match", "*",
             "--gc-interval", "0", "--port", "0",
         ],
         serve_forever=False,
@@ -136,7 +141,7 @@ def test_since_tip_starts_at_the_source_tip(index):
 def test_until_bounds_the_sync(index):
     server = main(
         [
-            "--events", SF_DIR, "--in-memory", "--since", "origin", "--until", "300",
+            "--events", SF_DIR, "--in-memory", "--since", "origin", "--match", "*", "--until", "300",
             "--gc-interval", "0", "--port", "0",
         ],
         serve_forever=False,
@@ -152,7 +157,7 @@ def test_until_bounds_the_sync(index):
 
 def test_read_only_replica_serves_but_refuses_mutations(tmp_path):
     argv = [
-        "--events", SF_DIR, "--workdir", str(tmp_path / "db"), "--since", "origin",
+        "--events", SF_DIR, "--workdir", str(tmp_path / "db"), "--since", "origin", "--match", "*",
         "--gc-interval", "0", "--port", "0",
     ]
     main(argv, serve_forever=False).close()
@@ -203,6 +208,93 @@ def test_copy_command(tmp_path, spark, index, capsys):
     addr = cs.address_of(42)  # no tag-02 output of user 42 at this SF
     assert main(["copy", "--from", src, "--into", empty_dest, "--match", addr]) == 0
     assert read_index(spark, empty_dest).inputs.count() == 0
+
+
+def test_run_requires_a_pattern():
+    """newPatternsCache: no persisted patterns + no --match is an error
+    (Configuration.hs:254-258)."""
+    with pytest.raises(SystemExit, match="no pattern"):
+        main(
+            [
+                "--events", SF_DIR, "--in-memory", "--since", "origin",
+                "--gc-interval", "0", "--port", "0",
+            ],
+            serve_forever=False,
+        )
+
+
+def test_restart_with_different_patterns_is_rejected(tmp_path):
+    """newPatternsCache: conflicting CLI vs persisted patterns error out
+    (Configuration.hs:264-268) instead of silently mis-indexing."""
+    base = [
+        "--events", SF_DIR, "--workdir", str(tmp_path / "db"), "--since", "origin",
+        "--gc-interval", "0", "--port", "0",
+    ]
+    main(base + ["--match", "*"], serve_forever=False).close()
+    with pytest.raises(SystemExit, match="different"):
+        main(base + ["--match", "*/*"], serve_forever=False)
+    # no --match at all defers to the persisted set and resumes fine
+    server = main(base, serve_forever=False)
+    try:
+        assert server.store.list()
+    finally:
+        server.close()
+
+
+def test_restart_without_new_blocks_commits_nothing(tmp_path):
+    """A restart that ingests nothing must not append a log entry or
+    rewrite the base — restart cost is O(1), not O(index)."""
+    from kupo_spark.streaming.indexer import StreamingIndexer
+
+    argv = [
+        "--events", SF_DIR, "--workdir", str(tmp_path / "db"), "--since", "origin",
+        "--match", "*", "--gc-interval", "0", "--port", "0",
+    ]
+    main(argv, serve_forever=False).close()
+    seq_before = StreamingIndexer(str(tmp_path / "db"))._next_seq()
+    main(argv, serve_forever=False).close()
+    assert StreamingIndexer(str(tmp_path / "db"))._next_seq() == seq_before
+
+
+def test_copy_from_a_run_workdir(tmp_path, spark, index):
+    """copy --from accepts a run workdir (streaming-log layout), the
+    reference binary's documented use."""
+    from kupo_spark.operators.indexer import read_index
+
+    argv = [
+        "--events", SF_DIR, "--workdir", str(tmp_path / "db"), "--since", "origin",
+        "--match", "*", "--gc-interval", "0", "--port", "0",
+    ]
+    main(argv, serve_forever=False).close()
+    dest = str(tmp_path / "export")
+    assert main(["copy", "--from", str(tmp_path / "db"), "--into", dest]) == 0
+    assert read_index(spark, dest).inputs.count() == index.inputs.count()
+
+
+def test_until_point_hash_is_asserted():
+    with pytest.raises(SystemExit, match="no such point"):
+        main(
+            [
+                "--events", SF_DIR, "--in-memory", "--since", "origin",
+                "--match", "*", "--until", "300.deadbeef",
+                "--gc-interval", "0", "--port", "0",
+            ],
+            serve_forever=False,
+        )
+
+
+def test_close_stops_the_gardener(tmp_path):
+    """KupoHttpServer.close() kills the CLI's gardener thread."""
+    server = main(
+        [
+            "--events", SF_DIR, "--in-memory", "--since", "origin", "--match", "*",
+            "--gc-interval", "3600", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    assert not server._stop_gc.is_set()
+    server.close()
+    assert server._stop_gc.is_set()
 
 
 def test_gardener_loop_prunes(index, monkeypatch):
