@@ -29,7 +29,11 @@ ServerOutput NDJSON).  Semantics preserved:
   in the background while serving;
 - ``--read-only`` serves an existing workdir and refuses mutations
   (``Options.hs:363-370``);
-- ``--in-memory`` builds the index without a durable workdir.
+- ``--in-memory`` builds the index without a durable workdir;
+- ``--follow`` is the reference's continuous operation (producer +
+  consumer + gardener + HTTP server concurrently, ``src/Kupo.hs:
+  259-317``): the events directory is watched for new files, each
+  micro-batch commits through the ACID log and swaps the served index.
 """
 
 from __future__ import annotations
@@ -89,9 +93,16 @@ def _load_source(spark, args):
             "exactly one chain source required: --events, --ogmios-file or --hydra-file"
         )
     if args.events:
-        from kupo_spark.chaingen import load_blocks
+        import os
 
-        return load_blocks(spark, args.events.rstrip("/").removesuffix("/events.parquet"))
+        from kupo_spark.chaingen import blocks_from_events, load_blocks
+
+        base = args.events.rstrip("/").removesuffix("/events.parquet")
+        if os.path.exists(f"{base}/events.parquet"):
+            return load_blocks(spark, base)
+        # a bare directory of event parquet files (the --follow layout)
+        ev = spark.read.schema("event_id BIGINT, user_id BIGINT").parquet(base)
+        return blocks_from_events(ev)
     if args.ogmios_file:
         from kupo_spark.sources.ogmios import read_ogmios_jsonl
 
@@ -158,6 +169,8 @@ def cmd_run(args, serve_forever: bool = True):
 
     spark = get_spark("kupo-spark")
 
+    if args.follow and (args.in_memory or args.read_only):
+        raise SystemExit("--follow requires a writable --workdir (not --in-memory/--read-only)")
     since = parse_since(args.since)
     until = parse_until(args.until)
     workdir_store = f"{args.workdir}/patterns.txt" if args.workdir else None
@@ -179,6 +192,7 @@ def cmd_run(args, serve_forever: bool = True):
 
     store_path = None
     indexer = None
+    holder: dict = {}  # --follow: late-bound server + stream query
 
     if args.read_only:
         # the replica only reads: --since is irrelevant, patterns come
@@ -202,6 +216,59 @@ def cmd_run(args, serve_forever: bool = True):
             bounded, patterns=patterns, prune_utxo=args.prune_utxo, cache=True
         )
         index.inputs.count()  # materialize (kupo syncs before serving)
+    elif args.follow:
+        # continuous mode — the reference's normal operation: producer +
+        # consumer run concurrently with the HTTP server (concurrently4,
+        # src/Kupo.hs:259-317).  The file-source stream is the chain-sync
+        # producer: new event files appearing in the directory are new
+        # blocks; each micro-batch commits through the ACID log and swaps
+        # the served index.
+        if not args.workdir:
+            raise SystemExit("--follow requires --workdir")
+        if not args.events:
+            raise SystemExit("--follow requires an --events directory source")
+        from kupo_spark.streaming.indexer import (
+            StreamingIndexer,
+            start_or_resume,
+            stream_blocks_from_events_dir,
+        )
+
+        indexer = StreamingIndexer(args.workdir, patterns=patterns)
+        had_data = bool(indexer._committed())
+        start = start_or_resume(indexer, spark, None if since is None else since[0])
+        stream = stream_blocks_from_events_dir(spark, args.events)
+        if until is not None:
+            stream = stream.where(stream.slot_no <= until[0])
+        stream = stream.where(
+            stream.slot_no > start if had_data else stream.slot_no >= start
+        )
+        ckpt = f"{args.workdir}/_stream_checkpoint"
+
+        def body(df, batch_id):
+            indexer.process_batch(df, batch_id, dedup_scope=ckpt)
+            srv = holder.get("server")
+            if srv is not None:
+                srv._swap_index(indexer.resolved_index(spark))
+
+        query = (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+        # serve as soon as the log is non-empty (kupo answers queries while
+        # syncing; an empty log has no resolvable state yet)
+        deadline = time.time() + 300
+        while not indexer._committed():
+            if query.exception() is not None:
+                raise query.exception()
+            if time.time() > deadline:
+                query.stop()
+                raise SystemExit("--follow: no batch committed within 300 s")
+            time.sleep(0.2)
+        index = indexer.resolved_index(spark)
+        store_path = workdir_store
+        holder["query"] = query
     else:
         if not args.workdir:
             raise SystemExit("one of --workdir or --in-memory is required")
@@ -255,6 +322,9 @@ def cmd_run(args, serve_forever: bool = True):
     ).start()
     stop = threading.Event()
     server._stop_gc = stop  # KupoHttpServer.close() sets it (gardener dies with the server)
+    if holder.get("query") is not None:
+        server._stream_query = holder["query"]  # close() stops the follow stream
+        holder["server"] = server  # subsequent micro-batches swap the served index
     if args.gc_interval > 0 and not args.read_only:
         threading.Thread(
             target=_gardener,
@@ -369,6 +439,11 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--match", action="append", default=[], metavar="PATTERN",
         help="pattern to match on; repeatable (logical 'or')",
+    )
+    p.add_argument(
+        "--follow", action="store_true",
+        help="continuous mode: keep following the --events directory for new "
+        "event files while serving (the upstream's normal operation)",
     )
     p.add_argument("--prune-utxo", action="store_true")
     p.add_argument("--gc-interval", type=float, default=3600, metavar="SECONDS")

@@ -167,6 +167,12 @@ class KupoHttpServer:
         stop = getattr(self, "_stop_gc", None)
         if stop is not None:
             stop.set()  # the CLI's gardener loop dies with the server
+        query = getattr(self, "_stream_query", None)
+        if query is not None:
+            try:
+                query.stop()  # the CLI's --follow stream dies with the server
+            except Exception:
+                pass
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()

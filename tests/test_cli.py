@@ -297,6 +297,56 @@ def test_close_stops_the_gardener(tmp_path):
     assert server._stop_gc.is_set()
 
 
+def test_follow_mode_serves_while_syncing(tmp_path, spark, index):
+    """--follow: continuous sync + serve (the reference's concurrently4
+    runtime) — a new event file appearing in the source directory grows
+    the served index without a restart."""
+    import shutil
+    import time
+
+    import duckdb
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT event_id, user_id FROM read_parquet('{SF_DIR}/events.parquet') "
+        "WHERE event_id < 500) TO "
+        f"'{events_dir}/part1.parquet' (FORMAT parquet)"
+    )
+    server = main(
+        [
+            "--events", str(events_dir), "--workdir", str(tmp_path / "db"),
+            "--follow", "--since", "origin", "--match", "*",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        status, h1 = _get(f"{server.url}/health")
+        assert status == 200 and h1["most_recent_checkpoint"] is not None
+        # a second file = new blocks arriving on the chain
+        con.execute(
+            f"COPY (SELECT event_id, user_id FROM read_parquet('{SF_DIR}/events.parquet') "
+            "WHERE event_id >= 500) TO "
+            f"'{events_dir}/part2.parquet' (FORMAT parquet)"
+        )
+        deadline = time.time() + 240
+        tip = h1["most_recent_checkpoint"]
+        while time.time() < deadline:
+            _, h2 = _get(f"{server.url}/health")
+            if h2["most_recent_checkpoint"] > tip:
+                break
+            time.sleep(0.5)
+        assert h2["most_recent_checkpoint"] > tip, "follow stream never advanced"
+        # the followed index converges to the batch build over the same events
+        _, matches = _get(f"{server.url}/matches")
+        assert len(matches) == index.inputs.count()
+    finally:
+        server.close()
+    assert not server._stream_query.isActive  # close() stopped the stream
+
+
 def test_gardener_loop_prunes(index, monkeypatch):
     """--gc-interval wires the gardener: a tick swaps in the GC'd index."""
     import threading
