@@ -225,8 +225,10 @@ def cmd_run(args, serve_forever: bool = True):
         # the served index.
         if not args.workdir:
             raise SystemExit("--follow requires --workdir")
-        if not args.events:
-            raise SystemExit("--follow requires an --events directory source")
+        if not (args.events or args.ogmios_file):
+            raise SystemExit(
+                "--follow requires an --events or --ogmios-file directory source"
+            )
         from kupo_spark.streaming.indexer import (
             StreamingIndexer,
             start_or_resume,
@@ -236,19 +238,63 @@ def cmd_run(args, serve_forever: bool = True):
         indexer = StreamingIndexer(args.workdir, patterns=patterns)
         had_data = bool(indexer._committed())
         start = start_or_resume(indexer, spark, None if since is None else since[0])
-        stream = stream_blocks_from_events_dir(spark, args.events)
-        if until is not None:
-            stream = stream.where(stream.slot_no <= until[0])
-        stream = stream.where(
-            stream.slot_no > start if had_data else stream.slot_no >= start
-        )
         ckpt = f"{args.workdir}/_stream_checkpoint"
 
-        def body(df, batch_id):
-            indexer.process_batch(df, batch_id, dedup_scope=ckpt)
+        def _bound(bdf):
+            if until is not None:
+                bdf = bdf.where(bdf.slot_no <= until[0])
+            return bdf.where(
+                bdf.slot_no > start if had_data else bdf.slot_no >= start
+            )
+
+        def _swap(batch_id):
             srv = holder.get("server")
             if srv is not None:
                 srv._swap_index(indexer.resolved_index(spark))
+
+        if args.events:
+            stream = _bound(stream_blocks_from_events_dir(spark, args.events))
+
+            def body(df, batch_id):
+                indexer.process_batch(df, batch_id, dedup_scope=ckpt)
+                _swap(batch_id)
+
+        else:
+            # Ogmios NDJSON segments: the live chain-sync INCLUDING
+            # RollBackward retractions.  Bridge contract (documented): one
+            # segment file per delivery, discovered in arrival order, at
+            # most one rollback per segment and before its forwards — the
+            # shape a reconnecting chain-sync produces (the server answers
+            # an intersection with RollBackward first, then forwards).
+            from kupo_spark.sources.ogmios import (
+                decode_next_block,
+                partial_blocks,
+                rollback_points,
+            )
+
+            stream = (
+                spark.readStream.option("maxFilesPerTrigger", "1")
+                .text(args.ogmios_file)
+            )
+
+            def body(df, batch_id):
+                key = f"{ckpt}:{batch_id}"
+                if any(m.get("key") == key for m in indexer._committed()):
+                    return  # replayed delivery — both writes already landed
+                decoded = decode_next_block(df)
+                rbs = [
+                    r.slot_no
+                    for r in rollback_points(decoded).collect()
+                    if r.slot_no is not None
+                ]
+                if rbs:
+                    # retraction-as-data (M1): resolved reads drop newer-
+                    # than-point rows committed before this record
+                    indexer.append_rollback(min(rbs))
+                indexer.process_batch(
+                    _bound(partial_blocks(decoded)), batch_id, dedup_scope=ckpt
+                )
+                _swap(batch_id)
 
         query = (
             stream.writeStream.foreachBatch(body)

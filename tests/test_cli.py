@@ -347,6 +347,96 @@ def test_follow_mode_serves_while_syncing(tmp_path, spark, index):
     assert not server._stream_query.isActive  # close() stopped the stream
 
 
+def _ogmios_fwd(slot: int, txid: str, addr: str) -> str:
+    return json.dumps(
+        {
+            "jsonrpc": "2.0",
+            "method": "nextBlock",
+            "result": {
+                "direction": "forward",
+                "tip": {"slot": 500, "id": "9" * 64, "height": 50},
+                "block": {
+                    "type": "praos",
+                    "era": "conway",
+                    "id": f"{slot:064x}",
+                    "slot": slot,
+                    "height": slot,
+                    "transactions": [
+                        {
+                            "id": txid,
+                            "spends": "inputs",
+                            "inputs": [
+                                {"transaction": {"id": "0" * 64}, "index": 0}
+                            ],
+                            "outputs": [
+                                {
+                                    "address": addr,
+                                    "value": {"ada": {"lovelace": 1000}},
+                                }
+                            ],
+                        }
+                    ],
+                },
+            },
+        }
+    )
+
+
+def _ogmios_bwd(slot: int) -> str:
+    return json.dumps(
+        {
+            "jsonrpc": "2.0",
+            "method": "nextBlock",
+            "result": {
+                "direction": "backward",
+                "tip": {"slot": 500, "id": "9" * 64, "height": 50},
+                "point": {"slot": slot, "id": "8" * 64},
+            },
+        }
+    )
+
+
+def test_follow_ogmios_applies_rollbacks(tmp_path):
+    """--follow over Ogmios NDJSON segments: a RollBackward retracts the
+    rolled-back suffix from the SERVED index and the replayed forwards
+    re-index — live chain-sync including retractions."""
+    import time
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    (seg_dir / "seg1.jsonl").write_text(_ogmios_fwd(100, "a" * 64, "addr1aaa") + "\n")
+    server = main(
+        [
+            "--ogmios-file", str(seg_dir), "--workdir", str(tmp_path / "db"),
+            "--follow", "--since", "origin", "--match", "*",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            if matches:
+                break
+            time.sleep(0.5)
+        assert {m["created_at"]["slot_no"] for m in matches} == {100}
+        # the chain forks: roll back to 90, then a different block at 95
+        (seg_dir / "seg2.jsonl").write_text(
+            _ogmios_bwd(90) + "\n" + _ogmios_fwd(95, "b" * 64, "addr1bbb") + "\n"
+        )
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            slots = {m["created_at"]["slot_no"] for m in matches}
+            if slots == {95}:
+                break
+            time.sleep(0.5)
+        assert slots == {95}, f"retraction not applied, served slots: {slots}"
+        assert {m["transaction_id"] for m in matches} == {"b" * 64}
+    finally:
+        server.close()
+
+
 def test_gardener_loop_prunes(index, monkeypatch):
     """--gc-interval wires the gardener: a tick swaps in the GC'd index."""
     import threading
