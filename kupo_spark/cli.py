@@ -104,8 +104,16 @@ def _load_source(spark, args):
         ev = spark.read.schema("event_id BIGINT, user_id BIGINT").parquet(base)
         return blocks_from_events(ev)
     if args.ogmios_file:
-        from kupo_spark.sources.ogmios import read_ogmios_jsonl
+        import os
 
+        from kupo_spark.sources.ogmios import canonical_blocks, read_ogmios_jsonl
+
+        if os.path.isdir(args.ogmios_file):
+            # a segment DIRECTORY (the --follow layout) may carry
+            # RollBackward records: the batch view must net them out or a
+            # replay (PUT /patterns backfill, batch sync) would resurrect
+            # rolled-back blocks
+            return canonical_blocks(spark, args.ogmios_file)
         return read_ogmios_jsonl(spark, args.ogmios_file)
     from kupo_spark.sources.hydra import read_hydra_jsonl
 
@@ -238,6 +246,8 @@ def cmd_run(args, serve_forever: bool = True):
         indexer = StreamingIndexer(args.workdir, patterns=patterns)
         had_data = bool(indexer._committed())
         start = start_or_resume(indexer, spark, None if since is None else since[0])
+        if since is not None and since != "tip" and since[1] is not None:
+            _assert_point(blocks, *since)
         ckpt = f"{args.workdir}/_stream_checkpoint"
 
         def _bound(bdf):
@@ -247,7 +257,26 @@ def cmd_run(args, serve_forever: bool = True):
                 bdf.slot_no > start if had_data else bdf.slot_no >= start
             )
 
+        def _maybe_compact():
+            # fold the log into the base every gc-interval, WITH the
+            # gardener's GC (M2/M3) applied — serialized with ingest (runs
+            # inside the stream body) so the base commit cannot race a
+            # concurrent batch; also bounds the per-swap replay cost
+            if args.gc_interval <= 0:
+                return
+            now = time.monotonic()
+            if now - holder.get("last_compact", now) >= args.gc_interval:
+                from kupo_spark.operators.gardener import run_gc
+                from kupo_spark.operators.maintenance import prune_binary_data
+
+                gc = run_gc if args.prune_utxo else prune_binary_data
+                with indexer.write_lock:  # no PUT /patterns mid-compaction
+                    indexer.compact(spark, transform=gc)
+                holder["last_compact"] = time.monotonic()
+            holder.setdefault("last_compact", now)
+
         def _swap(batch_id):
+            _maybe_compact()
             srv = holder.get("server")
             if srv is not None:
                 srv._swap_index(indexer.resolved_index(spark))
@@ -256,7 +285,10 @@ def cmd_run(args, serve_forever: bool = True):
             stream = _bound(stream_blocks_from_events_dir(spark, args.events))
 
             def body(df, batch_id):
-                indexer.process_batch(df, batch_id, dedup_scope=ckpt)
+                # writer serialization: a concurrent PUT /patterns holds the
+                # same lock across its rollback + backfill (mailbox analog)
+                with indexer.write_lock:
+                    indexer.process_batch(df, batch_id, dedup_scope=ckpt)
                 _swap(batch_id)
 
         else:
@@ -278,22 +310,34 @@ def cmd_run(args, serve_forever: bool = True):
             )
 
             def body(df, batch_id):
-                key = f"{ckpt}:{batch_id}"
-                if any(m.get("key") == key for m in indexer._committed()):
-                    return  # replayed delivery — both writes already landed
-                decoded = decode_next_block(df)
-                rbs = [
-                    r.slot_no
-                    for r in rollback_points(decoded).collect()
-                    if r.slot_no is not None
-                ]
-                if rbs:
-                    # retraction-as-data (M1): resolved reads drop newer-
-                    # than-point rows committed before this record
-                    indexer.append_rollback(min(rbs))
-                indexer.process_batch(
-                    _bound(partial_blocks(decoded)), batch_id, dedup_scope=ckpt
-                )
+                with indexer.write_lock:
+                    key = f"{ckpt}:{batch_id}"
+                    if any(m.get("key") == key for m in indexer._committed()):
+                        return  # replayed delivery — both writes already landed
+                    decoded = decode_next_block(df).persist()
+                    try:
+                        rb_rows = rollback_points(decoded).collect()
+                        if any(r.slot_no is None for r in rb_rows):
+                            # a retraction that cannot be decoded cannot be
+                            # skipped (the reference fails the parse too) —
+                            # fail the stream loudly, never index on a fork
+                            raise ValueError(
+                                "malformed RollBackward point in segment"
+                            )
+                        if rb_rows:
+                            # retraction-as-data (M1): resolved reads drop
+                            # newer-than-point rows committed before this
+                            # record
+                            indexer.append_rollback(
+                                min(r.slot_no for r in rb_rows)
+                            )
+                        indexer.process_batch(
+                            _bound(partial_blocks(decoded)),
+                            batch_id,
+                            dedup_scope=ckpt,
+                        )
+                    finally:
+                        decoded.unpersist()
                 _swap(batch_id)
 
         query = (
@@ -365,13 +409,21 @@ def cmd_run(args, serve_forever: bool = True):
         host=args.host,
         port=args.port,
         read_only=args.read_only,
+        streaming=indexer if args.follow else None,
     ).start()
     stop = threading.Event()
     server._stop_gc = stop  # KupoHttpServer.close() sets it (gardener dies with the server)
     if holder.get("query") is not None:
         server._stream_query = holder["query"]  # close() stops the follow stream
         holder["server"] = server  # subsequent micro-batches swap the served index
-    if args.gc_interval > 0 and not args.read_only:
+        # close the registration race: a micro-batch that committed while
+        # the server was being constructed found no server to swap — serve
+        # the log's CURRENT state, not the pre-construction snapshot
+        server._swap_index(indexer.resolved_index(spark))
+    if args.gc_interval > 0 and not args.read_only and not args.follow:
+        # batch mode only: in --follow the gardener folds into the
+        # in-body compaction (an in-memory GC'd copy would be reverted by
+        # the next batch swap)
         threading.Thread(
             target=_gardener,
             args=(server, args.gc_interval, args.prune_utxo, stop),

@@ -86,6 +86,7 @@ _ERRORS = {
     "method_not_allowed": (405, "Method not allowed on this route."),
     "no_replay_source": (503, "No replay source configured; PUT /patterns unavailable."),
     "read_only": (503, "This is a read-only replica; mutations are unavailable."),
+    "log_backed": (503, "DELETE /matches is unavailable while following the chain; stop the stream and use copy/maintenance."),
 }
 
 
@@ -114,6 +115,7 @@ class KupoHttpServer:
         host: str = "127.0.0.1",
         port: int = 0,
         read_only: bool = False,
+        streaming=None,
     ):
         from kupo_spark.chainspec import LONGEST_ROLLBACK
 
@@ -122,6 +124,10 @@ class KupoHttpServer:
         # --read-only replica (Options.hs:363-370): serve queries, refuse
         # mutations — the master write server owns the index
         self._read_only = read_only
+        # log-backed mode (--follow): a StreamingIndexer owns the state.
+        # Mutations must go through ITS log — an in-memory rewrite would be
+        # silently reverted by the next micro-batch's index swap.
+        self._streaming = streaming
         self._lock = threading.RLock()
         self._longest_rollback = (
             LONGEST_ROLLBACK if longest_rollback is None else longest_rollback
@@ -189,6 +195,11 @@ class KupoHttpServer:
     def _delete_matches(self, pattern_text: str) -> int:
         if self._read_only:
             raise _Unavailable("read_only")
+        if self._streaming is not None:
+            # documented divergence: no log-level delete-by-pattern record
+            # exists, and an in-memory delete would resurrect on the next
+            # batch swap — refuse honestly instead
+            raise _Unavailable("log_backed")
         p = self.store.guard_delete_matches(pattern_text)  # raises on overlap
         with self._lock:
             n = self.index.inputs.where(to_column(p)).count()
@@ -209,6 +220,27 @@ class KupoHttpServer:
             raise _Unavailable("read_only")
         if self._blocks is None:
             raise _Unavailable("no_replay_source")
+        if self._streaming is not None:
+            # --follow: route through the LOG-level operator (M5) — the
+            # rollback + install + backfill land as commits the next batch
+            # swap preserves, and the indexer's pattern set updates for
+            # subsequent micro-batches
+            try:
+                new = self._streaming.put_patterns(
+                    self._spark,
+                    new_patterns,
+                    rollback_slot,
+                    self._blocks,
+                    self._longest_rollback,
+                )
+            except ValueError as e:
+                key = "unsafe_rollback" if "safe zone" in str(e) else "unknown_point"
+                raise _Unavailable(key) from e
+            with self._lock:
+                for p in new:
+                    self.store.add(p)
+                self._swap_index(self._streaming.resolved_index(self._spark))
+                return [pattern_to_text(p) for p in self.store.list()]
         row = self.index.checkpoints.agg(
             F.max("slot_no").alias("tip"),
             F.max(F.when(F.col("slot_no") == rollback_slot, 1)).alias("hit"),
@@ -342,7 +374,11 @@ def _make_handler(srv: KupoHttpServer):
         def _route(self, method: str):
             try:
                 u = urlparse(self.path)
-                parts = [p for p in u.path.split("/") if p]
+                # percent-decode path segments (Warp does upstream: a
+                # client may send /matches/%2A for /matches/*)
+                from urllib.parse import unquote
+
+                parts = [unquote(p) for p in u.path.split("/") if p]
                 if parts and parts[0] == "v1":
                     parts = parts[1:]
                 q = parse_qs(u.query, keep_blank_values=True)

@@ -94,11 +94,14 @@ NEXT_BLOCK_DDL = (
 )
 
 
-def decode_next_block(df: DataFrame, value_col: str = "value") -> DataFrame:
-    """Parse raw nextBlock JSON documents; one row per response."""
-    return df.select(F.from_json(value_col, NEXT_BLOCK_DDL).alias("r")).select(
-        "r.result.*"
-    )
+def decode_next_block(
+    df: DataFrame, value_col: str = "value", keep: tuple = ()
+) -> DataFrame:
+    """Parse raw nextBlock JSON documents; one row per response.  ``keep``
+    carries extra input columns (e.g. a file-order column) through."""
+    cols = [F.from_json(value_col, NEXT_BLOCK_DDL).alias("r")]
+    cols += [F.col(c) for c in keep]
+    return df.select(*cols).select("r.result.*", *keep)
 
 
 # ---------------------------------------------------------------------------
@@ -426,9 +429,7 @@ def rollback_points(decoded: DataFrame) -> DataFrame:
     bwd = decoded.where(F.col("direction") == "backward")
     is_origin = F.try_variant_get(F.col("point"), "$", "string") == F.lit("origin")
     return bwd.select(
-        F.when(is_origin, F.lit(0))
-        .otherwise(F.try_variant_get(F.col("point"), "$.slot", "long"))
-        .alias("slot_no"),
+        _rollback_slot_col().alias("slot_no"),
         F.when(is_origin, F.lit(None).cast("string"))
         .otherwise(F.try_variant_get(F.col("point"), "$.id", "string"))
         .alias("header_hash"),
@@ -468,6 +469,46 @@ def witness_scripts(decoded: DataFrame) -> DataFrame:
 def read_ogmios_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Batch-read an NDJSON log of nextBlock responses → blocks."""
     return partial_blocks(decode_next_block(spark.read.text(path)))
+
+
+#: RollBackward point → slot ('origin' → 0); shared by rollback_points and
+#: the canonical segment view
+def _rollback_slot_col():
+    is_origin = F.try_variant_get(F.col("point"), "$", "string") == F.lit("origin")
+    return F.when(is_origin, F.lit(0)).otherwise(
+        F.try_variant_get(F.col("point"), "$.slot", "long")
+    )
+
+
+def canonical_blocks(spark: SparkSession, seg_dir: str) -> DataFrame:
+    """Batch view of an NDJSON SEGMENT DIRECTORY with RollBackward records
+    netted out — the canonical chain a batch replay (e.g. the PUT /patterns
+    backfill) must see.
+
+    Bridge contract (the shape a reconnecting chain-sync produces, and the
+    same contract the --follow stream documents): segment file names sort
+    in delivery order, and within a file any rollback precedes its
+    forwards.  Then a forward block at slot ``s`` in file ``f`` is dead
+    iff some rollback in a strictly LATER file carries a point ``< s`` —
+    an anti-join against the (tiny) rollback list, no row ordering needed.
+    """
+    raw = spark.read.text(seg_dir).withColumn("_file", F.input_file_name())
+    decoded = decode_next_block(raw, keep=("_file",))
+    rbs = decoded.where(F.col("direction") == "backward").select(
+        F.col("_file").alias("_rb_file"),
+        _rollback_slot_col().alias("_rb_slot"),
+    )
+    fwd = decoded.where(F.col("direction") == "forward")
+    # non-equi anti-join: pin BroadcastNestedLoopJoin — rollbacks are rare
+    # (one per reconnect/fork), so the build side stays tiny at any scale
+    # while the forward side streams through unshuffled
+    alive = fwd.join(
+        F.broadcast(rbs),
+        (F.col("_rb_file") > F.col("_file"))
+        & (F.col("_rb_slot") < F.col("block.slot")),
+        "left_anti",
+    )
+    return partial_blocks(alive.drop("_file"))
 
 
 def stream_ogmios_jsonl(spark: SparkSession, path: str) -> DataFrame:

@@ -64,10 +64,18 @@ LOG_TABLES = ("produced", "spends", "checkpoints", "binary_data", "scripts")
 
 class StreamingIndexer:
     def __init__(self, out_dir: str, patterns=("*",)):
+        import threading
+
         self.out_dir = out_dir
         self.patterns = [
             pattern_from_text(p) if isinstance(p, str) else p for p in patterns
         ]
+        # serializes multi-commit writers: the follow stream's micro-batch
+        # body vs an HTTP PUT /patterns (rollback + backfill must not
+        # interleave with a concurrent batch — the reference serializes
+        # both through the consumer's mailbox, App.hs:311-346).  Re-entrant
+        # so put_patterns' own process_batch nests under it.
+        self.write_lock = threading.RLock()
         Path(out_dir).mkdir(parents=True, exist_ok=True)
         self._catalog = Catalog(Path(out_dir) / "_catalog")
         self._entries_cache: list[dict] | None = None
@@ -273,33 +281,36 @@ class StreamingIndexer:
         from kupo_spark.chainspec import LONGEST_ROLLBACK
 
         k = LONGEST_ROLLBACK if longest_rollback is None else longest_rollback
-        cps = self._alive(self._read_log(spark, "checkpoints"), "slot_no")
-        row = cps.agg(
-            F.max("slot_no").alias("tip"),
-            F.max(F.when(F.col("slot_no") == rollback_slot, 1)).alias("hit"),
-        ).collect()[0]
-        tip = row["tip"]
-        if tip is None or row["hit"] is None:
-            raise ValueError(
-                f"rollback point {rollback_slot} is not a known checkpoint"
+        with self.write_lock:
+            cps = self._alive(self._read_log(spark, "checkpoints"), "slot_no")
+            row = cps.agg(
+                F.max("slot_no").alias("tip"),
+                F.max(F.when(F.col("slot_no") == rollback_slot, 1)).alias("hit"),
+            ).collect()[0]
+            tip = row["tip"]
+            if tip is None or row["hit"] is None:
+                raise ValueError(
+                    f"rollback point {rollback_slot} is not a known checkpoint"
+                )
+            if tip - rollback_slot > k:
+                raise ValueError(
+                    f"rollback point {rollback_slot} is beyond the safe zone: "
+                    f"tip {tip} - k {k} (Http.hs:866-872)"
+                )
+            store = self.pattern_store()
+            if not store.list():  # seed with the currently active set
+                for p in self.patterns:
+                    store.add(p)
+            self.append_rollback(rollback_slot)
+            new_list = (
+                [patterns] if not isinstance(patterns, (list, tuple)) else list(patterns)
             )
-        if tip - rollback_slot > k:
-            raise ValueError(
-                f"rollback point {rollback_slot} is beyond the safe zone: "
-                f"tip {tip} - k {k} (Http.hs:866-872)"
-            )
-        store = self.pattern_store()
-        if not store.list():  # seed with the currently active set
-            for p in self.patterns:
-                store.add(p)
-        self.append_rollback(rollback_slot)
-        new_list = [patterns] if not isinstance(patterns, (list, tuple)) else list(patterns)
-        for p in new_list:
-            store.add(pattern_from_text(p) if isinstance(p, str) else p)
-        self.patterns = store.list()
-        backfill = replay_blocks.where(F.col("slot_no") > rollback_slot)
-        self.process_batch(backfill, 0)
-        return self.patterns
+            for p in new_list:
+                store.add(pattern_from_text(p) if isinstance(p, str) else p)
+            self.patterns = store.list()
+            backfill = replay_blocks.where(F.col("slot_no") > rollback_slot)
+            self.process_batch(backfill, 0)
+            return self.patterns
 
     # ---- resolve: replay logs into a queryable Index --------------------
 
@@ -412,7 +423,11 @@ class StreamingIndexer:
         )
 
     def compact(
-        self, spark: SparkSession, dest: str | None = None, slot_bucket: int = 1000
+        self,
+        spark: SparkSession,
+        dest: str | None = None,
+        slot_bucket: int = 1000,
+        transform=None,
     ):
         """Materialize the resolved logs as a queryable index (gardener M6 /
         Delta OPTIMIZE analog).
@@ -427,10 +442,17 @@ class StreamingIndexer:
         reads base + only newer log rows, so replay cost stays bounded
         while ingest keeps appending.  Old bases remain time-travelable
         (``IndexDB.read(spark, db_version=...)``) until
-        ``IndexDB.vacuum``.  With an explicit ``dest`` it is an export."""
+        ``IndexDB.vacuum``.  With an explicit ``dest`` it is an export.
+
+        ``transform`` (optional Index → Index) is applied to the resolved
+        state before it is committed — the gardener's GC (M2/M3) folds into
+        the compaction pass this way, so a follow-mode deployment never
+        needs a second in-memory pruned copy."""
         from kupo_spark.operators.indexer import write_index
 
         resolved = self.resolved_index(spark)
+        if transform is not None:
+            resolved = transform(resolved)
         if dest is None:
             base_seq = self._next_seq() - 1
             db = self._base_db()
@@ -488,11 +510,17 @@ def start_or_resume(
         return since
     from pyspark.sql import functions as FF
 
+    # rollback-aware: the raw checkpoints log still carries retracted rows
+    # (retraction-as-data) — resuming from a rolled-back (dead) tip would
+    # silently discard every post-fork block below it
     tip = (
-        indexer._read_log(spark, "checkpoints")
+        indexer._alive(indexer._read_log(spark, "checkpoints"), "slot_no")
         .agg(FF.max("slot_no"))
         .collect()[0][0]
     )
+    if tip is None:
+        # everything retracted: start over from `since` (or origin)
+        return since if since is not None else 0
     if since is not None and since > tip:
         # errConflictingSinceOptions: only a --since NEWER than the most
         # recent checkpoint conflicts (Configuration.hs:203-211)

@@ -433,6 +433,42 @@ def test_follow_ogmios_applies_rollbacks(tmp_path):
             time.sleep(0.5)
         assert slots == {95}, f"retraction not applied, served slots: {slots}"
         assert {m["transaction_id"] for m in matches} == {"b" * 64}
+        # DELETE /matches would be silently reverted by the next batch
+        # swap — the log-backed server refuses it honestly
+        status, body = _request(f"{server.url}/matches/%2A", "DELETE")
+        assert status == 503 and "following" in body["hint"]
+    finally:
+        server.close()
+    # restart AFTER the rollback: the resume tip must be the post-fork 95,
+    # not the dead 100 — otherwise the next segments are silently dropped
+    (seg_dir / "seg3.jsonl").write_text(_ogmios_fwd(97, "c" * 64, "addr1ccc") + "\n")
+    server = main(
+        [
+            "--ogmios-file", str(seg_dir), "--workdir", str(tmp_path / "db"),
+            "--follow", "--match", "*", "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            slots = {m["created_at"]["slot_no"] for m in matches}
+            if slots == {95, 97}:
+                break
+            time.sleep(0.5)
+        assert slots == {95, 97}, f"post-fork resume dropped blocks: {slots}"
+        # PUT /patterns routes through the LOG (rollback + install +
+        # backfill land as commits the batch swaps preserve)
+        status, active = _request(
+            f"{server.url}/patterns", "PUT",
+            json.dumps(
+                {"rollback_to": {"slot_no": 95}, "patterns": ["*/*"]}
+            ).encode(),
+        )
+        assert status == 200 and "*/*" in active
+        _, matches = _get(f"{server.url}/matches")
+        assert {m["created_at"]["slot_no"] for m in matches} == {95, 97}
     finally:
         server.close()
 
