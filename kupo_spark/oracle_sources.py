@@ -21,6 +21,7 @@ from pathlib import Path
 
 FIXTURES = Path(__file__).resolve().parent.parent / "fixtures"
 OGMIOS_LOG = str(FIXTURES / "ogmios_nextblock.ndjson")
+OGMIOS_SEGMENTS = str(FIXTURES / "ogmios_segments")
 HYDRA_LOG = str(FIXTURES / "hydra_serveroutput.ndjson")
 HYDRA_EXPECTED = str(FIXTURES / "hydra_expected.ndjson")
 
@@ -36,14 +37,50 @@ SOURCE_FOLD_COLUMNS = [
 
 
 def ogmios_fold_sql(path: str = OGMIOS_LOG) -> str:
-    return f"""
-WITH raw AS (
+    fwd = f"""raw AS (
   SELECT json AS j FROM read_json_objects('{path}', format='newline_delimited')
 ),
 fwd AS (
   SELECT json_extract(j, '$.result.block') AS blk FROM raw
   WHERE json_extract_string(j, '$.result.direction') = 'forward'
+)"""
+    return _fold_from_fwd(fwd)
+
+
+def ogmios_canonical_fold_sql(seg_dir: str = OGMIOS_SEGMENTS) -> str:
+    """Independent SQL restatement of ``sources.ogmios.canonical_blocks``:
+    a forward block is dead iff a RollBackward in a strictly LATER segment
+    file carries a point below its slot ('origin' ⇒ 0); the fold body over
+    the surviving blocks is shared with ``ogmios_fold_sql``."""
+    fwd = f"""raw AS (
+  SELECT json AS j, filename AS f
+  FROM read_json_objects('{seg_dir}/*.jsonl',
+                         format='newline_delimited', filename=true)
 ),
+rbs AS (
+  SELECT f,
+         CASE WHEN json_extract_string(j, '$.result.point') = 'origin' THEN 0
+              ELSE CAST(json_extract(j, '$.result.point.slot') AS BIGINT)
+         END AS rb_slot
+  FROM raw
+  WHERE json_extract_string(j, '$.result.direction') = 'backward'
+),
+fwd AS (
+  SELECT json_extract(j, '$.result.block') AS blk
+  FROM raw a
+  WHERE json_extract_string(j, '$.result.direction') = 'forward'
+    AND NOT EXISTS (
+      SELECT 1 FROM rbs r
+      WHERE r.f > a.f
+        AND r.rb_slot < CAST(json_extract(a.j, '$.result.block.slot') AS BIGINT)
+    )
+)"""
+    return _fold_from_fwd(fwd)
+
+
+def _fold_from_fwd(fwd_cte: str) -> str:
+    return f"""
+WITH {fwd_cte},
 tx0 AS (
   SELECT CAST(json_extract(blk, '$.slot') AS BIGINT) AS slot_no,
          CAST(t.i AS INTEGER) AS transaction_index,

@@ -144,18 +144,26 @@ def _source_fold(idx, datum_hash_col) -> DataFrame:
 
 
 def _q_ogmios_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 hard signal: NDJSON nextBlock log → protocol decode → index;
-    the oracle restates the decode semantics in SQL over the same JSON.
+    """S2 hard signal, two tagged arms: 'plain' — NDJSON nextBlock log →
+    protocol decode → index (the oracle restates the decode semantics in
+    SQL over the same JSON); 'canonical' — a SEGMENT DIRECTORY carrying a
+    real RollBackward fork, netted out by ``canonical_blocks`` (the oracle
+    restates the netting rule over the same files via ``filename``).
     Inline datum hashes are computed (blake2b) — not SQL-expressible — so
     the projection carries the hash only for reference datums."""
-    from kupo_spark.sources.ogmios import read_ogmios_jsonl
+    from kupo_spark.sources.ogmios import canonical_blocks, read_ogmios_jsonl
 
-    idx = build_index(read_ogmios_jsonl(spark, oracle_sources.OGMIOS_LOG))
-    return _source_fold(
-        idx,
-        F.when(F.col("datum_kind") == "reference", F.col("datum_hash")).alias(
-            "ref_datum_hash"
-        ),
+    ref_hash = F.when(F.col("datum_kind") == "reference", F.col("datum_hash")).alias(
+        "ref_datum_hash"
+    )
+    plain = _source_fold(
+        build_index(read_ogmios_jsonl(spark, oracle_sources.OGMIOS_LOG)), ref_hash
+    )
+    canon = _source_fold(
+        build_index(canonical_blocks(spark, oracle_sources.OGMIOS_SEGMENTS)), ref_hash
+    )
+    return plain.select(F.lit("plain").alias("arm"), "*").unionByName(
+        canon.select(F.lit("canonical").alias("arm"), "*")
     )
 
 
@@ -575,7 +583,11 @@ def oracle_sql() -> dict[str, str]:
         "FROM inputs i WHERE EXISTS (SELECT 1 FROM outs o "
         "WHERE o.transaction_id = i.transaction_id AND o.e % 4 = 0)"
     )
-    out["q_ogmios_fold"] = oracle_sources.ogmios_fold_sql()
+    out["q_ogmios_fold"] = (
+        f"SELECT 'plain' AS arm, * FROM ({oracle_sources.ogmios_fold_sql()})\n"
+        "UNION ALL\n"
+        f"SELECT 'canonical' AS arm, * FROM ({oracle_sources.ogmios_canonical_fold_sql()})"
+    )
     out["q_hydra_fold"] = oracle_sources.hydra_fold_sql()
     for name, (_fn, sql) in PIPELINE_QUERIES.items():
         if sql is not None:

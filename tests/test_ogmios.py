@@ -312,3 +312,74 @@ def test_unknown_input_source_routed_to_error_lane(spark):
     assert {r.transaction_id for r in blocks.collect()} == {TX1, TX2}
     rej = rejected_transactions(dec).collect()
     assert [(r.transaction_id, r.spends) for r in rej] == [(TX0, "witnesses")]
+
+
+def test_canonical_blocks_nets_out_rollbacks(spark, tmp_path):
+    """canonical_blocks: a forward block is dead iff a LATER segment rolls
+    back below its slot; same-file forwards follow their rollback and
+    survive (the bridge contract)."""
+    import json as _json
+
+    from kupo_spark.sources.ogmios import canonical_blocks
+
+    def fwd(slot, txid):
+        return _resp(
+            {
+                "direction": "forward",
+                "tip": _tip(),
+                "block": {
+                    "type": "praos",
+                    "era": "conway",
+                    "id": f"{slot:064x}",
+                    "slot": slot,
+                    "height": slot,
+                    "transactions": [
+                        {
+                            "id": txid,
+                            "spends": "inputs",
+                            "inputs": [
+                                {"transaction": {"id": "0" * 64}, "index": 0}
+                            ],
+                            "outputs": [
+                                {
+                                    "address": "addr1x",
+                                    "value": {"ada": {"lovelace": 1}},
+                                }
+                            ],
+                        }
+                    ],
+                },
+            }
+        )
+
+    def bwd(slot):
+        return _resp(
+            {
+                "direction": "backward",
+                "tip": _tip(),
+                "point": {"slot": slot, "id": "8" * 64},
+            }
+        )
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    (seg / "seg01.jsonl").write_text(fwd(100, "a" * 64) + "\n" + fwd(110, "b" * 64) + "\n")
+    # later segment: roll back to 90, then re-forward 95 — kills 100 and 110
+    (seg / "seg02.jsonl").write_text(bwd(90) + "\n" + fwd(95, "c" * 64) + "\n")
+    (seg / "seg03.jsonl").write_text(fwd(96, "d" * 64) + "\n")
+    rows = canonical_blocks(spark, str(seg)).select("slot_no", "transaction_id").collect()
+    assert {(r.slot_no, r.transaction_id) for r in rows} == {
+        (95, "c" * 64),
+        (96, "d" * 64),
+    }
+
+
+def test_canonical_blocks_committed_fixture(spark):
+    """The committed segment-directory fixture (driver arm 'canonical' of
+    q_ogmios_fold): the fork kills block A3 (slot 30) and keeps the
+    re-forwarded branch — canonical slots are A1 A2 B3 B4 B5."""
+    from kupo_spark.oracle_sources import OGMIOS_SEGMENTS
+    from kupo_spark.sources.ogmios import canonical_blocks
+
+    rows = canonical_blocks(spark, OGMIOS_SEGMENTS).select("slot_no").collect()
+    assert sorted({r.slot_no for r in rows}) == [10, 20, 25, 35, 45]

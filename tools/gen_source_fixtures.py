@@ -229,6 +229,113 @@ def gen_ogmios() -> list[str]:
 
 
 # ===========================================================================
+# Ogmios segment-directory fixture (canonical_blocks: rollback netting)
+# ===========================================================================
+
+
+def _seg_resp(result: dict) -> str:
+    return json.dumps(
+        {"jsonrpc": "2.0", "method": "nextBlock", "result": result},
+        sort_keys=True,
+    )
+
+
+def _seg_block(name: str, slot: int, txs: list[dict]) -> dict:
+    tip = {"slot": 100, "id": hex64("fxsegtip"), "height": 10}
+    return {
+        "direction": "forward",
+        "tip": tip,
+        "block": {
+            "type": "praos",
+            "era": "conway",
+            "id": hex64(f"fxsh{name}"),
+            "slot": slot,
+            "height": slot // 10,
+            "transactions": txs,
+        },
+    }
+
+
+def _seg_tx(
+    m: int,
+    n_out: int,
+    inputs: list[tuple[str, int]],
+    collateral: bool = False,
+    redeemer: bool = False,
+    witness_datums: bool = False,
+) -> dict:
+    """One segmented-chain tx reusing the main fixture's output generator
+    (namespace offset 40 keeps addresses/datum kinds varied but txids and
+    hashes distinct from the single-file fixture)."""
+    n = 40 + m
+    tx: dict = {
+        "id": hex64(f"fxseg{m}"),
+        "spends": "collaterals" if collateral else "inputs",
+        "outputs": [_ogmios_output(n, j) for j in range(n_out)],
+    }
+    refs = [{"transaction": {"id": t}, "index": i} for t, i in inputs]
+    if collateral:
+        tx["collaterals"] = refs
+        ret = _ogmios_output(n, 7)
+        ret["datum"] = _ogmios_datum_hex(n + 100)
+        ret.pop("datumHash", None)
+        tx["collateralReturn"] = ret
+    else:
+        tx["inputs"] = refs
+    if redeemer:
+        tx["redeemers"] = [
+            {
+                "validator": {"purpose": "spend", "index": 0},
+                "redeemer": _ogmios_datum_hex(n + 50),
+            },
+            {"validator": {"purpose": "mint", "index": 0}, "redeemer": "ff"},
+        ]
+    if witness_datums:
+        tx["datums"] = {
+            hex64(f"fxdh{n}.0"): _ogmios_datum_hex(n + 200),
+            hex64(f"fxdh{n}.1"): _ogmios_datum_hex(n + 201),
+        }
+    return tx
+
+
+def gen_ogmios_segments() -> dict[str, list[str]]:
+    """Segment files for ``canonical_blocks`` (S2 batch view of a live
+    chain-sync with a fork): seg-000 carries blocks A1(10)/A2(20)/A3(30);
+    seg-001 opens with RollBackward to A2's point — killing A3 — then
+    re-forwards B3(25)/B4(35); seg-002 extends with B5(45).  Canonical
+    chain: A1 A2 B3 B4 B5.  Spends cross segments (B3 consumes A1's
+    output; B4 consumes A2's collateral return) and one spend dies with
+    its block (A3 consumed seg0tx1#0 — B3 re-consumes it on the new
+    branch)."""
+    t = lambda m: hex64(f"fxseg{m}")  # noqa: E731
+    ext = lambda s: hex64(f"fxsegext{s}")  # noqa: E731
+    a1 = _seg_block(
+        "A1", 10,
+        [
+            _seg_tx(0, 2, [(ext("a"), 0)]),
+            _seg_tx(1, 1, [(t(0), 0)], witness_datums=True),
+        ],
+    )
+    a2 = _seg_block("A2", 20, [_seg_tx(2, 2, [(t(0), 1)], collateral=True)])
+    a3 = _seg_block("A3", 30, [_seg_tx(3, 1, [(t(1), 0)], redeemer=True)])
+    b3 = _seg_block(
+        "B3", 25, [_seg_tx(4, 2, [(t(1), 0)], redeemer=True, witness_datums=True)]
+    )
+    b4 = _seg_block("B4", 35, [_seg_tx(5, 3, [(t(2), 2)])])
+    b5 = _seg_block("B5", 45, [_seg_tx(6, 1, [(t(4), 0), (ext("b"), 3)])])
+    rollback = {
+        "direction": "backward",
+        "tip": {"slot": 100, "id": hex64("fxsegtip"), "height": 10},
+        "point": {"slot": 20, "id": hex64("fxshA2")},
+    }
+    return {
+        "seg-000.jsonl": [_seg_resp(a1), _seg_resp(a2), _seg_resp(a3)],
+        "seg-001.jsonl": [_seg_resp(rollback), _seg_resp(b3), _seg_resp(b4)],
+        "seg-002.jsonl": [_seg_resp(b5)],
+    }
+
+
+# ===========================================================================
 # Hydra ServerOutput fixture + expected sidecar
 # ===========================================================================
 
@@ -607,6 +714,12 @@ def main() -> None:
     outdir.mkdir(exist_ok=True)
     olines = gen_ogmios()
     (outdir / "ogmios_nextblock.ndjson").write_text("\n".join(olines) + "\n")
+    segdir = outdir / "ogmios_segments"
+    segdir.mkdir(exist_ok=True)
+    segs = gen_ogmios_segments()
+    for fname, slines in segs.items():
+        (segdir / fname).write_text("\n".join(slines) + "\n")
+    print(f"wrote {segdir}/ ({len(segs)} segment files)")
     hlines, hexp = gen_hydra()
     (outdir / "hydra_serveroutput.ndjson").write_text("\n".join(hlines) + "\n")
     (outdir / "hydra_expected.ndjson").write_text(
