@@ -239,22 +239,33 @@ def cmd_run(args, serve_forever: bool = True):
             )
         from kupo_spark.streaming.indexer import (
             StreamingIndexer,
-            start_or_resume,
+            resume_bound,
             stream_blocks_from_events_dir,
         )
 
         indexer = StreamingIndexer(args.workdir, patterns=patterns)
-        had_data = bool(indexer._committed())
-        start = start_or_resume(indexer, spark, None if since is None else since[0])
+        start, inclusive = resume_bound(
+            indexer, spark, None if since is None else since[0]
+        )
         if since is not None and since != "tip" and since[1] is not None:
-            _assert_point(blocks, *since)
+            # validate the point hash against what the bridge has delivered
+            # so far; a point the stream has NOT delivered yet cannot be
+            # checked at startup (the reference validates the intersection
+            # against the node's chain, not local files) — the stream will
+            # simply begin when the segment arrives
+            if blocks.where(blocks.slot_no == since[0]).limit(1).count() > 0:
+                _assert_point(blocks, *since)
         ckpt = f"{args.workdir}/_stream_checkpoint"
+        # mutable: a live RollBackward BELOW the resume point moves the
+        # bound down — the re-forwarded branch must be indexed, not dropped
+        bound_state = {"lo": start, "inclusive": inclusive}
 
         def _bound(bdf):
             if until is not None:
                 bdf = bdf.where(bdf.slot_no <= until[0])
+            lo = bound_state["lo"]
             return bdf.where(
-                bdf.slot_no > start if had_data else bdf.slot_no >= start
+                bdf.slot_no >= lo if bound_state["inclusive"] else bdf.slot_no > lo
             )
 
         def _maybe_compact():
@@ -328,9 +339,14 @@ def cmd_run(args, serve_forever: bool = True):
                             # retraction-as-data (M1): resolved reads drop
                             # newer-than-point rows committed before this
                             # record
-                            indexer.append_rollback(
-                                min(r.slot_no for r in rb_rows)
-                            )
+                            rb = min(r.slot_no for r in rb_rows)
+                            indexer.append_rollback(rb)
+                            if rb < bound_state["lo"]:
+                                # fork below the resume point: the
+                                # re-forwarded branch (slots > rb) must
+                                # pass the ingest bound
+                                bound_state["lo"] = rb
+                                bound_state["inclusive"] = False
                         indexer.process_batch(
                             _bound(partial_blocks(decoded)),
                             batch_id,
@@ -362,17 +378,20 @@ def cmd_run(args, serve_forever: bool = True):
     else:
         if not args.workdir:
             raise SystemExit("one of --workdir or --in-memory is required")
-        from kupo_spark.streaming.indexer import StreamingIndexer, start_or_resume
+        from kupo_spark.streaming.indexer import StreamingIndexer, resume_bound
 
         indexer = StreamingIndexer(args.workdir, patterns=patterns)
         had_data = bool(indexer._committed())
-        start = start_or_resume(indexer, spark, None if since is None else since[0])
+        start, inclusive = resume_bound(
+            indexer, spark, None if since is None else since[0]
+        )
         if since is not None and since[1] is not None:
             _assert_point(blocks, *since)
-        # fresh start syncs FROM the point (inclusive); a resume re-enters
-        # AFTER the stored tip (the chain-sync intersection is the tip)
+        # fresh start (or an all-retracted log) syncs FROM the point
+        # (inclusive); a resume re-enters AFTER the stored alive tip (the
+        # chain-sync intersection is the tip)
         bounded = blocks.where(
-            blocks.slot_no > start if had_data else blocks.slot_no >= start
+            blocks.slot_no >= start if inclusive else blocks.slot_no > start
         )
         # a restart with nothing new must not pay an ingest commit or a
         # full base rewrite — restart cost stays O(1), not O(index)
@@ -402,6 +421,12 @@ def cmd_run(args, serve_forever: bool = True):
         spark,
         index,
         blocks=blocks,
+        # a live replay must re-list the source directory: the startup
+        # DataFrame's file listing is frozen at creation, so a PUT
+        # /patterns backfill through it would silently miss every segment
+        # delivered after startup (and the rollback would have retracted
+        # those rows — permanent data loss)
+        blocks_factory=(lambda: _load_source(spark, args)) if args.follow else None,
         # a replica must not touch the master's pattern store: serve
         # whatever is persisted there, install nothing
         patterns=() if args.read_only else patterns,
@@ -415,11 +440,13 @@ def cmd_run(args, serve_forever: bool = True):
     server._stop_gc = stop  # KupoHttpServer.close() sets it (gardener dies with the server)
     if holder.get("query") is not None:
         server._stream_query = holder["query"]  # close() stops the follow stream
-        holder["server"] = server  # subsequent micro-batches swap the served index
-        # close the registration race: a micro-batch that committed while
-        # the server was being constructed found no server to swap — serve
-        # the log's CURRENT state, not the pre-construction snapshot
-        server._swap_index(indexer.resolved_index(spark))
+        # close the registration race under the writer lock: a micro-batch
+        # that committed while the server was being constructed found no
+        # server to swap — resolve + register atomically w.r.t. commits so
+        # the served state can never move backwards
+        with indexer.write_lock:
+            holder["server"] = server
+            server._swap_index(indexer.resolved_index(spark))
     if args.gc_interval > 0 and not args.read_only and not args.follow:
         # batch mode only: in --follow the gardener folds into the
         # in-body compaction (an in-memory GC'd copy would be reverted by

@@ -116,11 +116,16 @@ class KupoHttpServer:
         port: int = 0,
         read_only: bool = False,
         streaming=None,
+        blocks_factory=None,
     ):
         from kupo_spark.chainspec import LONGEST_ROLLBACK
 
         self._spark = spark
         self._blocks = blocks
+        # live sources must be re-listed per replay: a batch DataFrame's
+        # file listing is frozen at creation, so a backfill through the
+        # startup frame would miss segments delivered since
+        self._blocks_factory = blocks_factory
         # --read-only replica (Options.hs:363-370): serve queries, refuse
         # mutations — the master write server owns the index
         self._read_only = read_only
@@ -224,23 +229,30 @@ class KupoHttpServer:
             # --follow: route through the LOG-level operator (M5) — the
             # rollback + install + backfill land as commits the next batch
             # swap preserves, and the indexer's pattern set updates for
-            # subsequent micro-batches
+            # subsequent micro-batches.  The backfill source is re-listed
+            # NOW (blocks_factory) so segments delivered after startup are
+            # replayed too — the retraction already covers them.
+            replay = (
+                self._blocks_factory()
+                if self._blocks_factory is not None
+                else self._blocks
+            )
             try:
                 new = self._streaming.put_patterns(
                     self._spark,
                     new_patterns,
                     rollback_slot,
-                    self._blocks,
+                    replay,
                     self._longest_rollback,
                 )
             except ValueError as e:
                 key = "unsafe_rollback" if "safe zone" in str(e) else "unknown_point"
                 raise _Unavailable(key) from e
             with self._lock:
-                for p in new:
-                    self.store.add(p)
+                # self.store IS the indexer's pattern store (same
+                # patterns.txt) — put_patterns already installed the set
                 self._swap_index(self._streaming.resolved_index(self._spark))
-                return [pattern_to_text(p) for p in self.store.list()]
+                return [pattern_to_text(p) for p in new]
         row = self.index.checkpoints.agg(
             F.max("slot_no").alias("tip"),
             F.max(F.when(F.col("slot_no") == rollback_slot, 1)).alias("hit"),

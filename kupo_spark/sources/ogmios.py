@@ -494,9 +494,23 @@ def canonical_blocks(spark: SparkSession, seg_dir: str) -> DataFrame:
     """
     raw = spark.read.text(seg_dir).withColumn("_file", F.input_file_name())
     decoded = decode_next_block(raw, keep=("_file",))
+    # a retraction whose point cannot be decoded would make the anti-join
+    # condition NULL and silently resurrect the rolled-back blocks — fail
+    # the read instead, exactly as the streaming body does
+    rb_slot = _rollback_slot_col()
     rbs = decoded.where(F.col("direction") == "backward").select(
         F.col("_file").alias("_rb_file"),
-        _rollback_slot_col().alias("_rb_slot"),
+        F.when(
+            rb_slot.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("malformed RollBackward point in segment "),
+                    F.col("_file"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(rb_slot)
+        .alias("_rb_slot"),
     )
     fwd = decoded.where(F.col("direction") == "forward")
     # non-equi anti-join: pin BroadcastNestedLoopJoin — rollbacks are rare

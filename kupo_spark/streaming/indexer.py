@@ -332,6 +332,25 @@ class StreamingIndexer:
             return None
         return db.entry()["seq"]
 
+    def _layered(self, spark: SparkSession, name: str) -> DataFrame:
+        """Base-layered view of one side-log table (bounded replay): the
+        compacted base's rows tagged ``batch_seq = base_seq`` + log rows
+        strictly newer.  Rollbacks recorded before the compact are already
+        applied inside the base; newer ones still apply to base rows (they
+        carry ``base_seq``).  This also makes a GC'd compact effective:
+        ``prune_binary_data`` applied at compact time stays pruned in every
+        subsequent resolve (only post-compact log rows can re-add a hash)."""
+        log = self._read_log(spark, name)
+        base_seq = self._base_seq()
+        if base_seq is None:
+            return log
+        base = getattr(self._base_db().read(spark), name).select(
+            "*", F.lit(base_seq).cast("long").alias("batch_seq")
+        )
+        return base.unionByName(
+            log.where(F.col("batch_seq") > base_seq), allowMissingColumns=True
+        )
+
     def _produced_and_spends(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
         """Log rows newer than the compacted base, layered on the base's
         resolved rows (re-split into produced/spends so one resolution path
@@ -391,17 +410,17 @@ class StreamingIndexer:
         ).drop("spent_ref")
 
         checkpoints = (
-            self._alive(self._read_log(spark, "checkpoints"), "slot_no")
+            self._alive(self._layered(spark, "checkpoints"), "slot_no")
             .dropDuplicates(["slot_no"])
             .drop("batch_seq")
         )
         binary_data = (
-            self._read_log(spark, "binary_data")
+            self._layered(spark, "binary_data")
             .dropDuplicates(["binary_data_hash"])
             .drop("batch_seq")
         )
         scripts = (
-            self._read_log(spark, "scripts")
+            self._layered(spark, "scripts")
             .dropDuplicates(["script_hash"])
             .drop("batch_seq")
         )
@@ -489,25 +508,29 @@ class StreamingIndexer:
         return writer.start()
 
 
-def start_or_resume(
+def resume_bound(
     indexer: StreamingIndexer, spark: SparkSession, since: int | None = None
-) -> int:
+) -> tuple[int, bool]:
     """``startOrResume`` (reference ``src/Kupo/App/Configuration.hs:182-241``):
-    pick the point to (re)start indexing from.
+    pick the point to (re)start indexing from, plus whether the bound is
+    INCLUSIVE (a fresh start syncs FROM the point; a resume re-enters
+    strictly AFTER the stored tip).
 
-    - fresh index + ``since`` → start at `since`;
-    - existing index → resume at the max stored checkpoint; a ``since``
-      MORE RECENT than that checkpoint is an error
-      (``Configuration.hs:203-211``), while an older/equal ``since`` —
-      e.g. re-running the original launch command — resumes normally;
-    - fresh index + no ``since`` → error (the reference demands an explicit
-      starting point).
-    """
+    - fresh index + ``since`` → ``(since, True)``;
+    - existing index → ``(alive tip, False)``; a ``since`` MORE RECENT
+      than that checkpoint is an error (``Configuration.hs:203-211``),
+      while an older/equal ``since`` — e.g. re-running the original
+      launch command — resumes normally;
+    - existing index whose checkpoints are ALL retracted → effectively
+      fresh: ``(since or 0, True)`` — the inclusivity matters, a
+      re-forwarded block at exactly ``since`` must be indexed;
+    - fresh index + no ``since`` → error (the reference demands an
+      explicit starting point)."""
     has_data = bool(indexer._committed())
     if not has_data:
         if since is None:
             raise ValueError("no previous checkpoints: --since required on first start")
-        return since
+        return since, True
     from pyspark.sql import functions as FF
 
     # rollback-aware: the raw checkpoints log still carries retracted rows
@@ -520,7 +543,7 @@ def start_or_resume(
     )
     if tip is None:
         # everything retracted: start over from `since` (or origin)
-        return since if since is not None else 0
+        return (since if since is not None else 0), True
     if since is not None and since > tip:
         # errConflictingSinceOptions: only a --since NEWER than the most
         # recent checkpoint conflicts (Configuration.hs:203-211)
@@ -528,7 +551,15 @@ def start_or_resume(
             f"--since {since} is more recent than the most recent "
             f"checkpoint {tip}; remove --since or erase the index"
         )
-    return tip
+    return tip, False
+
+
+def start_or_resume(
+    indexer: StreamingIndexer, spark: SparkSession, since: int | None = None
+) -> int:
+    """Slot-only form of :func:`resume_bound` (kept for callers that manage
+    inclusivity themselves)."""
+    return resume_bound(indexer, spark, since)[0]
 
 
 def stream_blocks_from_events_dir(spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1) -> DataFrame:

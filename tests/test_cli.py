@@ -458,6 +458,17 @@ def test_follow_ogmios_applies_rollbacks(tmp_path):
                 break
             time.sleep(0.5)
         assert slots == {95, 97}, f"post-fork resume dropped blocks: {slots}"
+        # a segment delivered AFTER server startup — the PUT backfill below
+        # must replay it too (the backfill source is re-listed at PUT time;
+        # the startup DataFrame's frozen file listing would lose slot 99)
+        (seg_dir / "seg4.jsonl").write_text(_ogmios_fwd(99, "d" * 64, "addr1ddd") + "\n")
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            slots = {m["created_at"]["slot_no"] for m in matches}
+            if slots == {95, 97, 99}:
+                break
+            time.sleep(0.5)
+        assert slots == {95, 97, 99}, f"live segment not indexed: {slots}"
         # PUT /patterns routes through the LOG (rollback + install +
         # backfill land as commits the batch swaps preserve)
         status, active = _request(
@@ -468,9 +479,69 @@ def test_follow_ogmios_applies_rollbacks(tmp_path):
         )
         assert status == 200 and "*/*" in active
         _, matches = _get(f"{server.url}/matches")
-        assert {m["created_at"]["slot_no"] for m in matches} == {95, 97}
+        assert {m["created_at"]["slot_no"] for m in matches} == {95, 97, 99}
+        # a live fork BELOW the resumed start (95): the retraction must
+        # lower the ingest bound or the re-forwarded 94 is dropped forever
+        (seg_dir / "seg5.jsonl").write_text(
+            _ogmios_bwd(93) + "\n" + _ogmios_fwd(94, "e" * 64, "addr1eee") + "\n"
+        )
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            slots = {m["created_at"]["slot_no"] for m in matches}
+            if slots == {94}:
+                break
+            time.sleep(0.5)
+        assert slots == {94}, f"fork below resume point mishandled: {slots}"
     finally:
         server.close()
+
+
+def test_follow_since_point_not_yet_delivered(tmp_path):
+    """--follow --since SLOT.HASH where the bridge has not delivered that
+    slot yet: startup must NOT fail the point assertion (the reference
+    validates the intersection against the node's chain, not local files)
+    — the stream simply begins once the segment arrives.  A hash that
+    CONTRADICTS an already-delivered block still fails."""
+    import time
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    (seg_dir / "seg1.jsonl").write_text(_ogmios_fwd(100, "a" * 64, "addr1aaa") + "\n")
+    # slot 120 is in the future of the delivered chain — must start up
+    server = main(
+        [
+            "--ogmios-file", str(seg_dir), "--workdir", str(tmp_path / "db"),
+            "--follow", "--since", f"120.{120:064x}", "--match", "*",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        (seg_dir / "seg2.jsonl").write_text(_ogmios_fwd(120, "b" * 64, "addr1bbb") + "\n")
+        deadline = time.time() + 240
+        slots: set = set()
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            slots = {m["created_at"]["slot_no"] for m in matches}
+            if slots == {120}:
+                break
+            time.sleep(0.5)
+        # the bound is inclusive at 120: slot 100 stays out, 120 indexes
+        assert slots == {120}, f"since-point bound wrong: {slots}"
+    finally:
+        server.close()
+    # a delivered slot with a DIFFERENT header hash still fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="no such point"):
+        main(
+            [
+                "--ogmios-file", str(seg_dir), "--workdir", str(tmp_path / "db2"),
+                "--follow", "--since", f"100.{'f' * 64}", "--match", "*",
+                "--gc-interval", "0", "--port", "0",
+            ],
+            serve_forever=False,
+        )
 
 
 def test_gardener_loop_prunes(index, monkeypatch):

@@ -374,6 +374,37 @@ def test_canonical_blocks_nets_out_rollbacks(spark, tmp_path):
     }
 
 
+def test_canonical_blocks_fails_on_malformed_rollback(spark, tmp_path):
+    """A RollBackward whose point cannot be decoded must fail the batch
+    read (regression: a NULL kill-slot made the anti-join condition NULL
+    and silently resurrected the rolled-back blocks — the exact failure
+    the streaming body raises on)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from kupo_spark.oracle_sources import OGMIOS_SEGMENTS
+    from kupo_spark.sources.ogmios import canonical_blocks
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    import shutil
+
+    shutil.copy(f"{OGMIOS_SEGMENTS}/seg-000.jsonl", seg / "seg-000.jsonl")
+    (seg / "seg-001.jsonl").write_text(
+        _json.dumps(
+            {
+                "jsonrpc": "2.0",
+                "method": "nextBlock",
+                "result": {"direction": "backward", "tip": {}, "point": {}},
+            }
+        )
+        + "\n"
+    )
+    with _pytest.raises(Exception, match="malformed RollBackward"):
+        canonical_blocks(spark, str(seg)).collect()
+
+
 def test_canonical_blocks_committed_fixture(spark):
     """The committed segment-directory fixture (driver arm 'canonical' of
     q_ogmios_fold): the fork kills block A3 (slot 30) and keeps the

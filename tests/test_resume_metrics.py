@@ -30,6 +30,23 @@ def test_resume_at_stored_tip(spark, blocks, tmp_path):
         start_or_resume(ix, spark, since=10)
 
 
+def test_resume_bound_all_retracted_is_inclusive(spark, blocks, tmp_path):
+    """A workdir whose checkpoints are ALL retracted resumes as a fresh
+    start: the bound must be INCLUSIVE or a re-forwarded block at exactly
+    `since` is silently skipped (the caller's had_data check sees the raw
+    commit entries, which remain non-empty)."""
+    from kupo_spark.streaming.indexer import resume_bound
+
+    ix = StreamingIndexer(str(tmp_path / "allrb"))
+    ix.process_batch(
+        blocks.where((F.col("slot_no") >= 1) & (F.col("slot_no") < 10)), 0
+    )
+    assert resume_bound(ix, spark) == (9, False)
+    ix.append_rollback(0)  # retract every checkpoint (all slots are >= 1)
+    assert resume_bound(ix, spark, since=5) == (5, True)
+    assert resume_bound(ix, spark) == (0, True)
+
+
 def test_metrics_text(index):
     text = metrics_text(index)
     assert "# TYPE kupo_inputs gauge" in text

@@ -40,10 +40,14 @@ def _compare(df, duck_sql):
 
 
 def test_ogmios_fold_matches_sql_oracle(spark):
-    n = _compare(
-        _q_ogmios_fold(spark, ""), oracle_sources.ogmios_fold_sql()
+    sql = (
+        f"SELECT 'plain' AS arm, * FROM ({oracle_sources.ogmios_fold_sql()})\n"
+        "UNION ALL\n"
+        f"SELECT 'canonical' AS arm, * FROM "
+        f"({oracle_sources.ogmios_canonical_fold_sql()})"
     )
-    assert n > 40  # every produced output incl. the collateral-return path
+    n = _compare(_q_ogmios_fold(spark, ""), sql)
+    assert n > 50  # both arms, incl. the collateral-return paths
 
 
 def test_hydra_fold_matches_golden_sidecar(spark):
@@ -77,6 +81,9 @@ def test_fixtures_are_byte_stable(tmp_path):
         "ogmios_nextblock.ndjson",
         "hydra_serveroutput.ndjson",
         "hydra_expected.ndjson",
+        "ogmios_segments/seg-000.jsonl",
+        "ogmios_segments/seg-001.jsonl",
+        "ogmios_segments/seg-002.jsonl",
     ):
         assert (tmp_path / name).read_bytes() == (
             REPO / "fixtures" / name

@@ -210,6 +210,33 @@ def test_incremental_compact_then_append_and_rollback(spark, blocks, tmp_path):
     assert again == b
 
 
+def test_gc_compact_prunes_binary_data_in_resolved_view(spark, blocks, tmp_path):
+    """A GC transform applied at compact time must stay applied in every
+    subsequent resolve (regression: binary_data/scripts were rebuilt from
+    the FULL log, so prune_binary_data-at-compact was a no-op on the
+    served index; they now layer on the base like produced/spends)."""
+    from kupo_spark.operators import maintenance as mt
+
+    ix = StreamingIndexer(str(tmp_path / "gc"))
+    sub = blocks.where(F.col("slot_no") < 60)
+    ix.process_batch(sub, 0)
+    n_before = ix.resolved_index(spark).binary_data.count()
+    # retract a suffix: datums referenced only by retracted rows orphan
+    ix.append_rollback(30)
+    ix.compact(spark, transform=mt.prune_binary_data)
+
+    resolved = ix.resolved_index(spark)
+    expect = mt.prune_binary_data(mt.rollback_to(build_index(sub), 30))
+    got = {r.binary_data_hash for r in resolved.binary_data.collect()}
+    want = {r.binary_data_hash for r in expect.binary_data.collect()}
+    assert got == want
+    assert len(got) < n_before  # the prune actually removed orphans
+    # a post-compact batch may re-reference a pruned hash — it must come back
+    ix.process_batch(blocks.where((F.col("slot_no") >= 60) & (F.col("slot_no") < 80)), 1)
+    again = ix.resolved_index(spark).binary_data.count()
+    assert again >= len(got)
+
+
 def test_rollback_then_replay_restores_index(spark, blocks, events_dir, tmp_path):
     ix = _run_stream(spark, events_dir, tmp_path / "out", tmp_path / "ckpt1")
     full_before = ix.resolved_index(spark).inputs.count()
