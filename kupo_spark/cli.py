@@ -283,6 +283,10 @@ def cmd_run(args, serve_forever: bool = True):
                 gc = run_gc if args.prune_utxo else prune_binary_data
                 with indexer.write_lock:  # no PUT /patterns mid-compaction
                     indexer.compact(spark, transform=gc)
+                    # folded log partitions are dead weight after the base
+                    # commit — storage stays bounded by the compaction
+                    # horizon, not the stream's lifetime
+                    indexer.truncate_log()
                 holder["last_compact"] = time.monotonic()
             holder.setdefault("last_compact", now)
 

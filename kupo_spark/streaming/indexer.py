@@ -282,7 +282,9 @@ class StreamingIndexer:
 
         k = LONGEST_ROLLBACK if longest_rollback is None else longest_rollback
         with self.write_lock:
-            cps = self._alive(self._read_log(spark, "checkpoints"), "slot_no")
+            # _layered, not _read_log: a checkpoint folded into the base by
+            # compact+truncate is still a valid rollback target
+            cps = self._alive(self._layered(spark, "checkpoints"), "slot_no")
             row = cps.agg(
                 F.max("slot_no").alias("tip"),
                 F.max(F.when(F.col("slot_no") == rollback_slot, 1)).alias("hit"),
@@ -480,6 +482,50 @@ class StreamingIndexer:
         write_index(resolved, dest, slot_bucket=slot_bucket)
         return resolved
 
+    def truncate_log(self, vacuum_retention: float | None = None) -> dict[str, int]:
+        """Drop log partitions already folded into the compacted base
+        (``batch_seq <= base_seq``) — ``_layered`` resolves them from the
+        base, so they are dead weight in every subsequent scan.  This is
+        what keeps a long-lived follow deployment's storage bounded by the
+        compaction horizon instead of the stream's lifetime (the analog of
+        Delta log checkpoint + VACUUM over the commit history).
+
+        Publishes one catalog entry pinning the truncated table versions
+        (readers see old pins until it lands — crash-safe).  With
+        ``vacuum_retention`` set, also physically deletes files no longer
+        referenced and older than the retention window.  Returns the number
+        of removed files per table."""
+        removed: dict[str, int] = {}
+        with self.write_lock:
+            base_seq = self._base_seq()
+            if base_seq is None:
+                return removed
+            self._repair_crash_residue()
+            versions = dict(self._pinned_versions())
+            for name in LOG_TABLES:
+                t = self._table(name)
+                dead = [
+                    a["path"]
+                    for a in t.snapshot().files
+                    if a.get("partitionValues", {}).get("batch_seq") is not None
+                    and int(a["partitionValues"]["batch_seq"]) <= base_seq
+                ]
+                if dead:
+                    versions[name] = t.remove_paths(dead, operation="TRUNCATE")
+                removed[name] = len(dead)
+            if any(removed.values()):
+                self._publish(
+                    {"seq": self._next_seq(), "key": None, "tables": versions}
+                )
+            if vacuum_retention is not None:
+                # only after the new pins are published: physical deletion
+                # must never race a reader resolving the OLD pinned versions
+                # (the retention window covers in-flight lazy readers, as in
+                # Delta's VACUUM contract)
+                for name in LOG_TABLES:
+                    self._table(name).vacuum(retention_seconds=vacuum_retention)
+        return removed
+
     # ---- stream wiring --------------------------------------------------
 
     def start(
@@ -535,9 +581,10 @@ def resume_bound(
 
     # rollback-aware: the raw checkpoints log still carries retracted rows
     # (retraction-as-data) — resuming from a rolled-back (dead) tip would
-    # silently discard every post-fork block below it
+    # silently discard every post-fork block below it.  _layered, not
+    # _read_log: after compact+truncate the old checkpoints live in the base
     tip = (
-        indexer._alive(indexer._read_log(spark, "checkpoints"), "slot_no")
+        indexer._alive(indexer._layered(spark, "checkpoints"), "slot_no")
         .agg(FF.max("slot_no"))
         .collect()[0][0]
     )

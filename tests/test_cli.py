@@ -496,6 +496,68 @@ def test_follow_ogmios_applies_rollbacks(tmp_path):
         server.close()
 
 
+def test_follow_compacts_and_truncates(tmp_path):
+    """--follow --gc-interval N: the in-body compaction folds the log into
+    the base AND truncates the folded partitions — storage bounded by the
+    compaction horizon — while the served index stays correct, and a
+    restart resumes over base + truncated log."""
+    import time
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    (seg_dir / "seg1.jsonl").write_text(_ogmios_fwd(100, "a" * 64, "addr1aaa") + "\n")
+    server = main(
+        [
+            "--ogmios-file", str(seg_dir), "--workdir", str(tmp_path / "db"),
+            "--follow", "--since", "origin", "--match", "*",
+            "--gc-interval", "1", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        deadline = time.time() + 240
+        expect = {100}
+        for slot, tx in ((110, "b"), (120, "c"), (130, "d")):
+            while time.time() < deadline:
+                _, matches = _get(f"{server.url}/matches")
+                if {m["created_at"]["slot_no"] for m in matches} == expect:
+                    break
+                time.sleep(0.5)
+            assert {m["created_at"]["slot_no"] for m in matches} == expect
+            time.sleep(1.1)  # make the next batch cross the gc interval
+            (seg_dir / f"seg_{slot}.jsonl").write_text(
+                _ogmios_fwd(slot, tx * 64, f"addr1{tx * 3}") + "\n"
+            )
+            expect = expect | {slot}
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            if {m["created_at"]["slot_no"] for m in matches} == expect:
+                break
+            time.sleep(0.5)
+        ix = server._streaming
+        base_seq = ix._base_seq()
+        assert base_seq is not None, "in-body compaction never ran"
+        for a in ix._table("produced").snapshot().files:
+            assert int(a["partitionValues"]["batch_seq"]) > base_seq, (
+                "folded log partition not truncated"
+            )
+    finally:
+        server.close()
+    # restart over base + truncated log: full state must come back
+    server = main(
+        [
+            "--ogmios-file", str(seg_dir), "--workdir", str(tmp_path / "db"),
+            "--follow", "--match", "*", "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        _, matches = _get(f"{server.url}/matches")
+        assert {m["created_at"]["slot_no"] for m in matches} == {100, 110, 120, 130}
+    finally:
+        server.close()
+
+
 def test_follow_since_point_not_yet_delivered(tmp_path):
     """--follow --since SLOT.HASH where the bridge has not delivered that
     slot yet: startup must NOT fail the point assertion (the reference

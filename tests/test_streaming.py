@@ -237,6 +237,52 @@ def test_gc_compact_prunes_binary_data_in_resolved_view(spark, blocks, tmp_path)
     assert again >= len(got)
 
 
+def test_truncate_log_after_compact_preserves_state(spark, blocks, tmp_path):
+    """compact + truncate_log: folded log partitions are dropped, the
+    resolved state is unchanged (it layers the base), later batches and
+    rollbacks still land, and the resume tip / rollback-target validation
+    still see checkpoints that now live only in the base."""
+    from kupo_spark.streaming.indexer import resume_bound
+
+    ix = StreamingIndexer(str(tmp_path / "tr"))
+    ix.process_batch(blocks.where(F.col("slot_no") < 50), 0)
+    ix.compact(spark)
+    cols = ["output_reference", "coins", "created_at", "spent_at", "spent_by"]
+    before = {tuple(r) for r in ix.resolved_index(spark).inputs.select(cols).collect()}
+    n_files_before = len(ix._table("produced").snapshot().files)
+
+    removed = ix.truncate_log()
+    assert removed["produced"] > 0 and removed["checkpoints"] > 0
+    assert len(ix._table("produced").snapshot().files) < n_files_before
+    after = {tuple(r) for r in ix.resolved_index(spark).inputs.select(cols).collect()}
+    assert after == before
+    # a second truncate is a no-op (nothing left at or below the base)
+    assert not any(ix.truncate_log().values())
+
+    # checkpoints folded into the base still serve resume + PUT validation
+    tip_before = max(r[2] for r in before)
+    assert resume_bound(ix, spark) == (tip_before, False)
+    with pytest.raises(ValueError, match="not a known checkpoint"):
+        ix.put_patterns(spark, ["*/*"], 10**9, blocks)
+
+    # later batches + rollbacks layer on the truncated log as usual
+    ix.process_batch(
+        blocks.where((F.col("slot_no") >= 50) & (F.col("slot_no") < 80)), 1
+    )
+    ix.append_rollback(60)
+    from kupo_spark.operators import maintenance as mt
+
+    expect = mt.rollback_to(build_index(blocks.where(F.col("slot_no") < 80)), 60)
+    got = {tuple(r) for r in ix.resolved_index(spark).inputs.select(cols).collect()}
+    want = {tuple(r) for r in expect.inputs.select(cols).collect()}
+    assert got == want
+    # physical vacuum after a second compact+truncate keeps reads working
+    ix.compact(spark)
+    ix.truncate_log(vacuum_retention=0.0)
+    again = {tuple(r) for r in ix.resolved_index(spark).inputs.select(cols).collect()}
+    assert again == want
+
+
 def test_rollback_then_replay_restores_index(spark, blocks, events_dir, tmp_path):
     ix = _run_stream(spark, events_dir, tmp_path / "out", tmp_path / "ckpt1")
     full_before = ix.resolved_index(spark).inputs.count()
