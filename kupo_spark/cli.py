@@ -188,7 +188,10 @@ def cmd_run(args, serve_forever: bool = True):
 
     blocks = None if args.read_only else _load_source(spark, args)
     if blocks is not None and until is not None:
-        if until[1] is not None:
+        if until[1] is not None and not args.follow:
+            # follow mode defers instead: a point the bridge has not
+            # delivered yet is validated in-stream on arrival (the
+            # reference checks against the node's chain, not local files)
             _assert_point(blocks, *until)
         blocks = blocks.where(blocks.slot_no <= until[0])
     if since == "tip" and blocks is not None:
@@ -247,14 +250,41 @@ def cmd_run(args, serve_forever: bool = True):
         start, inclusive = resume_bound(
             indexer, spark, None if since is None else since[0]
         )
+        # --since/--until SLOT.HASH points the bridge has not delivered yet
+        # cannot be checked at startup (the reference validates against the
+        # node's chain, not local files) — they are validated IN-STREAM the
+        # moment the slot arrives; a mismatching hash fails the stream
+        pending_points: list[tuple[int, str]] = []
+
+        def _startup_or_defer(slot, header_hash):
+            if blocks.where(blocks.slot_no == slot).limit(1).count() > 0:
+                _assert_point(blocks, slot, header_hash)
+            else:
+                pending_points.append((slot, header_hash))
+
         if since is not None and since != "tip" and since[1] is not None:
-            # validate the point hash against what the bridge has delivered
-            # so far; a point the stream has NOT delivered yet cannot be
-            # checked at startup (the reference validates the intersection
-            # against the node's chain, not local files) — the stream will
-            # simply begin when the segment arrives
-            if blocks.where(blocks.slot_no == since[0]).limit(1).count() > 0:
-                _assert_point(blocks, *since)
+            _startup_or_defer(*since)
+        if until is not None and until[1] is not None:
+            _startup_or_defer(*until)
+
+        def _check_points(bdf):
+            # tiny transient cost: one pushed-down point filter per pending
+            # point per batch, and the list empties as the slots arrive
+            for s, h in list(pending_points):
+                rows = (
+                    bdf.where(bdf.slot_no == s)
+                    .select("header_hash")
+                    .limit(1)
+                    .collect()
+                )
+                if rows:
+                    if rows[0].header_hash != h:
+                        raise ValueError(
+                            f"point {s}.{h} is not on the chain "
+                            f"(delivered header {rows[0].header_hash})"
+                        )
+                    pending_points.remove((s, h))
+
         ckpt = f"{args.workdir}/_stream_checkpoint"
         # mutable: a live RollBackward BELOW the resume point moves the
         # bound down — the re-forwarded branch must be indexed, not dropped
@@ -281,12 +311,18 @@ def cmd_run(args, serve_forever: bool = True):
                 from kupo_spark.operators.maintenance import prune_binary_data
 
                 gc = run_gc if args.prune_utxo else prune_binary_data
+                # retention covers in-flight lazy readers of the OLD pins
+                # (a served query holds a plan over them); one gc interval
+                # with a floor is a comfortable bound for HTTP requests
+                retention = max(float(args.gc_interval), 300.0)
                 with indexer.write_lock:  # no PUT /patterns mid-compaction
                     indexer.compact(spark, transform=gc)
                     # folded log partitions are dead weight after the base
-                    # commit — storage stays bounded by the compaction
-                    # horizon, not the stream's lifetime
-                    indexer.truncate_log()
+                    # commit: logically truncate AND physically vacuum, and
+                    # drop superseded base generations — disk stays bounded
+                    # by the compaction horizon, not the stream's lifetime
+                    indexer.truncate_log(vacuum_retention=retention)
+                    indexer._base_db().vacuum(retention_seconds=retention)
                 holder["last_compact"] = time.monotonic()
             holder.setdefault("last_compact", now)
 
@@ -294,12 +330,17 @@ def cmd_run(args, serve_forever: bool = True):
             _maybe_compact()
             srv = holder.get("server")
             if srv is not None:
-                srv._swap_index(indexer.resolved_index(spark))
+                # resolve + swap under the writer lock: an unlocked swap
+                # could install a pre-PUT snapshot OVER the PUT's newer one
+                # (same race as server registration)
+                with indexer.write_lock:
+                    srv._swap_index(indexer.resolved_index(spark))
 
         if args.events:
             stream = _bound(stream_blocks_from_events_dir(spark, args.events))
 
             def body(df, batch_id):
+                _check_points(df)
                 # writer serialization: a concurrent PUT /patterns holds the
                 # same lock across its rollback + backfill (mailbox analog)
                 with indexer.write_lock:
@@ -331,6 +372,7 @@ def cmd_run(args, serve_forever: bool = True):
                         return  # replayed delivery — both writes already landed
                     decoded = decode_next_block(df).persist()
                     try:
+                        _check_points(partial_blocks(decoded))
                         rb_rows = rollback_points(decoded).collect()
                         if any(r.slot_no is None for r in rb_rows):
                             # a retraction that cannot be decoded cannot be
@@ -411,7 +453,7 @@ def cmd_run(args, serve_forever: bool = True):
             )
         if args.defer_db_indexes:
             index = indexer.resolved_index(spark)
-        elif not ingested and indexer._base_seq() == indexer._next_seq() - 1:
+        elif not ingested and indexer.log_current():
             index = indexer._base_db().read(spark)  # base already current
         else:
             # compaction = the deferred-indexes endgame: lay the resolved
@@ -421,16 +463,23 @@ def cmd_run(args, serve_forever: bool = True):
 
     from kupo_spark.operators.http_server import KupoHttpServer
 
+    def _fresh_blocks():
+        # a live replay must re-list the source directory: the startup
+        # DataFrame's file listing is frozen at creation, so a PUT
+        # /patterns backfill (or metadata lookup) through it would
+        # silently miss every segment delivered after startup.  The
+        # --until bound is re-applied — the re-listed source must honor
+        # the same snapshot ceiling as ingest.
+        b = _load_source(spark, args)
+        if until is not None:
+            b = b.where(b.slot_no <= until[0])
+        return b
+
     server = KupoHttpServer(
         spark,
         index,
         blocks=blocks,
-        # a live replay must re-list the source directory: the startup
-        # DataFrame's file listing is frozen at creation, so a PUT
-        # /patterns backfill through it would silently miss every segment
-        # delivered after startup (and the rollback would have retracted
-        # those rows — permanent data loss)
-        blocks_factory=(lambda: _load_source(spark, args)) if args.follow else None,
+        blocks_factory=_fresh_blocks if args.follow else None,
         # a replica must not touch the master's pattern store: serve
         # whatever is persisted there, install nothing
         patterns=() if args.read_only else patterns,

@@ -148,6 +148,14 @@ class KupoHttpServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._host, self._port = host, port
 
+    def _replay_blocks(self):
+        """The replay source, re-listed when a factory is configured (live
+        sources deliver segments after startup; a frozen listing would
+        miss them).  None when no replay source exists."""
+        if self._blocks_factory is not None:
+            return self._blocks_factory()
+        return self._blocks
+
     # -- index state (swapped atomically under the mutation lock) ---------
 
     def _swap_index(self, index: Index) -> None:
@@ -232,11 +240,7 @@ class KupoHttpServer:
             # subsequent micro-batches.  The backfill source is re-listed
             # NOW (blocks_factory) so segments delivered after startup are
             # replayed too — the retraction already covers them.
-            replay = (
-                self._blocks_factory()
-                if self._blocks_factory is not None
-                else self._blocks
-            )
+            replay = self._replay_blocks()
             try:
                 new = self._streaming.put_patterns(
                     self._spark,
@@ -248,7 +252,10 @@ class KupoHttpServer:
             except ValueError as e:
                 key = "unsafe_rollback" if "safe zone" in str(e) else "unknown_point"
                 raise _Unavailable(key) from e
-            with self._lock:
+            # resolve + swap under the WRITER lock too: otherwise a
+            # concurrent micro-batch's swap could land first and this
+            # older-resolved snapshot would overwrite it
+            with self._streaming.write_lock, self._lock:
                 # self.store IS the indexer's pattern store (same
                 # patterns.txt) — put_patterns already installed the set
                 self._swap_index(self._streaming.resolved_index(self._spark))
@@ -602,7 +609,9 @@ def _make_handler(srv: KupoHttpServer):
                 return self._json(200, [], self._cache_headers())
             a_slot, a_hash = anc[0]["slot_no"], anc[0]["header_hash"]
             tid = q.get("transaction_id", [None])[0]
-            rows = mt.metadata_by_slot_rendered(srv._blocks, a_slot, tid).collect()
+            rows = mt.metadata_by_slot_rendered(
+                srv._replay_blocks(), a_slot, tid
+            ).collect()
             chunks = (r["metadata_json"] for r in rows)
             return self._stream_array(
                 chunks,

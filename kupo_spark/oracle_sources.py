@@ -50,15 +50,27 @@ fwd AS (
 def ogmios_canonical_fold_sql(seg_dir: str = OGMIOS_SEGMENTS) -> str:
     """Independent SQL restatement of ``sources.ogmios.canonical_blocks``:
     a forward block is dead iff a RollBackward in a strictly LATER segment
-    file carries a point below its slot ('origin' ⇒ 0); the fold body over
-    the surviving blocks is shared with ``ogmios_fold_sql``."""
+    carries a point below its slot ('origin' ⇒ 0); the fold body over the
+    surviving blocks is shared with ``ogmios_fold_sql``.
+
+    Delivery order is the natural-sorted file name — the same
+    ``segment_order`` listing the Spark side pins (SQL cannot natural-sort
+    digit runs, so the ordinal list is injected as VALUES from the shared
+    helper; the NETTING logic itself is restated independently in SQL)."""
+    from kupo_spark.sources.ogmios import segment_order
+
+    files = segment_order(seg_dir)
+    # ordinal via CASE, not a join: this DuckDB build miscompiles a join
+    # between a read_json_objects(filename=true) scan and another relation
+    # (reproducible segfault); a projection-level CASE is equivalent here
+    whens = " ".join(f"WHEN '{p}' THEN {i}" for i, p in enumerate(files))
     fwd = f"""raw AS (
-  SELECT json AS j, filename AS f
+  SELECT json AS j, CASE filename {whens} END AS ord
   FROM read_json_objects('{seg_dir}/*.jsonl',
                          format='newline_delimited', filename=true)
 ),
 rbs AS (
-  SELECT f,
+  SELECT ord,
          CASE WHEN json_extract_string(j, '$.result.point') = 'origin' THEN 0
               ELSE CAST(json_extract(j, '$.result.point.slot') AS BIGINT)
          END AS rb_slot
@@ -71,7 +83,7 @@ fwd AS (
   WHERE json_extract_string(j, '$.result.direction') = 'forward'
     AND NOT EXISTS (
       SELECT 1 FROM rbs r
-      WHERE r.f > a.f
+      WHERE r.ord > a.ord
         AND r.rb_slot < CAST(json_extract(a.j, '$.result.block.slot') AS BIGINT)
     )
 )"""

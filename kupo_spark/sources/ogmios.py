@@ -480,26 +480,83 @@ def _rollback_slot_col():
     )
 
 
+def _natural_key(name: str) -> tuple:
+    """Numeric-aware sort key: ``seg9 < seg10`` (digit runs compare as
+    integers, text runs as text) — deterministic across checkouts, unlike
+    mtime, and matches any bridge whose segment names carry a monotone
+    sequence number regardless of zero-padding."""
+    import re
+
+    return tuple(
+        (0, f"{int(tok):020d}") if tok.isdigit() else (1, tok)
+        for tok in re.split(r"(\d+)", name)
+        if tok != ""
+    )
+
+
+def segment_order(seg_dir: str) -> list:
+    """Delivery-ordered segment files (the bridge contract: names carry a
+    monotone sequence number, natural-sorted).  Shared by the Spark view
+    and the DuckDB oracle so both pin the identical listing."""
+    from pathlib import Path
+
+    return sorted(
+        (p for p in Path(seg_dir).iterdir() if p.is_file()),
+        key=lambda p: _natural_key(p.name),
+    )
+
+
 def canonical_blocks(spark: SparkSession, seg_dir: str) -> DataFrame:
     """Batch view of an NDJSON SEGMENT DIRECTORY with RollBackward records
     netted out — the canonical chain a batch replay (e.g. the PUT /patterns
     backfill) must see.
 
-    Bridge contract (the shape a reconnecting chain-sync produces, and the
-    same contract the --follow stream documents): segment file names sort
-    in delivery order, and within a file any rollback precedes its
-    forwards.  Then a forward block at slot ``s`` in file ``f`` is dead
-    iff some rollback in a strictly LATER file carries a point ``< s`` —
-    an anti-join against the (tiny) rollback list, no row ordering needed.
-    """
-    raw = spark.read.text(seg_dir).withColumn("_file", F.input_file_name())
-    decoded = decode_next_block(raw, keep=("_file",))
+    Delivery order is the NATURAL-SORTED file name (``segment_order``):
+    the bridge contract is one segment per delivery with a monotone
+    sequence number in the name, and natural sort keeps ``seg9 < seg10``
+    where plain lexicographic order would invert them — the same order
+    the --follow stream sees for such names.  Within a file any rollback
+    precedes its forwards (the shape a reconnecting chain-sync produces:
+    the server answers an intersection with RollBackward first, then
+    forwards).  A forward block at slot ``s`` is dead iff some rollback
+    in a strictly LATER segment carries a point ``< s`` — an anti-join
+    against the (tiny) rollback list, no row ordering needed.  The file
+    list is pinned at call time (the frame reads exactly those files), so
+    the ordinal map and the scan can never disagree about the directory's
+    contents."""
+    files = segment_order(seg_dir)
+    order = [(f"file://{p.resolve()}", i) for i, p in enumerate(files)]
+    raw = spark.read.text([str(p) for p in files]).withColumn(
+        "_file", F.input_file_name()
+    )
+    # ordinal via broadcast hash join (O(1) probe per row; a literal map
+    # would be a linear scan per row at thousands of segments)
+    ord_df = spark.createDataFrame(order, "_file string, _raw_ord long")
+    # a file the scan sees but the pinned listing doesn't (or vice versa)
+    # cannot happen by construction; a NULL ordinal would mean the URI
+    # normalization broke — fail loudly rather than mis-order
+    decoded = (
+        decode_next_block(raw, keep=("_file",))
+        .join(F.broadcast(ord_df), "_file", "left")
+        .withColumn(
+            "_ord",
+            F.when(
+                F.col("_raw_ord").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("unknown segment file in scan: "), F.col("_file")
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("_raw_ord")),
+        )
+        .drop("_raw_ord")
+    )
     # a retraction whose point cannot be decoded would make the anti-join
     # condition NULL and silently resurrect the rolled-back blocks — fail
     # the read instead, exactly as the streaming body does
     rb_slot = _rollback_slot_col()
     rbs = decoded.where(F.col("direction") == "backward").select(
-        F.col("_file").alias("_rb_file"),
+        F.col("_ord").alias("_rb_ord"),
         F.when(
             rb_slot.isNull(),
             F.raise_error(
@@ -518,11 +575,11 @@ def canonical_blocks(spark: SparkSession, seg_dir: str) -> DataFrame:
     # while the forward side streams through unshuffled
     alive = fwd.join(
         F.broadcast(rbs),
-        (F.col("_rb_file") > F.col("_file"))
+        (F.col("_rb_ord") > F.col("_ord"))
         & (F.col("_rb_slot") < F.col("block.slot")),
         "left_anti",
     )
-    return partial_blocks(alive.drop("_file"))
+    return partial_blocks(alive.drop("_file", "_ord"))
 
 
 def stream_ogmios_jsonl(spark: SparkSession, path: str) -> DataFrame:

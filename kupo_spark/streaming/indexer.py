@@ -328,6 +328,21 @@ class StreamingIndexer:
 
         return IndexDB(f"{self.out_dir}/base_db")
 
+    def log_current(self) -> bool:
+        """True iff the compacted base already reflects the full log — no
+        data batch or rollback landed after it (pin-only truncate entries
+        don't count).  The O(1)-restart fast path: serve the base directly
+        instead of re-compacting."""
+        base_seq = self._base_seq()
+        if base_seq is None:
+            return False
+        for e in self._entries():
+            if "rollback" in e and e["rollback"]["batch_seq"] > base_seq:
+                return False
+            if "seq" in e and e["seq"] > base_seq and not e.get("truncate"):
+                return False
+        return True
+
     def _base_seq(self) -> int | None:
         db = self._base_db()
         if db.latest_version() < 0:
@@ -514,8 +529,16 @@ class StreamingIndexer:
                     versions[name] = t.remove_paths(dead, operation="TRUNCATE")
                 removed[name] = len(dead)
             if any(removed.values()):
+                # "truncate" marks a pin-only entry: no new data rows, so
+                # restart fast-path checks (_log_current) must not count it
+                # as un-folded log content
                 self._publish(
-                    {"seq": self._next_seq(), "key": None, "tables": versions}
+                    {
+                        "seq": self._next_seq(),
+                        "key": None,
+                        "tables": versions,
+                        "truncate": True,
+                    }
                 )
             if vacuum_retention is not None:
                 # only after the new pins are published: physical deletion
@@ -599,14 +622,6 @@ def resume_bound(
             f"checkpoint {tip}; remove --since or erase the index"
         )
     return tip, False
-
-
-def start_or_resume(
-    indexer: StreamingIndexer, spark: SparkSession, since: int | None = None
-) -> int:
-    """Slot-only form of :func:`resume_bound` (kept for callers that manage
-    inclusivity themselves)."""
-    return resume_bound(indexer, spark, since)[0]
 
 
 def stream_blocks_from_events_dir(spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1) -> DataFrame:

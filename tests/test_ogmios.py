@@ -374,6 +374,59 @@ def test_canonical_blocks_nets_out_rollbacks(spark, tmp_path):
     }
 
 
+def test_canonical_blocks_natural_segment_order(spark, tmp_path):
+    """Delivery order is NATURAL-sorted (seg9 < seg10): a rollback in
+    seg10 must kill forwards in seg9 even though '10' < '9'
+    lexicographically (regression: plain string comparison inverted the
+    order, resurrecting rolled-back blocks for non-zero-padded bridges)."""
+    import json as _json
+
+    from kupo_spark.sources.ogmios import canonical_blocks
+
+    def fwd(slot, txid):
+        return _resp(
+            {
+                "direction": "forward",
+                "tip": _tip(),
+                "block": {
+                    "type": "praos", "era": "conway", "id": f"{slot:064x}",
+                    "slot": slot, "height": slot,
+                    "transactions": [
+                        {
+                            "id": txid, "spends": "inputs",
+                            "inputs": [{"transaction": {"id": "0" * 64}, "index": 0}],
+                            "outputs": [
+                                {"address": "addr1x", "value": {"ada": {"lovelace": 1}}}
+                            ],
+                        }
+                    ],
+                },
+            }
+        )
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    (seg / "seg9.jsonl").write_text(fwd(100, "a" * 64) + "\n")
+    (seg / "seg10.jsonl").write_text(
+        _json.dumps(
+            {
+                "jsonrpc": "2.0",
+                "method": "nextBlock",
+                "result": {
+                    "direction": "backward",
+                    "tip": _tip(),
+                    "point": {"slot": 90, "id": "8" * 64},
+                },
+            }
+        )
+        + "\n"
+        + fwd(95, "b" * 64)
+        + "\n"
+    )
+    rows = canonical_blocks(spark, str(seg)).select("slot_no").collect()
+    assert {r.slot_no for r in rows} == {95}
+
+
 def test_canonical_blocks_fails_on_malformed_rollback(spark, tmp_path):
     """A RollBackward whose point cannot be decoded must fail the batch
     read (regression: a NULL kill-slot made the anti-join condition NULL

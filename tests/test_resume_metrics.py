@@ -6,28 +6,28 @@ import pytest
 from pyspark.sql import functions as F
 
 from kupo_spark.operators.serve import metrics_text
-from kupo_spark.streaming.indexer import StreamingIndexer, start_or_resume
+from kupo_spark.streaming.indexer import StreamingIndexer, resume_bound
 
 
 def test_start_requires_since_on_fresh_index(spark, tmp_path):
     ix = StreamingIndexer(str(tmp_path / "fresh"))
     with pytest.raises(ValueError, match="since required"):
-        start_or_resume(ix, spark)
-    assert start_or_resume(ix, spark, since=0) == 0
+        resume_bound(ix, spark)
+    assert resume_bound(ix, spark, since=0) == (0, True)
 
 
 def test_resume_at_stored_tip(spark, blocks, tmp_path):
     ix = StreamingIndexer(str(tmp_path / "resume"))
     ix.process_batch(blocks.where(F.col("slot_no") < 10), 0)
-    assert start_or_resume(ix, spark) == 9
+    assert resume_bound(ix, spark) == (9, False)
     # an older/equal --since resumes from the checkpoint — re-running the
     # original launch command is a supported operational pattern
     # (Configuration.hs:203-211)
-    assert start_or_resume(ix, spark, since=3) == 9
-    assert start_or_resume(ix, spark, since=9) == 9
+    assert resume_bound(ix, spark, since=3) == (9, False)
+    assert resume_bound(ix, spark, since=9) == (9, False)
     # only a since NEWER than the most recent checkpoint conflicts
     with pytest.raises(ValueError, match="more recent"):
-        start_or_resume(ix, spark, since=10)
+        resume_bound(ix, spark, since=10)
 
 
 def test_resume_bound_all_retracted_is_inclusive(spark, blocks, tmp_path):
