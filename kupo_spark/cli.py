@@ -201,6 +201,18 @@ def cmd_run(args, serve_forever: bool = True):
         row = blocks.agg({"slot_no": "max"}).collect()[0]
         since = (int(row[0] or 0), None)
 
+    def _fresh_blocks():
+        # a live replay must re-list the source directory: the startup
+        # DataFrame's file listing is frozen at creation, so a PUT
+        # /patterns backfill (or metadata lookup) through it would
+        # silently miss every segment delivered after startup.  The
+        # --until bound is re-applied — the re-listed source must honor
+        # the same snapshot ceiling as ingest.
+        b = _load_source(spark, args)
+        if until is not None:
+            b = b.where(b.slot_no <= until[0])
+        return b
+
     store_path = None
     indexer = None
     holder: dict = {}  # --follow: late-bound server + stream query
@@ -253,13 +265,26 @@ def cmd_run(args, serve_forever: bool = True):
         # --since/--until SLOT.HASH points the bridge has not delivered yet
         # cannot be checked at startup (the reference validates against the
         # node's chain, not local files) — they are validated IN-STREAM the
-        # moment the slot arrives; a mismatching hash fails the stream
+        # moment the slot arrives; a mismatch against the CANONICAL chain
+        # fails the stream
         pending_points: list[tuple[int, str]] = []
 
+        def _point_status(bdf, slot, header_hash):
+            rows = (
+                bdf.where(bdf.slot_no == slot)
+                .select("header_hash")
+                .limit(1)
+                .collect()
+            )
+            if not rows:
+                return "absent"
+            return "match" if rows[0].header_hash == header_hash else "mismatch"
+
         def _startup_or_defer(slot, header_hash):
-            if blocks.where(blocks.slot_no == slot).limit(1).count() > 0:
-                _assert_point(blocks, slot, header_hash)
-            else:
+            st = _point_status(blocks, slot, header_hash)
+            if st == "mismatch":
+                raise SystemExit(f"{slot}.{header_hash}: no such point on the chain")
+            if st == "absent":
                 pending_points.append((slot, header_hash))
 
         if since is not None and since != "tip" and since[1] is not None:
@@ -271,19 +296,19 @@ def cmd_run(args, serve_forever: bool = True):
             # tiny transient cost: one pushed-down point filter per pending
             # point per batch, and the list empties as the slots arrive
             for s, h in list(pending_points):
-                rows = (
-                    bdf.where(bdf.slot_no == s)
-                    .select("header_hash")
-                    .limit(1)
-                    .collect()
-                )
-                if rows:
-                    if rows[0].header_hash != h:
-                        raise ValueError(
-                            f"point {s}.{h} is not on the chain "
-                            f"(delivered header {rows[0].header_hash})"
-                        )
+                if _point_status(bdf, s, h) == "absent":
+                    continue  # this delivery doesn't carry the slot
+                # the slot has arrived — judge against the CURRENT CANONICAL
+                # chain, not the raw delivery: a doomed fork block at the
+                # slot that the same (or an already-delivered) rollback
+                # retracts must not kill the stream
+                st = _point_status(_fresh_blocks(), s, h)
+                if st == "mismatch":
+                    raise ValueError(f"point {s}.{h} is not on the chain")
+                if st == "match":
                     pending_points.remove((s, h))
+                # absent in the canonical view: the carrying block was
+                # netted out — the point stays pending
 
         ckpt = f"{args.workdir}/_stream_checkpoint"
         # mutable: a live RollBackward BELOW the resume point moves the
@@ -311,18 +336,22 @@ def cmd_run(args, serve_forever: bool = True):
                 from kupo_spark.operators.maintenance import prune_binary_data
 
                 gc = run_gc if args.prune_utxo else prune_binary_data
-                # retention covers in-flight lazy readers of the OLD pins
-                # (a served query holds a plan over them); one gc interval
-                # with a floor is a comfortable bound for HTTP requests
-                retention = max(float(args.gc_interval), 300.0)
                 with indexer.write_lock:  # no PUT /patterns mid-compaction
-                    indexer.compact(spark, transform=gc)
-                    # folded log partitions are dead weight after the base
-                    # commit: logically truncate AND physically vacuum, and
-                    # drop superseded base generations — disk stays bounded
+                    if holder.get("vacuum_armed"):
+                        # physical deletion deferred ONE FULL CYCLE: what is
+                        # unreferenced NOW was unreferenced at the previous
+                        # compaction, a whole gc interval ago — any reader
+                        # of those pins is long gone.  (An mtime-based
+                        # retention would delete a just-unreferenced but
+                        # old-by-mtime file under the still-served pins.)
+                        indexer.vacuum_logs(0.0)
+                        indexer._base_db().vacuum(retention_seconds=0.0)
+                    # fold the log into a fresh GC'd base, then logically
+                    # truncate the folded partitions — disk stays bounded
                     # by the compaction horizon, not the stream's lifetime
-                    indexer.truncate_log(vacuum_retention=retention)
-                    indexer._base_db().vacuum(retention_seconds=retention)
+                    indexer.compact(spark, transform=gc)
+                    indexer.truncate_log()
+                    holder["vacuum_armed"] = True
                 holder["last_compact"] = time.monotonic()
             holder.setdefault("last_compact", now)
 
@@ -350,10 +379,12 @@ def cmd_run(args, serve_forever: bool = True):
         else:
             # Ogmios NDJSON segments: the live chain-sync INCLUDING
             # RollBackward retractions.  Bridge contract (documented): one
-            # segment file per delivery, discovered in arrival order, at
-            # most one rollback per segment and before its forwards — the
-            # shape a reconnecting chain-sync produces (the server answers
-            # an intersection with RollBackward first, then forwards).
+            # segment file per delivery, named with a monotone sequence
+            # number (so natural-sorted names == arrival order, the rule
+            # canonical_blocks batch replays share), at most one rollback
+            # per segment and before its forwards — the shape a
+            # reconnecting chain-sync produces (the server answers an
+            # intersection with RollBackward first, then forwards).
             from kupo_spark.sources.ogmios import (
                 decode_next_block,
                 partial_blocks,
@@ -463,18 +494,6 @@ def cmd_run(args, serve_forever: bool = True):
 
     from kupo_spark.operators.http_server import KupoHttpServer
 
-    def _fresh_blocks():
-        # a live replay must re-list the source directory: the startup
-        # DataFrame's file listing is frozen at creation, so a PUT
-        # /patterns backfill (or metadata lookup) through it would
-        # silently miss every segment delivered after startup.  The
-        # --until bound is re-applied — the re-listed source must honor
-        # the same snapshot ceiling as ingest.
-        b = _load_source(spark, args)
-        if until is not None:
-            b = b.where(b.slot_no <= until[0])
-        return b
-
     server = KupoHttpServer(
         spark,
         index,
@@ -514,7 +533,13 @@ def cmd_run(args, serve_forever: bool = True):
         return server
     try:
         while True:
-            time.sleep(3600)
+            time.sleep(5)
+            q = holder.get("query")
+            if q is not None and q.exception() is not None:
+                # a dead follow stream must be a VISIBLE failure — serving
+                # a frozen index while claiming to follow is silent data
+                # loss (the in-stream point validation raises through here)
+                raise SystemExit(f"--follow stream failed: {q.exception()}")
     except KeyboardInterrupt:
         pass
     finally:

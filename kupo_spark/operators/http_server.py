@@ -468,10 +468,17 @@ def _make_handler(srv: KupoHttpServer):
                     self._cache_headers(),
                 )
             else:
+                # a follow stream that died (e.g. in-stream point
+                # validation) must surface here: health-check probes and
+                # operators read connection_status
+                q = getattr(srv, "_stream_query", None)
+                connected = q is None or q.exception() is None
                 self._json(
                     forced or 200,
                     {
-                        "connection_status": "connected",
+                        "connection_status": (
+                            "connected" if connected else "disconnected"
+                        ),
                         "most_recent_checkpoint": h["most_recent_checkpoint"],
                         "most_recent_node_tip": h["most_recent_checkpoint"],
                         "version": "kupo-spark",

@@ -59,13 +59,24 @@ def ogmios_canonical_fold_sql(seg_dir: str = OGMIOS_SEGMENTS) -> str:
     helper; the NETTING logic itself is restated independently in SQL)."""
     from kupo_spark.sources.ogmios import segment_order
 
+    seg_dir = str(Path(seg_dir))  # normalize (a trailing slash would make
+    # the glob's reported filenames miss every CASE arm)
     files = segment_order(seg_dir)
     # ordinal via CASE, not a join: this DuckDB build miscompiles a join
     # between a read_json_objects(filename=true) scan and another relation
     # (reproducible segfault); a projection-level CASE is equivalent here
     whens = " ".join(f"WHEN '{p}' THEN {i}" for i, p in enumerate(files))
+    # ELSE error(): a filename the listing didn't pin (path-normalization
+    # drift, a file landing between listing and scan) must fail the oracle
+    # loudly — a NULL ordinal would nullify the netting predicate and
+    # silently return the un-netted chain (the Spark side raises on the
+    # analogous mismatch)
     fwd = f"""raw AS (
-  SELECT json AS j, CASE filename {whens} END AS ord
+  SELECT json AS j,
+         CASE filename {whens}
+              ELSE CAST(error('unknown segment file in oracle scan: '
+                              || filename) AS BIGINT)
+         END AS ord
   FROM read_json_objects('{seg_dir}/*.jsonl',
                          format='newline_delimited', filename=true)
 ),

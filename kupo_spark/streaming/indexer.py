@@ -549,6 +549,17 @@ class StreamingIndexer:
                     self._table(name).vacuum(retention_seconds=vacuum_retention)
         return removed
 
+    def vacuum_logs(self, retention_seconds: float) -> None:
+        """Physically delete log files no longer referenced by any live
+        snapshot.  Callers choose the safety rule: a deployment that defers
+        this one full compaction cycle after ``truncate_log`` can pass 0
+        (everything unreferenced then has been unreferenced a whole cycle);
+        otherwise pass a window covering in-flight readers."""
+        with self.write_lock:
+            for name in LOG_TABLES:
+                if Table.exists(f"{self.out_dir}/{name}"):
+                    self._table(name).vacuum(retention_seconds=retention_seconds)
+
     # ---- stream wiring --------------------------------------------------
 
     def start(

@@ -606,6 +606,41 @@ def test_follow_since_point_not_yet_delivered(tmp_path):
         )
 
 
+def test_follow_in_stream_point_mismatch_surfaces(tmp_path):
+    """A deferred --since point whose slot later arrives with a DIFFERENT
+    hash fails the stream, and the failure is VISIBLE: /health flips to
+    disconnected (the health-check probe exits non-zero on it)."""
+    import time
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    (seg_dir / "seg1.jsonl").write_text(_ogmios_fwd(100, "a" * 64, "addr1aaa") + "\n")
+    server = main(
+        [
+            "--ogmios-file", str(seg_dir), "--workdir", str(tmp_path / "db"),
+            "--follow", "--since", f"120.{'e' * 64}", "--match", "*",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        # slot 120 arrives carrying a different header than the point's
+        (seg_dir / "seg2.jsonl").write_text(_ogmios_fwd(120, "b" * 64, "addr1bbb") + "\n")
+        deadline = time.time() + 240
+        status = "connected"
+        while time.time() < deadline:
+            _, health = _get(f"{server.url}/health")
+            status = health["connection_status"]
+            if status == "disconnected":
+                break
+            time.sleep(0.5)
+        assert status == "disconnected", "dead stream not surfaced in /health"
+        q = server._stream_query
+        assert q.exception() is not None and "not on the chain" in str(q.exception())
+    finally:
+        server.close()
+
+
 def test_gardener_loop_prunes(index, monkeypatch):
     """--gc-interval wires the gardener: a tick swaps in the GC'd index."""
     import threading
