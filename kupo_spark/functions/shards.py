@@ -62,6 +62,25 @@ def assign_shards(docs: DataFrame, n_shards: int, seed: str = "") -> DataFrame:
     )
 
 
+def assign_shards_sql(n_shards: int, seed: str = "") -> str:
+    """DuckDB oracle for :func:`assign_shards` over the ``documents`` view
+    — same md5(seed:doc_id) key, 60-bit prefix mod, and per-shard
+    (key, doc_id) rank."""
+    quoted = seed.replace("'", "''")
+    key = f"md5('{quoted}' || ':' || CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {key} AS k,
+         CAST(('0x' || substr({key}, 1, 15)) AS BIGINT) % {n_shards} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT)
+         AS pos
+FROM keyed
+"""
+
+
 def write_shards(
     docs: DataFrame, path: str, n_shards: int, seed: str = ""
 ) -> DataFrame:

@@ -900,6 +900,39 @@ FROM ({q})
 """
 
 
+def fingerprint_chunks_shards_sample_sql(
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    n_shards: int = 8,
+    shard_seed: str = "r4",
+    fraction: float = 0.3,
+    sample_seed: str = "s1",
+) -> str:
+    """Tagged union on the fingerprint row shape (q, doc_id, fingerprint,
+    bucket): the md5 fingerprint itself, overlapping token chunks
+    (md5(chunk):n_tokens -> fingerprint slot, chunk_id -> bucket slot),
+    deterministic shard assignment (shard -> fingerprint, pos -> bucket),
+    and the md5-threshold sample (row set is the verdict)."""
+    from kupo_spark.functions.chunking import chunk_documents_sql
+    from kupo_spark.functions.sampling import sample_sql
+    from kupo_spark.functions.shards import assign_shards_sql
+
+    return f"""
+SELECT 'fp' AS q, * FROM ({fingerprint_sql().strip()})
+UNION ALL
+SELECT 'chunks', doc_id,
+       md5(chunk_text) || ':' || CAST(n_tokens AS VARCHAR) AS fingerprint,
+       CAST(chunk_id AS VARCHAR) AS bucket
+FROM ({chunk_documents_sql(chunk_tokens, overlap).strip()})
+UNION ALL
+SELECT 'shards', doc_id, CAST(shard AS VARCHAR), CAST(pos AS VARCHAR)
+FROM ({assign_shards_sql(n_shards, shard_seed).strip()})
+UNION ALL
+SELECT 'sample', doc_id, 'kept', ''
+FROM ({sample_sql(fraction, sample_seed).strip()})
+"""
+
+
 def token_stats_and_bpe_sql() -> str:
     """Tagged union: whitespace token stats + the BPE-ish piece count
     (n_pieces -> n_tokens slot, whitespace count -> n_uniq_tokens slot,

@@ -241,6 +241,39 @@ def _token_stats_and_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ws.unionByName(bpe)
 
 
+def _fingerprint_chunks_shards_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tagged union on the fingerprint shape: fingerprint + token chunking
+    # (md5(chunk):n_tokens rides the fingerprint slot, chunk_id the bucket
+    # slot) + shard assignment (shard/pos) + the deterministic sample (the
+    # surviving row set IS the verdict)
+    from kupo_spark.functions import chunking, sampling
+    from kupo_spark.functions.shards import assign_shards
+
+    docs = _docs(spark, sf_dir)
+    fp = textops.fingerprint(docs).select(F.lit("fp").alias("q"), "*")
+    ch = chunking.chunk_documents(docs, 32, 8).select(
+        F.lit("chunks").alias("q"),
+        "doc_id",
+        F.concat(
+            F.expr("md5(chunk_text)"), F.lit(":"), F.col("n_tokens").cast("string")
+        ).alias("fingerprint"),
+        F.col("chunk_id").cast("string").alias("bucket"),
+    )
+    sh = assign_shards(docs, 8, seed="r4").select(
+        F.lit("shards").alias("q"),
+        "doc_id",
+        F.col("shard").cast("string").alias("fingerprint"),
+        F.col("pos").cast("string").alias("bucket"),
+    )
+    sm = sampling.deterministic_sample(docs, 0.3, seed="s1").select(
+        F.lit("sample").alias("q"),
+        "doc_id",
+        F.lit("kept").alias("fingerprint"),
+        F.lit("").alias("bucket"),
+    )
+    return fp.unionByName(ch).unionByName(sh).unionByName(sm)
+
+
 def _quality_and_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tagged union: heuristic quality/Gopher row + the frozen learned
     # classifier's verdict (prob -> stopword_ratio slot, pred ->
@@ -318,8 +351,8 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         oracle_pipeline.tfidf_and_lm_sql(3),
     ),
     "q_text_fingerprint": (
-        lambda s, d: textops.fingerprint(_docs(s, d)),
-        oracle_pipeline.fingerprint_sql(),
+        _fingerprint_chunks_shards_sample,
+        oracle_pipeline.fingerprint_chunks_shards_sample_sql(),
     ),
     "q_dedup_ngram_jaccard": (
         # max_df guards the posting-list self-join against stopword-shingle

@@ -19,18 +19,10 @@ def docs(spark):
 
 
 def test_assignment_matches_duckdb(docs, duck):
+    from kupo_spark.functions.shards import assign_shards_sql
+
     sdf = assign_shards(docs, N, seed="r4")
-    key = "md5('r4' || ':' || CAST(doc_id AS VARCHAR))"
-    sql = f"""
-WITH keyed AS (
-  SELECT doc_id, {key} AS k,
-         CAST(('0x' || substr({key}, 1, 15)) AS BIGINT) % {N} AS shard
-  FROM documents
-)
-SELECT doc_id, shard,
-       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
-FROM keyed
-"""
+    sql = assign_shards_sql(N, seed="r4")
     srows, scols = sdf.collect(), sdf.columns
     res = duck.execute(sql)
     ocols = [d[0] for d in res.description]
