@@ -101,6 +101,58 @@ WHERE CAST(('0x' || substr(md5('{quoted}' || ':' || CAST(doc_id AS VARCHAR)), 1,
 """
 
 
+def mix_by_source_sql(
+    fractions: dict[str, float],
+    seed: str = "0",
+    default: float = 0.0,
+    source_col: str = "source",
+) -> str:
+    """DuckDB oracle for :func:`mix_by_source` over `documents` — same
+    per-source thresholds (int64-truncated 60-bit products)."""
+    quoted = seed.replace("'", "''")
+    key = f"md5('{quoted}' || ':' || CAST(doc_id AS VARCHAR))"
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(float(_MOD) * float(f))}"
+        for s, f in sorted(fractions.items())
+    )
+    return f"""
+SELECT * FROM documents
+WHERE CAST(('0x' || substr({key}, 1, 15)) AS BIGINT)
+      < CASE {source_col} {whens} ELSE {int(float(_MOD) * float(default))} END
+"""
+
+
+def contamination_sql(
+    benchmark_texts: list[str], n: int = 3, min_hits: int = 1
+) -> str:
+    """DuckDB oracle for :func:`contamination` — the benchmark shingle
+    set is built HERE with the operator's exact rule and injected as
+    VALUES; the corpus side reuses the shared 3-shingle CTE."""
+    if n != 3:
+        raise ValueError("oracle shares the k=3 shingle CTE")
+    from kupo_spark.oracle_pipeline import SHINGLES_CTE
+
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        toks = [w for w in t.split(" ") if w]
+        bench.update(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+    vals = ", ".join("('" + s.replace("'", "''") + "')" for s in sorted(bench))
+    return f"""
+WITH {SHINGLES_CTE},
+bench(sh) AS (SELECT * FROM (VALUES {vals})),
+hits AS (
+  SELECT s.doc_id, count(*) AS nhit
+  FROM shingles s JOIN bench b ON b.sh = s.sh
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.nhit, 0) AS BIGINT) AS n_contaminated_shingles,
+       coalesce(h.nhit, 0) >= {min_hits} AS contaminated
+FROM documents d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
 def contamination(
     docs: DataFrame,
     benchmark_texts: list[str],

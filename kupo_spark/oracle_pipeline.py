@@ -907,16 +907,27 @@ def fingerprint_chunks_shards_sample_sql(
     shard_seed: str = "r4",
     fraction: float = 0.3,
     sample_seed: str = "s1",
+    mix_fractions: dict | None = None,
+    mix_default: float = 0.25,
+    mix_seed: str = "m1",
+    contam_bench: tuple = (),
 ) -> str:
     """Tagged union on the fingerprint row shape (q, doc_id, fingerprint,
     bucket): the md5 fingerprint itself, overlapping token chunks
     (md5(chunk):n_tokens -> fingerprint slot, chunk_id -> bucket slot),
     deterministic shard assignment (shard -> fingerprint, pos -> bucket),
-    and the md5-threshold sample (row set is the verdict)."""
+    the md5-threshold sample (row set is the verdict), the per-source mix
+    (row set + source), and the benchmark-contamination verdict."""
     from kupo_spark.functions.chunking import chunk_documents_sql
-    from kupo_spark.functions.sampling import sample_sql
+    from kupo_spark.functions.sampling import (
+        contamination_sql,
+        mix_by_source_sql,
+        sample_sql,
+    )
     from kupo_spark.functions.shards import assign_shards_sql
 
+    mix = mix_by_source_sql(mix_fractions or {}, seed=mix_seed, default=mix_default)
+    contam = contamination_sql(list(contam_bench))
     return f"""
 SELECT 'fp' AS q, * FROM ({fingerprint_sql().strip()})
 UNION ALL
@@ -930,6 +941,13 @@ FROM ({assign_shards_sql(n_shards, shard_seed).strip()})
 UNION ALL
 SELECT 'sample', doc_id, 'kept', ''
 FROM ({sample_sql(fraction, sample_seed).strip()})
+UNION ALL
+SELECT 'mix', doc_id, 'kept', source
+FROM ({mix.strip()})
+UNION ALL
+SELECT 'contam', doc_id, CAST(n_contaminated_shingles AS VARCHAR),
+       CASE WHEN contaminated THEN '1' ELSE '0' END
+FROM ({contam.strip()})
 """
 
 

@@ -241,6 +241,13 @@ def _token_stats_and_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ws.unionByName(bpe)
 
 
+#: data-mixing recipe + benchmark texts for the driver-checked arms —
+#: shared literals between the Spark callable and the DuckDB oracle
+MIX_FRACTIONS = {"src0": 0.5, "src1": 0.1}
+MIX_DEFAULT = 0.25
+CONTAM_BENCH = ("key agg row scan slow fast", "the line sort table window")
+
+
 def _fingerprint_chunks_shards_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tagged union on the fingerprint shape: fingerprint + token chunking
     # (md5(chunk):n_tokens rides the fingerprint slot, chunk_id the bucket
@@ -271,7 +278,27 @@ def _fingerprint_chunks_shards_sample(spark: SparkSession, sf_dir: str) -> DataF
         F.lit("kept").alias("fingerprint"),
         F.lit("").alias("bucket"),
     )
-    return fp.unionByName(ch).unionByName(sh).unionByName(sm)
+    mx = sampling.mix_by_source(
+        docs, MIX_FRACTIONS, seed="m1", default=MIX_DEFAULT
+    ).select(
+        F.lit("mix").alias("q"),
+        "doc_id",
+        F.lit("kept").alias("fingerprint"),
+        F.col("source").alias("bucket"),
+    )
+    ct = sampling.contamination(docs, list(CONTAM_BENCH)).select(
+        F.lit("contam").alias("q"),
+        "doc_id",
+        F.col("n_contaminated_shingles").cast("string").alias("fingerprint"),
+        F.when(F.col("contaminated"), "1").otherwise("0").alias("bucket"),
+    )
+    return (
+        fp.unionByName(ch)
+        .unionByName(sh)
+        .unionByName(sm)
+        .unionByName(mx)
+        .unionByName(ct)
+    )
 
 
 def _quality_and_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +379,11 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "q_text_fingerprint": (
         _fingerprint_chunks_shards_sample,
-        oracle_pipeline.fingerprint_chunks_shards_sample_sql(),
+        oracle_pipeline.fingerprint_chunks_shards_sample_sql(
+            mix_fractions=MIX_FRACTIONS,
+            mix_default=MIX_DEFAULT,
+            contam_bench=CONTAM_BENCH,
+        ),
     ),
     "q_dedup_ngram_jaccard": (
         # max_df guards the posting-list self-join against stopword-shingle
