@@ -292,6 +292,49 @@ SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM joined
 """
 
 
+def curate_and_learned_sql(
+    min_tokens: int = 20,
+    threshold: float = 0.5,
+    lm_floor: float = -3.45,
+    alpha: float = 0.4,
+    quality_threshold: float = 0.5,
+) -> str:
+    """Tagged union: the default curation verdict plus the FULL
+    learned-gates composition (rule gates, then the bigram-LM perplexity
+    floor, then the frozen classifier) — the flagship curate() call
+    oracle-checked end to end.  Gate comparisons run on the same rounded
+    avg_logprob both engines emit; the thresholds are chosen with
+    measured >=3e-5 margins to every document's score so engine float
+    noise (<=1e-6 after rounding) cannot flip a verdict."""
+    from kupo_spark.functions.classifier import FROZEN_QUALITY_MODEL as M
+
+    base = curate_sql(min_tokens, threshold).strip()
+    lm = lm_score_sql(alpha).strip()
+    dot = " + ".join(
+        f"({w!r} * CAST({f} AS DOUBLE))" for f, w in zip(M.features, M.weights)
+    )
+    prob = f"1.0 / (1.0 + exp(-({dot} + {M.intercept!r})))"
+    return f"""
+SELECT 'base' AS q, doc_id, keep, coalesce(drop_reason, '') AS drop_reason
+FROM ({base})
+UNION ALL
+SELECT 'learned', doc_id, final IS NULL AS keep,
+       coalesce(final, '') AS drop_reason
+FROM (
+  SELECT r.doc_id,
+         coalesce(r.drop_reason,
+                  CASE WHEN l.n_transitions > 0 AND l.avg_logprob < {lm_floor}
+                       THEN 'lm_outlier'
+                       WHEN c.prob < {quality_threshold} THEN 'low_quality'
+                  END) AS final
+  FROM ({base}) r
+  JOIN ({lm}) l USING (doc_id)
+  JOIN (SELECT doc_id, {prob} AS prob FROM ({quality_sql().strip()})) c
+    USING (doc_id)
+)
+"""
+
+
 def embedding_label_topk_sql(n_queries: int = 10, k: int = 3) -> str:
     """ANN restricted to a metadata predicate (same label) — the filtered-
     search shape every retrieval pipeline needs."""

@@ -246,6 +246,39 @@ def _token_stats_and_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_FRACTIONS = {"src0": 0.5, "src1": 0.1}
 MIX_DEFAULT = 0.25
 CONTAM_BENCH = ("key agg row scan slow fast", "the line sort table window")
+#: perplexity floor for the learned-curation arm: drops ~8% of the
+#: synthetic docs with a measured >=3e-5 margin to every avg_logprob
+LM_FLOOR = -3.45
+
+
+def _curate_and_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kupo_spark.functions.classifier import FROZEN_QUALITY_MODEL
+
+    docs = _docs(spark, sf_dir)
+
+    def _arm(tag, df):
+        # kept rows carry drop_reason '' (not NULL): the driver's sort
+        # compares cells across arms sharing a doc_id, and None is
+        # unordered against strings in python3
+        return df.select(
+            F.lit(tag).alias("q"),
+            "doc_id",
+            "keep",
+            F.coalesce("drop_reason", F.lit("")).alias("drop_reason"),
+        )
+
+    base = _arm("base", curate.curate(docs, min_tokens=20))
+    learned = _arm(
+        "learned",
+        curate.curate(
+            docs,
+            min_tokens=20,
+            lm_floor=LM_FLOOR,
+            quality_model=FROZEN_QUALITY_MODEL,
+            quality_threshold=0.5,
+        ),
+    )
+    return base.unionByName(learned)
 
 
 def _fingerprint_chunks_shards_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,9 +447,13 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda s, d: multimodal.extract_features(multimodal.as_media_table(_docs(s, d))),
         oracle_pipeline.multimodal_features_sql(),
     ),
+    # tagged union: default curation + the FULL learned-gates composition
+    # (rule gates -> bigram-LM perplexity floor -> frozen classifier);
+    # thresholds chosen with measured >=3e-5 margins to every score so
+    # rounded-float noise cannot flip a verdict (oracle_pipeline docstring)
     "q_curate": (
-        lambda s, d: curate.curate(_docs(s, d), min_tokens=20),
-        oracle_pipeline.curate_sql(20),
+        lambda s, d: _curate_and_learned(s, d),
+        oracle_pipeline.curate_and_learned_sql(20, lm_floor=LM_FLOOR),
     ),
     "q_dedup_clusters": (
         lambda s, d: dedup.near_dup_clusters(_docs(s, d), threshold=0.5),
