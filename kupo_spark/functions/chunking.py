@@ -102,6 +102,42 @@ FROM chunks
 """
 
 
+def pack_sequences_sql(budget: int = 512, buckets: int = 32) -> str:
+    """DuckDB oracle for :func:`pack_sequences` over ``documents`` — the
+    greedy first-fit replayed as a recursive CTE walking each bucket in
+    doc-id order with the identical overflow rule (recursion depth = the
+    largest bucket's row count; buckets are md5-uniform so that is
+    ~N/buckets)."""
+    key = "md5('pack' || ':' || CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         CAST(CAST(('0x' || substr({key}, 1, 15)) AS BIGINT) % {buckets} AS INTEGER)
+           AS bucket
+  FROM documents
+),
+seq AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM t
+),
+fill AS (
+  SELECT bucket, rn, doc_id, n_tokens, n_tokens AS cur, 0 AS local
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.bucket, s.rn, s.doc_id, s.n_tokens,
+         CASE WHEN f.cur + s.n_tokens > {budget} THEN s.n_tokens
+              ELSE f.cur + s.n_tokens END,
+         CASE WHEN f.cur + s.n_tokens > {budget} THEN f.local + 1
+              ELSE f.local END
+  FROM fill f JOIN seq s ON s.bucket = f.bucket AND s.rn = f.rn + 1
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, bucket,
+       CAST(bucket AS BIGINT) * 4294967296 + local AS pack_id,
+       n_tokens > {budget} AS oversize
+FROM fill
+"""
+
+
 def pack_sequences(
     docs: DataFrame, budget: int = 512, buckets: int = 32
 ) -> DataFrame:
@@ -115,10 +151,17 @@ def pack_sequences(
     sequence number).  Deterministic: same corpus → same packs."""
     import pandas as pd
 
+    from kupo_spark.functions.sampling import key_prefix_int, md5_key
+
+    # bucket via the md5 key family (not Spark's murmur hash): the same
+    # derivation every deterministic-draw stage uses, reproducible across
+    # engines — which is what lets the DuckDB oracle replay the packing
     toks = docs.select(
         "doc_id",
         F.expr(f"size({TOKENS})").alias("n_tokens"),
-        F.pmod(F.hash("doc_id"), F.lit(buckets)).alias("bucket"),
+        F.pmod(key_prefix_int(md5_key("pack")), F.lit(buckets))
+        .cast("int")
+        .alias("bucket"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

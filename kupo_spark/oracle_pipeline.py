@@ -954,6 +954,8 @@ def fingerprint_chunks_shards_sample_sql(
     mix_default: float = 0.25,
     mix_seed: str = "m1",
     contam_bench: tuple = (),
+    pack_budget: int = 256,
+    pack_buckets: int = 8,
 ) -> str:
     """Tagged union on the fingerprint row shape (q, doc_id, fingerprint,
     bucket): the md5 fingerprint itself, overlapping token chunks
@@ -961,7 +963,7 @@ def fingerprint_chunks_shards_sample_sql(
     deterministic shard assignment (shard -> fingerprint, pos -> bucket),
     the md5-threshold sample (row set is the verdict), the per-source mix
     (row set + source), and the benchmark-contamination verdict."""
-    from kupo_spark.functions.chunking import chunk_documents_sql
+    from kupo_spark.functions.chunking import chunk_documents_sql, pack_sequences_sql
     from kupo_spark.functions.sampling import (
         contamination_sql,
         mix_by_source_sql,
@@ -991,6 +993,10 @@ UNION ALL
 SELECT 'contam', doc_id, CAST(n_contaminated_shingles AS VARCHAR),
        CASE WHEN contaminated THEN '1' ELSE '0' END
 FROM ({contam.strip()})
+UNION ALL
+SELECT 'pack', doc_id, CAST(pack_id AS VARCHAR),
+       CASE WHEN oversize THEN '1' ELSE '0' END
+FROM ({pack_sequences_sql(pack_budget, pack_buckets).strip()})
 """
 
 

@@ -325,12 +325,19 @@ def _fingerprint_chunks_shards_sample(spark: SparkSession, sf_dir: str) -> DataF
         F.col("n_contaminated_shingles").cast("string").alias("fingerprint"),
         F.when(F.col("contaminated"), "1").otherwise("0").alias("bucket"),
     )
+    pk = chunking.pack_sequences(docs, budget=256, buckets=8).select(
+        F.lit("pack").alias("q"),
+        "doc_id",
+        F.col("pack_id").cast("string").alias("fingerprint"),
+        F.when(F.col("oversize"), "1").otherwise("0").alias("bucket"),
+    )
     return (
         fp.unionByName(ch)
         .unionByName(sh)
         .unionByName(sm)
         .unionByName(mx)
         .unionByName(ct)
+        .unionByName(pk)
     )
 
 
