@@ -11,8 +11,9 @@ Scale shapes:
   slice): per-row fan-out with no shuffle, codegen end to end, and the
   chunk count per doc is ⌈n/stride⌉ — linear, no quadratic hazard.
 - ``pack_sequences`` is greedy first-fit *within a salted bucket*: docs
-  shuffle once by ``pmod(hash(doc_id), buckets)``, each bucket packs
-  sequentially in doc-id order inside one Arrow-batched
+  shuffle once by the md5 key family's 60-bit prefix mod ``buckets``
+  (cross-engine reproducible — the DuckDB oracle replays the packing),
+  each bucket packs sequentially in doc-id order inside one Arrow-batched
   ``applyInPandas`` group.  Global greedy packing is inherently
   sequential; bucketing trades a bounded amount of per-bucket tail
   waste (≤ one open pack per bucket) for full parallelism — the

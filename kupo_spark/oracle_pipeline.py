@@ -310,17 +310,15 @@ def curate_and_learned_sql(
 
     base = curate_sql(min_tokens, threshold).strip()
     lm = lm_score_sql(alpha).strip()
-    dot = " + ".join(
-        f"({w!r} * CAST({f} AS DOUBLE))" for f, w in zip(M.features, M.weights)
-    )
-    prob = f"1.0 / (1.0 + exp(-({dot} + {M.intercept!r})))"
+    # the model's own expression builder (engine-portable SQL) — the
+    # oracle stays coupled to the Spark scoring path by construction
+    prob = M.score_expr()
+    # the base arm is DERIVED from the learned rows (rule reasons fire
+    # before the learned gates, so mapping lm_outlier/low_quality back to
+    # keep reproduces it exactly) — the expensive near-dup recursion runs
+    # once, not once per arm
     return f"""
-SELECT 'base' AS q, doc_id, keep, coalesce(drop_reason, '') AS drop_reason
-FROM ({base})
-UNION ALL
-SELECT 'learned', doc_id, final IS NULL AS keep,
-       coalesce(final, '') AS drop_reason
-FROM (
+WITH learned AS (
   SELECT r.doc_id,
          coalesce(r.drop_reason,
                   CASE WHEN l.n_transitions > 0 AND l.avg_logprob < {lm_floor}
@@ -332,6 +330,15 @@ FROM (
   JOIN (SELECT doc_id, {prob} AS prob FROM ({quality_sql().strip()})) c
     USING (doc_id)
 )
+SELECT 'learned' AS q, doc_id, final IS NULL AS keep,
+       coalesce(final, '') AS drop_reason
+FROM learned
+UNION ALL
+SELECT 'base', doc_id,
+       final IS NULL OR final IN ('lm_outlier', 'low_quality') AS keep,
+       CASE WHEN final IN ('lm_outlier', 'low_quality') THEN ''
+            ELSE coalesce(final, '') END AS drop_reason
+FROM learned
 """
 
 
@@ -928,10 +935,9 @@ def quality_and_clf_sql() -> str:
     from kupo_spark.functions.classifier import FROZEN_QUALITY_MODEL as M
 
     q = quality_sql().strip()
-    dot = " + ".join(
-        f"({w!r} * CAST({f} AS DOUBLE))" for f, w in zip(M.features, M.weights)
-    )
-    prob = f"round(1.0 / (1.0 + exp(-({dot} + {M.intercept!r}))), 6)"
+    # the model's own expression builder (engine-portable SQL): one
+    # sigmoid string-builder in the codebase, not three
+    prob = f"round({M.score_expr()}, 6)"
     return f"""
 SELECT 'quality' AS q, * FROM ({q})
 UNION ALL
@@ -962,7 +968,9 @@ def fingerprint_chunks_shards_sample_sql(
     (md5(chunk):n_tokens -> fingerprint slot, chunk_id -> bucket slot),
     deterministic shard assignment (shard -> fingerprint, pos -> bucket),
     the md5-threshold sample (row set is the verdict), the per-source mix
-    (row set + source), and the benchmark-contamination verdict."""
+    (row set + source), the benchmark-contamination verdict, and the
+    greedy sequence packing ((doc -> pack_id, oversize), replayed as a
+    recursive CTE)."""
     from kupo_spark.functions.chunking import chunk_documents_sql, pack_sequences_sql
     from kupo_spark.functions.sampling import (
         contamination_sql,

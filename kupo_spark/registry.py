@@ -255,30 +255,40 @@ def _curate_and_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kupo_spark.functions.classifier import FROZEN_QUALITY_MODEL
 
     docs = _docs(spark, sf_dir)
-
-    def _arm(tag, df):
-        # kept rows carry drop_reason '' (not NULL): the driver's sort
-        # compares cells across arms sharing a doc_id, and None is
-        # unordered against strings in python3
-        return df.select(
-            F.lit(tag).alias("q"),
-            "doc_id",
-            "keep",
-            F.coalesce("drop_reason", F.lit("")).alias("drop_reason"),
-        )
-
-    base = _arm("base", curate.curate(docs, min_tokens=20))
-    learned = _arm(
-        "learned",
-        curate.curate(
-            docs,
-            min_tokens=20,
-            lm_floor=LM_FLOOR,
-            quality_model=FROZEN_QUALITY_MODEL,
-            quality_threshold=0.5,
-        ),
+    learned = curate.curate(
+        docs,
+        min_tokens=20,
+        lm_floor=LM_FLOOR,
+        quality_model=FROZEN_QUALITY_MODEL,
+        quality_threshold=0.5,
     )
-    return base.unionByName(learned)
+    # the base arm is DERIVED from the learned rows (rule reasons fire
+    # before the learned gates), so the expensive near-dup clustering
+    # lineage executes once; kept rows carry drop_reason '' (not NULL) —
+    # the driver's sort compares cells across arms sharing a doc_id, and
+    # None is unordered against strings in python3
+    l_reason = F.coalesce("drop_reason", F.lit(""))
+    b_reason = F.when(
+        F.col("drop_reason").isin("lm_outlier", "low_quality"), F.lit("")
+    ).otherwise(l_reason)
+    return learned.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("learned").alias("q"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("keep").alias("keep"),
+                    l_reason.alias("drop_reason"),
+                ),
+                F.struct(
+                    F.lit("base").alias("q"),
+                    F.col("doc_id").alias("doc_id"),
+                    (b_reason == "").alias("keep"),
+                    b_reason.alias("drop_reason"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
 
 
 def _fingerprint_chunks_shards_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
