@@ -427,6 +427,77 @@ def test_canonical_blocks_natural_segment_order(spark, tmp_path):
     assert {r.slot_no for r in rows} == {95}
 
 
+def test_canonical_blocks_random_walk_equivalence(spark, tmp_path):
+    """Seeded random chains of forwards + rollbacks: the netting rule must
+    reproduce a straight in-order replay (forward appends; backward
+    removes every block above the point) for any delivery history that
+    honors the bridge contract."""
+    import json as _json
+    import random
+
+    from kupo_spark.sources.ogmios import canonical_blocks
+
+    def fwd(slot, txid):
+        return _resp(
+            {
+                "direction": "forward",
+                "tip": _tip(),
+                "block": {
+                    "type": "praos", "era": "conway", "id": f"{slot:064x}",
+                    "slot": slot, "height": slot,
+                    "transactions": [
+                        {
+                            "id": txid, "spends": "inputs",
+                            "inputs": [{"transaction": {"id": "0" * 64}, "index": 0}],
+                            "outputs": [
+                                {"address": "addr1x", "value": {"ada": {"lovelace": 1}}}
+                            ],
+                        }
+                    ],
+                },
+            }
+        )
+
+    def bwd(slot):
+        return _resp(
+            {
+                "direction": "backward",
+                "tip": _tip(),
+                "point": {"slot": slot, "id": "8" * 64},
+            }
+        )
+
+    for seed in (7, 23, 99):
+        rnd = random.Random(seed)
+        seg = tmp_path / f"walk{seed}"
+        seg.mkdir()
+        alive: list[tuple[int, str]] = []  # the replay reference
+        tip, n_tx = 0, 0
+        for i in range(rnd.randint(6, 12)):
+            lines = []
+            if alive and rnd.random() < 0.4:
+                # roll back to a random alive slot (or origin)
+                point = rnd.choice([0] + [s for s, _ in alive])
+                alive = [(s, t) for s, t in alive if s <= point]
+                tip = point
+                lines.append(bwd(point))
+            for _ in range(rnd.randint(1, 3)):
+                tip += rnd.randint(1, 5)
+                txid = f"{seed:04x}{n_tx:04x}".ljust(64, "e")
+                n_tx += 1
+                alive.append((tip, txid))
+                lines.append(fwd(tip, txid))
+            (seg / f"seg-{i:03d}.jsonl").write_text("\n".join(lines) + "\n")
+        rows = (
+            canonical_blocks(spark, str(seg))
+            .select("slot_no", "transaction_id")
+            .collect()
+        )
+        assert {(r.slot_no, r.transaction_id) for r in rows} == set(alive), (
+            f"seed {seed} diverged from replay"
+        )
+
+
 def test_canonical_blocks_fails_on_malformed_rollback(spark, tmp_path):
     """A RollBackward whose point cannot be decoded must fail the batch
     read (regression: a NULL kill-slot made the anti-join condition NULL
