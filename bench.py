@@ -148,6 +148,22 @@ def main() -> None:
         lambda: similarity.semantic_dedup(embs, threshold=0.3).count()
     )
 
+    # round-4 fifth-session additions (diagnostics)
+    from kupo_spark.functions.chunking import pack_sequences  # noqa: E402
+    from kupo_spark.functions.shards import assign_shards  # noqa: E402
+    from kupo_spark.oracle_sources import OGMIOS_SEGMENTS  # noqa: E402
+    from kupo_spark.sources.ogmios import canonical_blocks  # noqa: E402
+
+    queries["q_pack_sequences_diag"] = timed(
+        lambda: pack_sequences(docs, budget=256, buckets=8).count()
+    )
+    queries["q_assign_shards_diag"] = timed(
+        lambda: assign_shards(docs, 8, seed="r4").count()
+    )
+    queries["q_canonical_blocks_diag"] = timed(
+        lambda: canonical_blocks(spark, OGMIOS_SEGMENTS).count()
+    )
+
     # --- warm serving path (operators/serving.py): steady-state latency of
     # the point-lookup shapes kupo serves from a warm B-tree.  Reported
     # next to the cold numbers; `spark_job_floor` is the latency of the
