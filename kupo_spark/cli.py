@@ -248,9 +248,10 @@ def cmd_run(args, serve_forever: bool = True):
         # the served index.
         if not args.workdir:
             raise SystemExit("--follow requires --workdir")
-        if not (args.events or args.ogmios_file):
+        if not (args.events or args.ogmios_file or args.hydra_file):
             raise SystemExit(
-                "--follow requires an --events or --ogmios-file directory source"
+                "--follow requires an --events, --ogmios-file or "
+                "--hydra-file directory source"
             )
         from kupo_spark.streaming.indexer import (
             StreamingIndexer,
@@ -374,6 +375,25 @@ def cmd_run(args, serve_forever: bool = True):
                 # same lock across its rollback + backfill (mailbox analog)
                 with indexer.write_lock:
                     indexer.process_batch(df, batch_id, dedup_scope=ckpt)
+                _swap(batch_id)
+
+        elif args.hydra_file:
+            # Hydra ServerOutput segments: snapshots are FINAL inside an
+            # open head (the protocol has no RollBackward), so the live
+            # loop is decode → bound → commit — no retraction lane
+            from kupo_spark.sources.hydra import decode_messages
+            from kupo_spark.sources.hydra import partial_blocks as _hydra_blocks
+
+            stream = (
+                spark.readStream.option("maxFilesPerTrigger", "1")
+                .text(args.hydra_file)
+            )
+
+            def body(df, batch_id):
+                b = _hydra_blocks(decode_messages(df))
+                _check_points(b)
+                with indexer.write_lock:
+                    indexer.process_batch(_bound(b), batch_id, dedup_scope=ckpt)
                 _swap(batch_id)
 
         else:

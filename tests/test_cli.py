@@ -496,6 +496,55 @@ def test_follow_ogmios_applies_rollbacks(tmp_path):
         server.close()
 
 
+def test_follow_hydra_segments(tmp_path, spark):
+    """--follow over Hydra ServerOutput segments: the committed fixture
+    delivered one message per segment must converge to the same served
+    matches as a one-shot batch build (snapshots are final — no
+    retraction lane)."""
+    import time
+    from pathlib import Path
+
+    from kupo_spark.operators.indexer import build_index
+    from kupo_spark.sources.hydra import read_hydra_jsonl
+
+    fixture = Path(__file__).resolve().parent.parent / "fixtures" / "hydra_serveroutput.ndjson"
+    lines = fixture.read_text().splitlines()
+    expected = {
+        (r.created_at, r.transaction_id, r.output_index)
+        for r in build_index(read_hydra_jsonl(spark, str(fixture))).inputs.select(
+            "created_at", "transaction_id", "output_index"
+        ).collect()
+    }
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    (seg_dir / "seg-000.jsonl").write_text(lines[0] + "\n")
+    server = main(
+        [
+            "--hydra-file", str(seg_dir), "--workdir", str(tmp_path / "db"),
+            "--follow", "--since", "origin", "--match", "*",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        for i, line in enumerate(lines[1:], start=1):
+            (seg_dir / f"seg-{i:03d}.jsonl").write_text(line + "\n")
+        deadline = time.time() + 240
+        got: set = set()
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            got = {
+                (m["created_at"]["slot_no"], m["transaction_id"], m["output_index"])
+                for m in matches
+            }
+            if got == expected:
+                break
+            time.sleep(0.5)
+        assert got == expected, f"served {len(got)} vs batch {len(expected)}"
+    finally:
+        server.close()
+
+
 def test_follow_compacts_and_truncates(tmp_path):
     """--follow --gc-interval N: the in-body compaction folds the log into
     the base AND truncates the folded partitions — storage bounded by the
