@@ -248,11 +248,7 @@ def cmd_run(args, serve_forever: bool = True):
         # the served index.
         if not args.workdir:
             raise SystemExit("--follow requires --workdir")
-        if not (args.events or args.ogmios_file or args.hydra_file):
-            raise SystemExit(
-                "--follow requires an --events, --ogmios-file or "
-                "--hydra-file directory source"
-            )
+        # a missing chain source already failed inside _load_source above
         from kupo_spark.streaming.indexer import (
             StreamingIndexer,
             resume_bound,
@@ -380,20 +376,30 @@ def cmd_run(args, serve_forever: bool = True):
         elif args.hydra_file:
             # Hydra ServerOutput segments: snapshots are FINAL inside an
             # open head (the protocol has no RollBackward), so the live
-            # loop is decode → bound → commit — no retraction lane
-            from kupo_spark.sources.hydra import decode_messages
-            from kupo_spark.sources.hydra import partial_blocks as _hydra_blocks
+            # loop is decode → bound → commit — no retraction lane, and the
+            # stream shape is the shared stream_hydra_jsonl helper
+            from kupo_spark.sources.hydra import stream_hydra_jsonl
 
-            stream = (
-                spark.readStream.option("maxFilesPerTrigger", "1")
-                .text(args.hydra_file)
-            )
+            stream = _bound(stream_hydra_jsonl(spark, args.hydra_file))
 
             def body(df, batch_id):
-                b = _hydra_blocks(decode_messages(df))
-                _check_points(b)
-                with indexer.write_lock:
-                    indexer.process_batch(_bound(b), batch_id, dedup_scope=ckpt)
+                # the CBOR pandas-UDF decode is the expensive lineage:
+                # persist once (the five per-batch table writes would each
+                # re-decode), and skip the commit + swap for block-free
+                # deliveries — Greetings/TxValid are the MAJORITY of live
+                # ServerOutput traffic, and a no-op commit costs five
+                # appends + a catalog entry + a full resolve per message.
+                # Exception: the FIRST commit must land even when empty
+                # (it seeds the log tables; serving starts on it).
+                df.persist()
+                try:
+                    if df.isEmpty() and indexer._committed():
+                        return
+                    _check_points(df)
+                    with indexer.write_lock:
+                        indexer.process_batch(df, batch_id, dedup_scope=ckpt)
+                finally:
+                    df.unpersist()
                 _swap(batch_id)
 
         else:

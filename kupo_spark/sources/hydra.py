@@ -486,7 +486,13 @@ def read_hydra_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return partial_blocks(decode_messages(spark.read.text(path)))
 
 
-def stream_hydra_jsonl(spark: SparkSession, path: str) -> DataFrame:
+def stream_hydra_jsonl(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """Stream the same NDJSON shape (file source; the websocket bridge is
     ingestion infra upstream, as with the Ogmios source)."""
-    return partial_blocks(decode_messages(spark.readStream.text(path)))
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return partial_blocks(decode_messages(raw))
