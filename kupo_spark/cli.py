@@ -320,15 +320,22 @@ def cmd_run(args, serve_forever: bool = True):
                 bdf.slot_no >= lo if bound_state["inclusive"] else bdf.slot_no > lo
             )
 
+        def _compact_due() -> bool:
+            # time-driven cadence check, shared by _maybe_compact and the
+            # block-free fast paths (a delivery stream of Greetings/TxValid
+            # only must still fire the gc loop — ADVICE r4)
+            if args.gc_interval <= 0:
+                return False
+            now = time.monotonic()
+            holder.setdefault("last_compact", now)
+            return now - holder["last_compact"] >= args.gc_interval
+
         def _maybe_compact():
             # fold the log into the base every gc-interval, WITH the
             # gardener's GC (M2/M3) applied — serialized with ingest (runs
             # inside the stream body) so the base commit cannot race a
             # concurrent batch; also bounds the per-swap replay cost
-            if args.gc_interval <= 0:
-                return
-            now = time.monotonic()
-            if now - holder.get("last_compact", now) >= args.gc_interval:
+            if _compact_due():
                 from kupo_spark.operators.gardener import run_gc
                 from kupo_spark.operators.maintenance import prune_binary_data
 
@@ -350,7 +357,6 @@ def cmd_run(args, serve_forever: bool = True):
                     indexer.truncate_log()
                     holder["vacuum_armed"] = True
                 holder["last_compact"] = time.monotonic()
-            holder.setdefault("last_compact", now)
 
         def _swap(batch_id):
             _maybe_compact()
@@ -394,6 +400,14 @@ def cmd_run(args, serve_forever: bool = True):
                 df.persist()
                 try:
                     if df.isEmpty() and indexer._committed():
+                        # compaction cadence stays TIME-driven under
+                        # sustained block-free traffic (ADVICE r4).  Route
+                        # through _swap — not a bare _maybe_compact — so the
+                        # served snapshot re-resolves onto the fresh base
+                        # BEFORE a later cycle's vacuum deletes the truncated
+                        # log files the stale snapshot still references.
+                        if _compact_due():
+                            _swap(batch_id)
                         return
                     _check_points(df)
                     with indexer.write_lock:
@@ -411,7 +425,10 @@ def cmd_run(args, serve_forever: bool = True):
             # per segment and before its forwards — the shape a
             # reconnecting chain-sync produces (the server answers an
             # intersection with RollBackward first, then forwards).
+            from pyspark.sql import functions as F
+
             from kupo_spark.sources.ogmios import (
+                _natural_key,
                 decode_next_block,
                 partial_blocks,
                 rollback_points,
@@ -420,14 +437,42 @@ def cmd_run(args, serve_forever: bool = True):
             stream = (
                 spark.readStream.option("maxFilesPerTrigger", "1")
                 .text(args.ogmios_file)
+                .withColumn("_seg", F.input_file_name())
             )
+
+            def _check_segment_order(df):
+                # ENFORCE the bridge contract (natural-sorted names ==
+                # arrival order) instead of merely documenting it: the file
+                # stream delivers in MODIFICATION-TIME order, and if mtimes
+                # disagree with name order (backfilled copies, rsync, coarse
+                # timestamps) a rollback would be applied against the wrong
+                # prefix and the streamed state silently diverges from the
+                # canonical batch view — fail the stream loudly instead.
+                from urllib.parse import unquote
+
+                names = [
+                    unquote(r[0].rsplit("/", 1)[-1])
+                    for r in df.select("_seg").distinct().collect()
+                ]
+                keys = sorted(_natural_key(n) for n in names)
+                last = holder.get("last_seg_key")
+                if last is not None and keys and keys[0] <= last[0]:
+                    raise ValueError(
+                        "segment delivered out of natural-name order: "
+                        f"{sorted(names)[0]!r} after {last[1]!r} — the bridge "
+                        "contract requires monotone sequence-numbered names "
+                        "with matching arrival (mtime) order"
+                    )
+                if keys:
+                    holder["last_seg_key"] = (keys[-1], sorted(names)[-1])
 
             def body(df, batch_id):
                 with indexer.write_lock:
                     key = f"{ckpt}:{batch_id}"
                     if any(m.get("key") == key for m in indexer._committed()):
                         return  # replayed delivery — both writes already landed
-                    decoded = decode_next_block(df).persist()
+                    _check_segment_order(df)
+                    decoded = decode_next_block(df.drop("_seg")).persist()
                     try:
                         _check_points(partial_blocks(decoded))
                         rb_rows = rollback_points(decoded).collect()

@@ -111,14 +111,21 @@ def mix_by_source_sql(
     per-source thresholds (int64-truncated 60-bit products)."""
     quoted = seed.replace("'", "''")
     key = f"md5('{quoted}' || ':' || CAST(doc_id AS VARCHAR))"
-    whens = " ".join(
-        f"WHEN '{s}' THEN {int(float(_MOD) * float(f))}"
-        for s, f in sorted(fractions.items())
-    )
+    default_thresh = int(float(_MOD) * float(default))
+    if not fractions:
+        # a CASE with zero WHEN arms is invalid SQL — mirror the Spark
+        # side (mix_by_source with {} is a bare default-threshold filter)
+        thresh_expr = str(default_thresh)
+    else:
+        whens = " ".join(
+            f"WHEN '{s}' THEN {int(float(_MOD) * float(f))}"
+            for s, f in sorted(fractions.items())
+        )
+        thresh_expr = f"CASE {source_col} {whens} ELSE {default_thresh} END"
     return f"""
 SELECT * FROM documents
 WHERE CAST(('0x' || substr({key}, 1, 15)) AS BIGINT)
-      < CASE {source_col} {whens} ELSE {int(float(_MOD) * float(default))} END
+      < {thresh_expr}
 """
 
 
@@ -136,6 +143,15 @@ def contamination_sql(
     for t in benchmark_texts:
         toks = [w for w in t.split(" ") if w]
         bench.update(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+    if not bench:
+        # `VALUES ` with zero tuples is invalid SQL — mirror the Spark
+        # side's empty-benchmark short-circuit (constant 0/false verdict)
+        return """
+SELECT doc_id,
+       CAST(0 AS BIGINT) AS n_contaminated_shingles,
+       FALSE AS contaminated
+FROM documents
+"""
     vals = ", ".join("('" + s.replace("'", "''") + "')" for s in sorted(bench))
     return f"""
 WITH {SHINGLES_CTE},

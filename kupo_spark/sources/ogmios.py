@@ -525,9 +525,16 @@ def canonical_blocks(spark: SparkSession, seg_dir: str) -> DataFrame:
     the ordinal map and the scan can never disagree about the directory's
     contents."""
     files = segment_order(seg_dir)
-    order = [(f"file://{p.resolve()}", i) for i, p in enumerate(files)]
+    # join key is the segment BASENAME (unique within the pinned listing),
+    # not a reconstructed full URI: input_file_name() returns Spark's own
+    # percent-encoded URI and does not resolve symlinks, so a rebuilt
+    # ``file://{p.resolve()}`` diverges on symlinked or space-containing
+    # seg_dirs (ADVICE r4).  url_decode undoes the Hadoop Path encoding
+    # (a literal '%' in a name arrives as '%25', so the decode is exact).
+    order = [(p.name, i) for i, p in enumerate(files)]
     raw = spark.read.text([str(p) for p in files]).withColumn(
-        "_file", F.input_file_name()
+        "_file",
+        F.url_decode(F.element_at(F.split(F.input_file_name(), "/"), -1)),
     )
     # ordinal via broadcast hash join (O(1) probe per row; a literal map
     # would be a linear scan per row at thousands of segments)

@@ -690,6 +690,53 @@ def test_follow_in_stream_point_mismatch_surfaces(tmp_path):
         server.close()
 
 
+def test_follow_rejects_out_of_order_segments(tmp_path):
+    """The bridge contract (natural-sorted names == arrival order) is
+    ENFORCED, not just documented: a segment whose natural-sort key is
+    below an already-processed one (mtime disagreeing with name order —
+    backfilled copies, rsync, coarse timestamps) fails the stream loudly
+    instead of applying rollbacks against the wrong prefix (ADVICE r4)."""
+    import time
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    (seg_dir / "seg-10.jsonl").write_text(_ogmios_fwd(100, "a" * 64, "addr1aaa") + "\n")
+    server = main(
+        [
+            "--ogmios-file", str(seg_dir), "--workdir", str(tmp_path / "db"),
+            "--follow", "--since", "origin", "--match", "*",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            if matches:
+                break
+            time.sleep(0.5)
+        assert {m["created_at"]["slot_no"] for m in matches} == {100}
+        # seg-9 arrives AFTER seg-10 (newer mtime, lower natural key):
+        # the stream must die, not index it
+        (seg_dir / "seg-9.jsonl").write_text(
+            _ogmios_fwd(105, "b" * 64, "addr1bbb") + "\n"
+        )
+        status = "connected"
+        while time.time() < deadline:
+            _, health = _get(f"{server.url}/health")
+            status = health["connection_status"]
+            if status == "disconnected":
+                break
+            time.sleep(0.5)
+        assert status == "disconnected", "out-of-order segment not surfaced"
+        q = server._stream_query
+        assert q.exception() is not None
+        assert "out of natural-name order" in str(q.exception())
+    finally:
+        server.close()
+
+
 def test_gardener_loop_prunes(index, monkeypatch):
     """--gc-interval wires the gardener: a tick swaps in the GC'd index."""
     import threading

@@ -427,6 +427,51 @@ def test_canonical_blocks_natural_segment_order(spark, tmp_path):
     assert {r.slot_no for r in rows} == {95}
 
 
+def test_canonical_blocks_symlinked_and_space_dirs(spark, tmp_path):
+    """The ordinal join keys on the segment BASENAME, so a symlinked or
+    space-containing seg_dir — where input_file_name()'s percent-encoded,
+    unresolved URI can never equal a reconstructed file://{resolve()} —
+    still reads (ADVICE r4 regression)."""
+    import os
+
+    from kupo_spark.sources.ogmios import canonical_blocks
+
+    real = tmp_path / "with space"
+    real.mkdir()
+
+    def fwd(slot, txid):
+        return _resp(
+            {
+                "direction": "forward",
+                "tip": _tip(),
+                "block": {
+                    "type": "praos", "era": "conway", "id": f"{slot:064x}",
+                    "slot": slot, "height": slot,
+                    "transactions": [
+                        {
+                            "id": txid, "spends": "inputs",
+                            "inputs": [{"transaction": {"id": "0" * 64}, "index": 0}],
+                            "outputs": [
+                                {"address": "addr1x", "value": {"ada": {"lovelace": 1}}}
+                            ],
+                        }
+                    ],
+                },
+            }
+        )
+
+    (real / "seg 1.jsonl").write_text(fwd(100, "a" * 64) + "\n")
+    (real / "seg 2.jsonl").write_text(fwd(110, "b" * 64) + "\n")
+    got = {r.slot_no for r in canonical_blocks(spark, str(real)).select("slot_no").collect()}
+    assert got == {100, 110}
+    link = tmp_path / "link"
+    os.symlink(real, link)
+    via_link = {
+        r.slot_no for r in canonical_blocks(spark, str(link)).select("slot_no").collect()
+    }
+    assert via_link == {100, 110}
+
+
 def test_canonical_blocks_random_walk_equivalence(spark, tmp_path):
     """Seeded random chains of forwards + rollbacks: the netting rule must
     reproduce a straight in-order replay (forward appends; backward

@@ -86,6 +86,30 @@ def test_contamination_paths_share_schema_and_quote_safe_seed(spark, duck):
     assert got == oracle
 
 
+def test_empty_oracle_sql_is_valid(spark, duck):
+    """contamination_sql(()) and mix_by_source_sql({}) — the defaults of
+    fingerprint_chunks_shards_sample_sql — must emit runnable SQL, not
+    `VALUES ` / a WHEN-less CASE (ADVICE r4)."""
+    from kupo_spark.functions.sampling import contamination_sql, mix_by_source_sql
+
+    duck.execute(f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    rows = duck.execute(contamination_sql([])).fetchall()
+    assert len(rows) == 500 and all(r[1] == 0 and r[2] is False for r in rows)
+    # empty mix == bare default threshold; default=0.0 keeps nothing,
+    # default=1.0 keeps everything
+    assert duck.execute(mix_by_source_sql({}, default=0.0)).fetchall() == []
+    assert len(duck.execute(mix_by_source_sql({}, default=1.0)).fetchall()) == 500
+    # Spark side agrees with the default-threshold semantics
+    docs = spark.read.parquet(DOCS)
+    from kupo_spark.functions.sampling import mix_by_source
+
+    kept = {r.doc_id for r in mix_by_source(docs, {}, default=0.5).collect()}
+    oracle = {r[0] for r in duck.execute(
+        mix_by_source_sql({}, default=0.5).replace("SELECT *", "SELECT doc_id")
+    ).fetchall()}
+    assert kept == oracle
+
+
 def test_mix_by_source_rejects_bad_fractions(spark):
     import pytest
 
