@@ -40,9 +40,12 @@ from pyspark.sql import functions as F
 
 from kupo_spark.functions.similarity import (
     DIM,
+    QUERY_COLLECT_LIMIT,
     _ivf_centroids,
     _probe_rows,
+    _valid,
     nearest_centroid_rows,
+    nearest_centroids_multi,
     quantized,
     topk_merge,
 )
@@ -198,16 +201,72 @@ def _adc_tables(query_rows, codebooks):
     )
 
 
+def _adc_table_expr(codebooks: list) -> str:
+    """Per-query ADC tables as ONE codegen expression over a query-vector
+    column ``qv``: ``tab[j][c] = L2²(qv_sub_j, centroid_{j,c})`` — exact
+    int64, the same integers :func:`_adc_tables` computes with numpy.  The
+    codebooks (m × 2^bits × dim/m ints, ~1 KB) become array literals, so
+    the distributed query side needs NO Python and NO driver collect."""
+    m = len(codebooks)
+    dsub = DIM // m
+    subs = []
+    for j, book in enumerate(codebooks):
+        lit = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(str(int(x)) for x in c) + ")" for c in book
+            )
+            + ")"
+        )
+        subs.append(
+            f"transform({lit}, c -> aggregate("
+            f"zip_with(slice(qv, {j * dsub + 1}, {dsub}), c,"
+            " (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x))"
+        )
+    return "array(" + ",".join(subs) + ")"
+
+
+#: ADC score of one (query table, corpus code) pair: m gathers + a sum —
+#: the JVM-side analog of the closure path's vectorized numpy take
+_ADC_SUM = (
+    "aggregate(zip_with(tab, code, (t, ci) -> element_at(t, cast(ci as int) + 1)),"
+    " 0L, (a, x) -> a + x)"
+)
+
+
+def _query_tables(emb: DataFrame, codebooks: list, n_queries: int) -> DataFrame:
+    """(query_id, tab): the distributed query side — ADC tables computed
+    executor-side from the codebook literals, never materialized on the
+    driver."""
+    return _valid(quantized(emb).where(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    ).select("query_id", F.expr(_adc_table_expr(codebooks)).alias("tab"))
+
+
+def _adc_rank(scored: DataFrame, k: int) -> DataFrame:
+    return topk_merge(
+        scored.withColumn("cosine", -F.col("adist").cast("double")).drop("adist"), k
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     codebooks: list,
     n_queries: int = 10,
     k: int = 5,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k by ADC over PQ codes: for each query, ``m``
     table lookups + a sum per candidate (numpy ``take`` over the whole
     Arrow batch — the corpus is scanned once as codes, never
     reconstructed).  Queries stay exact (asymmetric).
+
+    ``distributed`` (default: auto at ``QUERY_COLLECT_LIMIT``, mirroring
+    the other top-k paths) keeps the query side as a DataFrame: ADC
+    tables are a codegen projection from the codebook literals
+    (:func:`_adc_table_expr`) and scoring is ``m`` ``element_at`` gathers
+    per pair — no driver collect, no per-query closure shipping (at 100k+
+    queries the closure path's ~16 KB/query tables would be GBs per task).
 
     Output mirrors the other top-k paths (query_id, neighbor_id, cosine,
     rank) with ``cosine`` = −ADC L2² (cast to double; "higher is
@@ -216,6 +275,16 @@ def pq_adc_topk(
     import pandas as pd
 
     codes = pq_encode(emb, codebooks)
+    if distributed is None:
+        distributed = n_queries > QUERY_COLLECT_LIMIT
+    if distributed:
+        scored = (
+            codes.select(F.col("vec_id").alias("neighbor_id"), "code")
+            .crossJoin(_query_tables(emb, codebooks, n_queries))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", F.expr(_ADC_SUM).alias("adist"))
+        )
+        return _adc_rank(scored, k)
     qrows = quantized(emb).where(F.col("vec_id") < n_queries).collect()
     qids, tabs = _adc_tables(qrows, codebooks)
     m = len(codebooks)
@@ -240,8 +309,7 @@ def pq_adc_topk(
             yield out[out.query_id != out.neighbor_id]
 
     scored = codes.mapInPandas(score, "query_id long, neighbor_id long, adist long")
-    scored = scored.withColumn("cosine", -F.col("adist").cast("double")).drop("adist")
-    return topk_merge(scored, k)
+    return _adc_rank(scored, k)
 
 
 def ivf_pq_topk(
@@ -252,13 +320,21 @@ def ivf_pq_topk(
     n_centroids: int = 16,
     kmeans_iters: int = 0,
     nprobe: int = 1,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse cells bound the candidates (``nprobe`` dial, same
     machinery as :func:`similarity.ivf_topk`), ADC scores the codes.  The
     100 TB layout: codes stored partitioned by coarse cell; a probe reads
     nprobe partitions of 8-byte codes — both the read volume and the
     arithmetic per candidate drop by ~an order of magnitude vs raw
-    vectors."""
+    vectors.
+
+    ``distributed`` (default: auto at ``QUERY_COLLECT_LIMIT``) keeps the
+    query side as a DataFrame: probes fan out executor-side against the
+    closure-shipped centroids (bounded at ``n_centroids`` rows — the one
+    collect this path keeps, same as :func:`similarity.ivf_topk`), ADC
+    tables are a codegen projection, and candidates pair via a
+    centroid_id equi-join — no per-query driver materialization."""
     import numpy as np
     import pandas as pd
 
@@ -267,6 +343,22 @@ def ivf_pq_topk(
     assign = nearest_centroid_rows(q, crows)
     codes = pq_encode(emb, codebooks).join(assign, "vec_id")
     queries = q.where(F.col("vec_id") < n_queries)
+    if distributed is None:
+        distributed = n_queries > QUERY_COLLECT_LIMIT
+    if distributed:
+        probes = nearest_centroids_multi(queries, crows, max(1, nprobe))
+        qtab = _query_tables(emb, codebooks, n_queries).join(
+            probes.withColumnRenamed("vec_id", "query_id"), "query_id"
+        )
+        scored = (
+            codes.select(
+                F.col("vec_id").alias("neighbor_id"), "code", "centroid_id"
+            )
+            .join(qtab, "centroid_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", F.expr(_ADC_SUM).alias("adist"))
+        )
+        return _adc_rank(scored, k)
     probe = _probe_rows(queries.collect(), crows, max(1, nprobe))
     qids, tabs = _adc_tables(probe, codebooks)
     # cell each (replicated) probe row targets, aligned with qids
