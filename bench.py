@@ -182,8 +182,14 @@ def main() -> None:
     queries["q_exact_address_range_warm"] = timed_warm(
         lambda: serving.fold_rows(addr, created_after=2000, created_before=6000)
     )
+    # fold_rows repeats hit the driver-side hot-row cache (kupo's page-cache
+    # analog — its warm oha numbers are page-cache hits too); _miss is the
+    # honest per-job cost when the key is NOT resident (plan cached, row not)
     queries["q_transaction_id_warm"] = timed_warm(
         lambda: serving.fold_rows(f"*@{txid}")
+    )
+    queries["q_transaction_id_warm_miss"] = timed_warm(
+        lambda: serving.fold(f"*@{txid}", point=True).collect()
     )
     queries["q_delegation_warm"] = timed_warm(
         lambda: serving.fold_rows(f"*/{deleg}")

@@ -39,9 +39,18 @@ CHAIN_ORDER_KEYS = ("created_at", "transaction_index", "output_index")
 
 class Serving:
     PLAN_CACHE_SIZE = 256
+    #: driver-side hot-row cache for point lookups (P7/P8) — the moral
+    #: equivalent of kupo's page cache over its B-tree.  A Spark job has a
+    #: ~20 ms scheduling floor no plan can beat; a repeated point lookup
+    #: must not launch one.  Tip-keyed by construction: every index swap
+    #: builds a NEW Serving, so entries can never outlive their snapshot.
+    ROW_CACHE_SIZE = 4096
 
     def __init__(self, index: Index, partitions: int = 8):
         self._plan_cache: dict = {}
+        self._row_cache: dict = {}
+        self._point_memo: dict = {}
+        self._etag_memo: str | None = None
         inputs = index.inputs
         if "created_header_hash" not in inputs.columns:
             from kupo_spark.operators.indexer import resolve_header_hashes
@@ -116,6 +125,17 @@ class Serving:
         (SQLite.hs:919-1003 are compiled per connection, not per request);
         without it every request pays ~60 ms of Catalyst on this box."""
         kwargs.setdefault("sorted_result", False)
+        # P16 point-valued bounds resolve through the driver-side memo
+        # instead of fold_inputs' eager per-call count job (one scheduler
+        # round-trip per request for what kupo does with a B-tree probe)
+        cap = kwargs.pop("created_after_point", None)
+        if cap is not None:
+            self._assert_point_cached(*cap)
+            kwargs["created_after"] = cap[0]
+        sbp = kwargs.pop("spent_before_point", None)
+        if sbp is not None:
+            self._assert_point_cached(*sbp)
+            kwargs["spent_before"] = sbp[0]
         index = self._point_index if point else self.index
         if not use_plan_cache:
             return fold_inputs(index, pattern, **kwargs)
@@ -128,6 +148,27 @@ class Serving:
             self._plan_cache[key] = df
         return df
 
+    def _assert_point_cached(self, slot_no: int, header_hash: str) -> None:
+        """:func:`assert_point` through a driver-side memo: the index
+        snapshot is immutable for this Serving's lifetime, so a point's
+        existence verdict (positive OR negative) never changes — one count
+        job at first sight, a dict probe after."""
+        from kupo_spark.operators.fold_inputs import UnknownPointError, assert_point
+
+        key = (slot_no, header_hash)
+        ok = self._point_memo.get(key)
+        if ok is None:
+            try:
+                assert_point(self.index, slot_no, header_hash)
+                ok = True
+            except UnknownPointError:
+                ok = False
+            if len(self._point_memo) >= self.ROW_CACHE_SIZE:
+                self._point_memo.pop(next(iter(self._point_memo)))
+            self._point_memo[key] = ok
+        if not ok:
+            raise UnknownPointError(f"unknown point {slot_no}.{header_hash}")
+
     def fold_rows(self, pattern="*", order: str = "most_recent_first", **kwargs):
         """Collect a fold in the requested chain order (O1).  The view is
         stored most-recent-first; oldest-first is a driver-side reversal of
@@ -137,13 +178,23 @@ class Serving:
 
         P7/P8 patterns read the primary-key view (partition-bounded point
         read); their handful of rows is re-ordered on the driver — exactly
-        a B-tree point read followed by an in-memory sort of the page."""
+        a B-tree point read followed by an in-memory sort of the page.
+        Repeats hit the hot-row cache (no job at all): kupo's warm txid
+        lookup is a page-cache hit, and this is its analog — safe because
+        the Serving snapshot is immutable (swaps build a new Serving)."""
         if self._is_point(pattern):
+            ck = (str(pattern), order, tuple(sorted(kwargs.items())))
+            hit = self._row_cache.get(ck)
+            if hit is not None:
+                return list(hit)
             rows = self.fold(pattern, point=True, **kwargs).collect()
             rows.sort(
                 key=lambda r: tuple(r[k] for k in CHAIN_ORDER_KEYS),
                 reverse=(order == "most_recent_first"),
             )
+            if len(self._row_cache) >= self.ROW_CACHE_SIZE:
+                self._row_cache.pop(next(iter(self._row_cache)))
+            self._row_cache[ck] = tuple(rows)
             return rows
         rows = self.fold(pattern, **kwargs).collect()
         return rows if order == "most_recent_first" else rows[::-1]
@@ -219,12 +270,16 @@ class Serving:
     def etag(self) -> str:
         """Weak ETag derived from the most recent checkpoint — kupo
         computes the same from its tip and answers 304 to a matching
-        If-None-Match without re-running the query (Http.hs:630-645)."""
-        row = self.index.checkpoints.agg(
-            F.max("slot_no").alias("slot"),
-            F.max_by("header_hash", "slot_no").alias("hash"),
-        ).collect()[0]
-        return f'W/"{row["slot"]}-{(row["hash"] or "")[:16]}"'
+        If-None-Match without re-running the query (Http.hs:630-645).
+        Memoized: the tip is a constant of this Serving's immutable
+        snapshot, so the aggregate job runs once, not once per request."""
+        if self._etag_memo is None:
+            row = self.index.checkpoints.agg(
+                F.max("slot_no").alias("slot"),
+                F.max_by("header_hash", "slot_no").alias("hash"),
+            ).collect()[0]
+            self._etag_memo = f'W/"{row["slot"]}-{(row["hash"] or "")[:16]}"'
+        return self._etag_memo
 
     def fold_rows_if_none_match(self, if_none_match: str | None, pattern="*", **kwargs):
         """(status, etag, rows): 304 with no rows when the client's tag
