@@ -86,7 +86,6 @@ _ERRORS = {
     "method_not_allowed": (405, "Method not allowed on this route."),
     "no_replay_source": (503, "No replay source configured; PUT /patterns unavailable."),
     "read_only": (503, "This is a read-only replica; mutations are unavailable."),
-    "log_backed": (503, "DELETE /matches is unavailable while following the chain; stop the stream and use copy/maintenance."),
 }
 
 
@@ -208,12 +207,19 @@ class KupoHttpServer:
     def _delete_matches(self, pattern_text: str) -> int:
         if self._read_only:
             raise _Unavailable("read_only")
-        if self._streaming is not None:
-            # documented divergence: no log-level delete-by-pattern record
-            # exists, and an in-memory delete would resurrect on the next
-            # batch swap — refuse honestly instead
-            raise _Unavailable("log_backed")
         p = self.store.guard_delete_matches(pattern_text)  # raises on overlap
+        if self._streaming is not None:
+            # --follow: a delete-by-pattern LOG record (retraction-as-data,
+            # the append_rollback shape) — resolved reads drop matching rows,
+            # so the delete survives the next batch swap, compaction, and
+            # restarts.  Serialized with the stream body via the writer lock
+            # (reference behavior: deleteMatchesQry during live operation,
+            # Http.hs:686-704).
+            with self._streaming.write_lock, self._lock:
+                n = self.index.inputs.where(to_column(p)).count()
+                self._streaming.append_delete(p)
+                self._swap_index(self._streaming.resolved_index(self._spark))
+            return n
         with self._lock:
             n = self.index.inputs.where(to_column(p)).count()
             self._swap_index(mt.delete_by_pattern(self.index, p))
@@ -651,7 +657,17 @@ def _make_handler(srv: KupoHttpServer):
                     return self._error("invalid_pattern")
                 try:
                     before = len(srv.store.list())
-                    remaining = srv.store.remove("/".join(args))
+                    if srv._streaming is not None:
+                        # --follow: the live matcher reads indexer.patterns
+                        # per micro-batch — narrow it under the writer lock
+                        # so in-flight batches can't race the removal (the
+                        # reference removes from its patterns TVar, so new
+                        # blocks stop matching immediately)
+                        with srv._streaming.write_lock:
+                            remaining = srv.store.remove("/".join(args))
+                            srv._streaming.patterns = list(remaining)
+                    else:
+                        remaining = srv.store.remove("/".join(args))
                 except PatternError:
                     return self._error("invalid_pattern")
                 return self._json(200, {"deleted": before - len(remaining)})

@@ -108,12 +108,17 @@ class StreamingIndexer:
     def _rollbacks(self) -> list[dict]:
         return [e["rollback"] for e in self._entries() if "rollback" in e]
 
+    def _deletes(self) -> list[dict]:
+        return [e["delete"] for e in self._entries() if "delete" in e]
+
     def _next_seq(self) -> int:
         last = -1
         for m in self._committed():
             last = max(last, m["seq"])
         for r in self._rollbacks():
             last = max(last, r["batch_seq"])
+        for d in self._deletes():
+            last = max(last, d["batch_seq"])
         return last + 1
 
     def _pinned_versions(self) -> dict[str, int]:
@@ -242,6 +247,32 @@ class StreamingIndexer:
             {"rollback": {"batch_seq": seq, "slot": slot, "ts": time.time()}}
         )
 
+    def append_delete(self, pattern) -> int:
+        """W6 ``DELETE /matches/{pattern}`` as retraction-as-data (the same
+        M1 shape as :meth:`append_rollback`): a produced row written at
+        ``batch_seq <= seq`` matching the pattern is dead in every resolve
+        from now on — which is exactly what makes the operation survive
+        batch swaps, compaction (the delete folds into the base), and
+        restarts.  The reference supports this during live operation
+        (``Http.hs:686-704``); the overlap guard (P13) is the CALLER's job,
+        as in the batch path.  Returns the record's batch_seq."""
+        import time
+
+        from kupo_spark.patterns import pattern_to_text
+
+        p = pattern_from_text(pattern) if isinstance(pattern, str) else pattern
+        seq = self._next_seq()
+        self._publish(
+            {
+                "delete": {
+                    "batch_seq": seq,
+                    "pattern": pattern_to_text(p),
+                    "ts": time.time(),
+                }
+            }
+        )
+        return seq
+
     # ---- PUT /patterns (M5): rollback + install + backfill --------------
 
     def pattern_store(self):
@@ -323,6 +354,24 @@ class StreamingIndexer:
             )
         return df
 
+    def _apply_deletes(self, produced: DataFrame) -> DataFrame:
+        """W6 delete records: kill produced rows written at or before the
+        record that match its pattern.  A LATER re-produce of the same
+        output (post-rollback re-index, or fresh chain activity) survives —
+        the delete is a one-time purge, exactly the reference's semantics
+        (re-accumulation is prevented by the P13 guard refusing deletes
+        that overlap still-active patterns, not by the record).  Pre-compact
+        deletes are already folded into the base (base rows carry
+        ``batch_seq = base_seq`` > the record's seq, so the predicate
+        skips them — same convention as rollbacks)."""
+        from kupo_spark.patterns import to_column
+
+        for d in self._deletes():
+            p = pattern_from_text(d["pattern"])
+            df_dead = (F.col("batch_seq") <= d["batch_seq"]) & to_column(p)
+            produced = produced.where(~df_dead)
+        return produced
+
     def _base_db(self):
         from kupo_spark.operators.table_index import IndexDB
 
@@ -338,6 +387,8 @@ class StreamingIndexer:
             return False
         for e in self._entries():
             if "rollback" in e and e["rollback"]["batch_seq"] > base_seq:
+                return False
+            if "delete" in e and e["delete"]["batch_seq"] > base_seq:
                 return False
             if "seq" in e and e["seq"] > base_seq and not e.get("truncate"):
                 return False
@@ -407,7 +458,7 @@ class StreamingIndexer:
 
     def resolved_index(self, spark: SparkSession) -> Index:
         produced_log, spends_log = self._produced_and_spends(spark)
-        produced = self._alive(produced_log, "created_at")
+        produced = self._apply_deletes(self._alive(produced_log, "created_at"))
         # latest surviving version per output (post-rollback re-index wins)
         w = Window.partitionBy("output_reference").orderBy(F.col("batch_seq").desc())
         produced = (

@@ -433,10 +433,10 @@ def test_follow_ogmios_applies_rollbacks(tmp_path):
             time.sleep(0.5)
         assert slots == {95}, f"retraction not applied, served slots: {slots}"
         assert {m["transaction_id"] for m in matches} == {"b" * 64}
-        # DELETE /matches would be silently reverted by the next batch
-        # swap — the log-backed server refuses it honestly
+        # DELETE /matches of a pattern still covered by the active set is
+        # guarded (P13, Errors.stillActivePattern) — in follow mode too
         status, body = _request(f"{server.url}/matches/%2A", "DELETE")
-        assert status == 503 and "following" in body["hint"]
+        assert status == 400 and body["hint"].startswith("Cannot delete")
     finally:
         server.close()
     # restart AFTER the rollback: the resume tip must be the post-fork 95,
@@ -686,6 +686,75 @@ def test_follow_in_stream_point_mismatch_surfaces(tmp_path):
         assert status == "disconnected", "dead stream not surfaced in /health"
         q = server._stream_query
         assert q.exception() is not None and "not on the chain" in str(q.exception())
+    finally:
+        server.close()
+
+
+def test_follow_delete_matches_survives_swap_and_restart(tmp_path):
+    """DELETE /matches during --follow (reference supports it live,
+    Http.hs:686-704): the delete lands as a LOG record (retraction-as-
+    data), so it survives the next batch swap AND a restart; the P13
+    guard still refuses patterns covered by the active set."""
+    import time
+
+    from kupo_spark import chainspec as cs
+
+    a_addr, b_addr = cs.address_of(42), cs.address_of(43)
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    (seg_dir / "seg1.jsonl").write_text(
+        _ogmios_fwd(100, "a" * 64, a_addr) + "\n"
+        + _ogmios_fwd(110, "b" * 64, b_addr) + "\n"
+    )
+    args = [
+        "--ogmios-file", str(seg_dir), "--workdir", str(tmp_path / "db"),
+        "--follow", "--match", a_addr, "--match", b_addr,
+        "--gc-interval", "0", "--port", "0",
+    ]
+    server = main(["--since", "origin", *args], serve_forever=False)
+    try:
+        deadline = time.time() + 240
+        slots = set()
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            slots = {m["created_at"]["slot_no"] for m in matches}
+            if slots == {100, 110}:
+                break
+            time.sleep(0.5)
+        assert slots == {100, 110}
+        # still-active pattern: guarded, follow mode included
+        status, body = _request(f"{server.url}/matches/{a_addr}", "DELETE")
+        assert status == 400 and body["hint"].startswith("Cannot delete")
+        # deactivate the pattern, then purge its matches through the log
+        status, body = _request(f"{server.url}/patterns/{a_addr}", "DELETE")
+        assert status == 200 and body["deleted"] == 1
+        status, body = _request(f"{server.url}/matches/{a_addr}", "DELETE")
+        assert status == 200 and body["deleted"] == 1
+        _, matches = _get(f"{server.url}/matches")
+        assert {m["created_at"]["slot_no"] for m in matches} == {110}
+        # the NEXT batch swap must preserve the delete (the old in-memory
+        # rewrite would have been silently reverted here)
+        (seg_dir / "seg2.jsonl").write_text(_ogmios_fwd(120, "c" * 64, b_addr) + "\n")
+        while time.time() < deadline:
+            _, matches = _get(f"{server.url}/matches")
+            slots = {m["created_at"]["slot_no"] for m in matches}
+            if slots == {110, 120}:
+                break
+            time.sleep(0.5)
+        assert slots == {110, 120}, f"delete reverted by batch swap: {slots}"
+    finally:
+        server.close()
+    # restart: the catalog is the durable record — the deleted rows and the
+    # removed pattern both stay gone
+    server = main(
+        [*args[:5], "--match", b_addr, "--gc-interval", "0", "--port", "0"],
+        serve_forever=False,
+    )
+    try:
+        _, matches = _get(f"{server.url}/matches")
+        assert {m["created_at"]["slot_no"] for m in matches} == {110, 120}
+        _, pats = _get(f"{server.url}/patterns")
+        assert pats == [b_addr]
     finally:
         server.close()
 

@@ -306,3 +306,71 @@ def test_rollback_then_replay_restores_index(spark, blocks, events_dir, tmp_path
         replayed.inputs.where(F.col("spent_at").isNotNull()).count()
         == batch.inputs.where(F.col("spent_at").isNotNull()).count()
     )
+
+
+def test_delete_by_pattern_log_record(spark, blocks, tmp_path):
+    """W6 as retraction-as-data: append_delete kills matching rows written
+    at or before the record (equal to the batch delete_by_pattern rewrite),
+    later batches re-add fresh matches (one-time purge), and the verdict
+    survives compaction, truncation, and a restart."""
+    from kupo_spark.operators.maintenance import delete_by_pattern
+    from kupo_spark.patterns import pattern_from_text, to_column
+
+    cols = ["output_reference", "address", "coins", "created_at", "spent_at"]
+    ix = StreamingIndexer(str(tmp_path / "del"))
+    ix.process_batch(blocks.where(F.col("slot_no") < 30), 0)
+    before = ix.resolved_index(spark)
+    # pick an address present in BOTH halves (so the one-time-purge arm
+    # below has fresh rows to re-add)
+    addr = (
+        before.inputs.select("address")
+        .join(
+            blocks.where((F.col("slot_no") >= 30) & (F.col("slot_no") < 60))
+            .select(F.explode("outputs").alias("o"))
+            .select(F.col("o.address").alias("address")),
+            "address",
+        )
+        .groupBy("address")
+        .count()
+        .orderBy(F.desc("count"), "address")
+        .first()["address"]
+    )
+    pred = to_column(pattern_from_text(addr))
+    assert before.inputs.where(pred).count() > 0
+    want = {
+        tuple(r) for r in delete_by_pattern(before, addr).inputs.select(cols).collect()
+    }
+    ix.append_delete(addr)
+    after = ix.resolved_index(spark)
+    assert {tuple(r) for r in after.inputs.select(cols).collect()} == want
+    # policies/assets are derived from surviving rows only
+    assert (
+        after.policies.join(
+            after.inputs.select("output_reference"), "output_reference", "left_anti"
+        ).count()
+        == 0
+    )
+    # a LATER batch's matches survive (the delete is a one-time purge;
+    # re-accumulation prevention is the P13 guard's job, not the record's)
+    ix.process_batch(blocks.where((F.col("slot_no") >= 30) & (F.col("slot_no") < 60)), 1)
+    post = ix.resolved_index(spark)
+    fresh = post.inputs.where(pred)
+    assert fresh.count() > 0
+    assert fresh.agg(F.min("created_at")).collect()[0][0] >= 30
+    post_set = {tuple(r) for r in post.inputs.select(cols).collect()}
+    # compact folds the delete into the base; truncate drops folded parts
+    ix.compact(spark)
+    assert ix.log_current()
+    ix.truncate_log()
+    assert {
+        tuple(r) for r in ix.resolved_index(spark).inputs.select(cols).collect()
+    } == post_set
+    # restart: the catalog is the durable record
+    ix2 = StreamingIndexer(str(tmp_path / "del"))
+    assert {
+        tuple(r) for r in ix2.resolved_index(spark).inputs.select(cols).collect()
+    } == post_set
+    # a delete AFTER the compact still kills base rows (they carry base_seq)
+    ix2.append_delete(addr)
+    assert ix2.resolved_index(spark).inputs.where(pred).count() == 0
+    assert not ix2.log_current()
