@@ -12,6 +12,20 @@ from kupo_spark.operators.indexer import build_index, read_index, write_index
 from kupo_spark.plans.explain import assert_in_plan, formatted_plan
 
 
+@pytest.fixture(params=["true", "false"], ids=["aqe-on", "aqe-off"], autouse=True)
+def aqe_regime(request, spark):
+    """Pin every plan golden under BOTH adaptive-execution regimes — the
+    reference pins EXPLAIN output under both of its index regimes
+    (DatabaseSpec.hs:359-700).  A plan shape that only holds because AQE
+    rescues it at runtime must fail the golden, not production: plans are
+    compiled lazily, so toggling the conf here governs each test's
+    formatted_plan compilation."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", request.param)
+    yield request.param
+    spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 @pytest.fixture(scope="module")
 def disk_index(spark, blocks, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("index"))

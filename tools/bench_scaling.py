@@ -1,0 +1,213 @@
+"""Three-point scaling measurement: the bench query set at sf0.1 / sf1 / sf10.
+
+VERDICT r4 #1: every 100 TB claim was extrapolated from sf0.1.  This runs
+the BASELINE query shapes + ingest phases + the heavy pipeline operators at
+three scale factors and records the curve, so "selective queries grow ≪
+linearly, scans grow ~linearly" becomes a measured table instead of an
+argument.
+
+Usage (one sf per process — a fresh JVM per point keeps cache state and GC
+pressure from bleeding between measurements)::
+
+    SPARK_DRIVER_MEMORY=48g python tools/bench_scaling.py 0.1
+    SPARK_DRIVER_MEMORY=48g python tools/bench_scaling.py 1
+    SPARK_DRIVER_MEMORY=48g python tools/bench_scaling.py 10
+
+Each run merges its section into ``SCALING.json`` at the repo root
+(committed — ``bench.py`` embeds it in its output as the ``scaling``
+section).  sf ≤ 0.1 reads the driver testdata; larger sfs read
+``.bench/scaledata/sf{N}`` (generated on demand via ``gen_scale_data``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+OUT = REPO / "SCALING.json"
+RUNS = 2  # per-query timed runs after 1 warmup (cold-ish but stable)
+
+
+def timed(fn, runs: int = RUNS) -> float:
+    fn()
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return sum(times) / len(times)
+
+
+def sf_dir(sf: str) -> str:
+    if float(sf) <= 0.1:
+        return f"/root/testdata/sf{sf}"
+    d = REPO / ".bench" / "scaledata" / f"sf{sf}"
+    if not (d / "events.parquet").exists():
+        subprocess.run(
+            [sys.executable, str(REPO / "tools" / "gen_scale_data.py"), sf],
+            check=True,
+        )
+    return str(d)
+
+
+def main() -> None:
+    sf = sys.argv[1]
+    src = sf_dir(sf)
+    from kupo_spark import chainspec as cs
+    from kupo_spark.chaingen import load_blocks
+    from kupo_spark.functions import dedup, similarity
+    from kupo_spark.functions.chunking import pack_sequences
+    from kupo_spark.functions.lm import lm_score
+    from kupo_spark.functions.shards import assign_shards
+    from kupo_spark.operators.fold_inputs import fold_inputs
+    from kupo_spark.operators.indexer import build_index, read_index, write_index
+    from kupo_spark.operators.serving import Serving
+    from kupo_spark.session import get_spark
+
+    spark = get_spark(f"kupo-scaling-sf{sf}")
+    q: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # ---- ingest (chain -> index -> partitioned parquet), phase split ----
+    index_dir = str(REPO / ".bench" / f"scaling-index-sf{sf}")
+    t0 = time.time()
+    blocks = load_blocks(spark, src)
+    idx = build_index(blocks, patterns=("*",), cache=True)
+    rows["inputs"] = idx.inputs.count()
+    q["ingest_phase_build"] = time.time() - t0
+    shutil.rmtree(index_dir, ignore_errors=True)
+    phases: dict[str, float] = {}
+    write_index(idx, index_dir, timings=phases)
+    q["ingest_total"] = time.time() - t0
+    q["ingest_phase_write_inputs"] = phases.get("write_inputs", 0.0)
+    q["ingest_phase_write_side"] = phases.get("write_side_tables", 0.0)
+
+    index = read_index(spark, index_dir)
+    index.checkpoints.persist().count()
+
+    # ---- BASELINE query shapes over the materialized index --------------
+    addr = cs.address_of(42)
+    deleg = cs.delegation_credential_of(5)
+    policy = cs.policy_id_of(3)
+    txid = cs.transaction_id_of(123)
+    shapes = {
+        "q_exact_address": lambda: fold_inputs(index, addr, sorted_result=True).collect(),
+        "q_exact_address_range": lambda: fold_inputs(
+            index, addr, created_after=2000, created_before=6000, sorted_result=True
+        ).collect(),
+        "q_delegation": lambda: fold_inputs(index, f"*/{deleg}", sorted_result=True).collect(),
+        "q_delegation_spent_after": lambda: fold_inputs(
+            index, f"*/{deleg}", status="spent", spent_after=5000, sorted_result=True
+        ).collect(),
+        "q_policy": lambda: fold_inputs(index, f"{policy}.*", sorted_result=True).collect(),
+        "q_policy_range": lambda: fold_inputs(
+            index, f"{policy}.*", created_before=6000, spent_after=3000, sorted_result=True
+        ).collect(),
+        "q_transaction_id": lambda: fold_inputs(index, f"*@{txid}", sorted_result=True).collect(),
+        "q_unspent_count": lambda: fold_inputs(index, "*", status="unspent").count(),
+    }
+    for name, fn in shapes.items():
+        q[name] = timed(fn)
+    rows["q_exact_address"] = len(fold_inputs(index, addr).collect())
+    rows["q_delegation"] = len(fold_inputs(index, f"*/{deleg}").collect())
+    rows["q_policy"] = len(fold_inputs(index, f"{policy}.*").collect())
+
+    # ---- warm serving (steady-state latency; _miss avoids the row cache,
+    # measuring the honest per-job cost at every scale) -------------------
+    serving = Serving(index, partitions=8).warm()
+    miss_df = serving.fold(f"*@{txid}", point=True)
+
+    def warm(fn, runs=7):
+        fn()
+        ts = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    q["q_transaction_id_warm_miss"] = warm(lambda: miss_df.collect())
+    q["q_exact_address_warm"] = warm(lambda: serving.fold(addr).collect())
+    q["q_policy_warm"] = warm(lambda: serving.fold(f"{policy}.*").collect())
+    q["q_delegation_warm"] = warm(lambda: serving.fold(f"*/{deleg}").collect())
+
+    # ---- pipeline heads (dedup / ANN / text / packing / shards) ---------
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    embs = spark.read.parquet(f"{src}/embeddings.parquet")
+    rows["documents"] = docs.count()
+    rows["embeddings"] = embs.count()
+    heavy_runs = 1 if float(sf) >= 10 else RUNS
+    q["q_dedup_minhash_lsh"] = timed(
+        lambda: dedup.minhash_near_dup_pairs(docs, threshold=0.5).count(), heavy_runs
+    )
+    q["q_embedding_topk"] = timed(
+        lambda: similarity.brute_force_topk(embs, n_queries=10, k=5).collect(),
+        heavy_runs,
+    )
+    q["q_substring_dedup"] = timed(
+        lambda: dedup.exact_substring_dedup(docs).count(), heavy_runs
+    )
+    q["q_semantic_dedup"] = timed(
+        lambda: similarity.semantic_dedup(embs, threshold=0.3).count(), heavy_runs
+    )
+    q["q_lm_score"] = timed(lambda: lm_score(docs).count(), heavy_runs)
+    q["q_pack_sequences"] = timed(
+        lambda: pack_sequences(docs, budget=256, buckets=8).count(), heavy_runs
+    )
+    q["q_assign_shards"] = timed(
+        lambda: assign_shards(docs, 8, seed="r5").count(), heavy_runs
+    )
+
+    # ---- merge into SCALING.json ----------------------------------------
+    doc = {}
+    if OUT.exists():
+        doc = json.loads(OUT.read_text())
+    doc.setdefault("meta", {})
+    doc["meta"].update(
+        {
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "runs_per_query": RUNS,
+            "note": (
+                "sf<=0.1 = driver testdata; larger = tools/gen_scale_data.py "
+                "(same schemas/scaling rules). One fresh JVM per sf point."
+            ),
+        }
+    )
+    doc.setdefault("sfs", {})
+    doc["sfs"][sf] = {
+        "queries": {k: round(v, 4) for k, v in q.items()},
+        "rows": rows,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    # per-query ratio table vs the previous sf point, when present
+    sfs = sorted(doc["sfs"], key=float)
+    ratios = {}
+    for lo, hi in zip(sfs, sfs[1:]):
+        a, b = doc["sfs"][lo]["queries"], doc["sfs"][hi]["queries"]
+        data_factor = float(hi) / float(lo)
+        ratios[f"{lo}->{hi}"] = {
+            k: {
+                "time_ratio": round(b[k] / a[k], 2) if a.get(k) else None,
+                "vs_linear": round((b[k] / a[k]) / data_factor, 3)
+                if a.get(k)
+                else None,
+            }
+            for k in sorted(set(a) & set(b))
+        }
+    doc["ratios"] = ratios
+    OUT.write_text(json.dumps(doc, indent=1, sort_keys=True) + "\n")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    print(json.dumps({"sf": sf, "queries": doc["sfs"][sf]["queries"], "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
