@@ -214,6 +214,22 @@ def main() -> None:
         lambda: serving.fold(f"*@{txid}", use_plan_cache=False).collect()
     )
 
+    # --- oha-analog HTTP section: BASELINE's own protocol (8 concurrent
+    # clients, 30 requests/shape, full bodies read) against KupoHttpServer
+    # on a warm serving tier — avg/p50/p95 directly comparable to kupo's
+    # oha tables (benchmarks/README.md:30-45)
+    from tools.bench_http import run_http_bench  # noqa: E402
+
+    http_stats = run_http_bench(spark, index)
+
+    # --- scaling section: the committed three-point curve (sf0.1/1/10,
+    # tools/bench_scaling.py) so the per-round bench carries the measured
+    # scale story, not just the sf0.1 point
+    scaling = None
+    scaling_path = Path(__file__).resolve().parent / "SCALING.json"
+    if scaling_path.exists():
+        scaling = json.loads(scaling_path.read_text())
+
     # warm/floor entries are diagnostics alongside the cold suite; the
     # headline `value` stays the cold sum (comparable across rounds)
     value = sum(
@@ -231,6 +247,8 @@ def main() -> None:
                 "value": round(value, 4),
                 "unit": "sec",
                 "queries": {k: round(v, 4) for k, v in queries.items()},
+                "http": http_stats,
+                "scaling": scaling,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

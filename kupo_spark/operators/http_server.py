@@ -307,6 +307,12 @@ class _Unavailable(Exception):
 def _make_handler(srv: KupoHttpServer):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # buffered responses + no Nagle: the chunked-array writer emits one
+        # chunk per result row; unbuffered per-row send() syscalls interact
+        # with delayed ACK into ~40 ms stalls per response and dominate
+        # large-result streaming (Warp writes through a builder buffer too)
+        wbufsize = 64 * 1024
+        disable_nagle_algorithm = True
 
         # -- plumbing -----------------------------------------------------
 
@@ -336,11 +342,9 @@ def _make_handler(srv: KupoHttpServer):
             self._json(status, {"hint": hint})
 
         def _tip(self):
-            row = srv.index.checkpoints.agg(
-                F.max("slot_no").alias("slot"),
-                F.max_by("header_hash", "slot_no").alias("hash"),
-            ).collect()[0]
-            return row["slot"], row["hash"]
+            # memoized on the Serving snapshot — one job per index swap,
+            # not one per request (every response carries these headers)
+            return srv.serving.tip()
 
         def _cache_headers(self):
             """addCacheHeaders (Http.hs:942-957): ETag = tip header hash,
@@ -569,15 +573,17 @@ def _make_handler(srv: KupoHttpServer):
             ct = "application/json;charset=utf-8" + (
                 ";asset-quantity=string" if as_string else ""
             )
-            df = _serve.result_json(
-                srv.serving.index,
+            # serve from the Serving tier's prepared-plan + point-row
+            # caches (kupo compiles its statements once and serves repeats
+            # from the page cache; re-planning per request serializes
+            # concurrent clients on the driver)
+            rows = srv.serving.serve_json_rows(
                 pattern,
                 resolve_hashes="resolve_hashes" in q,
                 quantity_as_string=as_string,
                 rendered_addresses=False,
                 **kwargs,
             )
-            rows = (r["result"] for r in df.toLocalIterator())
             return self._stream_array(rows, ct, self._cache_headers())
 
         def _datum(self, method, args):

@@ -148,6 +148,75 @@ class Serving:
             self._plan_cache[key] = df
         return df
 
+    def serve_json(
+        self,
+        pattern="*",
+        *,
+        resolve_hashes: bool = False,
+        quantity_as_string: bool = False,
+        rendered_addresses: bool = False,
+        **kwargs,
+    ) -> DataFrame:
+        """Plan-cached :func:`kupo_spark.operators.serve.result_json` over
+        the hot view — the GET /matches execution path.
+
+        Kupo compiles its serving SQL once per connection (SQLite.hs:919-
+        1003) and every request binds parameters into the prepared
+        statement; without this cache every HTTP request pays the full
+        Catalyst analysis of the fold + assets join + JSON-render
+        expression tree (~250 ms on this box), and under oha-style 8-way
+        concurrency those plannings serialize on the driver (py4j + GIL)
+        into multi-second latencies.  Literals are part of the plan, so the
+        cache key carries them; the 256-entry LRU is the compiled-statement
+        analog, not a result cache."""
+        from kupo_spark.operators import serve as _serve
+
+        point = self._is_point(pattern)
+        key = (
+            "json",
+            str(pattern),
+            point,
+            resolve_hashes,
+            quantity_as_string,
+            rendered_addresses,
+            tuple(sorted(kwargs.items())),
+        )
+        df = self._plan_cache.get(key)
+        if df is None:
+            df = _serve.result_json(
+                self._point_index if point else self.index,
+                pattern,
+                resolve_hashes=resolve_hashes,
+                quantity_as_string=quantity_as_string,
+                rendered_addresses=rendered_addresses,
+                **kwargs,
+            )
+            if len(self._plan_cache) >= self.PLAN_CACHE_SIZE:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = df
+        return df
+
+    def serve_json_rows(self, pattern="*", **kwargs):
+        """JSON payload strings for GET /matches, point-lookup optimized:
+        P7/P8 patterns collect through the primary-key view and repeats hit
+        the driver-side row cache (kupo's warm txid responses are page-cache
+        hits; safe here because the snapshot is immutable — swaps build a
+        new Serving).  Non-point patterns return a bounded-memory iterator
+        over the cached plan (kupo streams those responses chunk-by-chunk,
+        Http.hs:457-471, and never materializes the 190 MB delegation
+        answer either)."""
+        df = self.serve_json(pattern, **kwargs)
+        if self._is_point(pattern):
+            ck = ("json_rows", str(pattern), tuple(sorted(kwargs.items())))
+            hit = self._row_cache.get(ck)
+            if hit is None:
+                hit = tuple(r["result"] for r in df.collect())
+                if len(self._row_cache) >= self.ROW_CACHE_SIZE:
+                    self._row_cache.pop(next(iter(self._row_cache)))
+                self._row_cache[ck] = hit
+            return iter(hit)
+        return (r["result"] for r in df.toLocalIterator(prefetchPartitions=True))
+
     def _assert_point_cached(self, slot_no: int, header_hash: str) -> None:
         """:func:`assert_point` through a driver-side memo: the index
         snapshot is immutable for this Serving's lifetime, so a point's
@@ -267,6 +336,20 @@ class Serving:
             last = rows[-1]
             cursor = tuple(last[k] for k in CHAIN_ORDER_KEYS)
 
+    def tip(self) -> tuple:
+        """(slot_no, header_hash) of the most recent checkpoint, memoized —
+        a constant of this immutable snapshot.  Every HTTP response carries
+        it (addCacheHeaders, Http.hs:942-957); re-aggregating per request
+        costs a full Spark job for a value that cannot change until the
+        next index swap builds a new Serving."""
+        if getattr(self, "_tip_memo", None) is None:
+            row = self.index.checkpoints.agg(
+                F.max("slot_no").alias("slot"),
+                F.max_by("header_hash", "slot_no").alias("hash"),
+            ).collect()[0]
+            self._tip_memo = (row["slot"], row["hash"])
+        return self._tip_memo
+
     def etag(self) -> str:
         """Weak ETag derived from the most recent checkpoint — kupo
         computes the same from its tip and answers 304 to a matching
@@ -274,11 +357,8 @@ class Serving:
         Memoized: the tip is a constant of this Serving's immutable
         snapshot, so the aggregate job runs once, not once per request."""
         if self._etag_memo is None:
-            row = self.index.checkpoints.agg(
-                F.max("slot_no").alias("slot"),
-                F.max_by("header_hash", "slot_no").alias("hash"),
-            ).collect()[0]
-            self._etag_memo = f'W/"{row["slot"]}-{(row["hash"] or "")[:16]}"'
+            slot, h = self.tip()
+            self._etag_memo = f'W/"{slot}-{(h or "")[:16]}"'
         return self._etag_memo
 
     def fold_rows_if_none_match(self, if_none_match: str | None, pattern="*", **kwargs):

@@ -190,3 +190,47 @@ def test_etag_is_memoized_and_swap_fresh(index, spark):
     assert [tuple(r) for r in s2.fold_rows(pat)] == [tuple(r) for r in rows]
     s.close()
     s2.close()
+
+
+def test_serve_json_plan_cache_and_parity(serving, index):
+    """GET /matches execution path: serve_json returns the SAME cached plan
+    object per shape (the compiled-statement analog — per-request Catalyst
+    planning serializes concurrent clients on the driver), and its rows are
+    byte-identical to a cold result_json over the base index."""
+    from kupo_spark.operators import serve as _serve
+
+    policy = cs.policy_id_of(3)
+    kw = dict(sorted_result=True, order="most_recent_first", status=None)
+    df1 = serving.serve_json(f"{policy}.*", **kw)
+    df2 = serving.serve_json(f"{policy}.*", **kw)
+    assert df1 is df2  # plan reused, not rebuilt
+    hot = [r["result"] for r in df1.collect()]
+    cold = [
+        r["result"]
+        for r in _serve.result_json(index, f"{policy}.*", **kw).collect()
+    ]
+    assert hot == cold and hot
+    # distinct literals are distinct plans (literals are baked into Catalyst)
+    assert serving.serve_json(f"{policy}.*", created_after=10, **kw) is not df1
+
+
+def test_serve_json_rows_point_cached_no_job(serving, spark):
+    """A repeated point lookup through the HTTP execution path serves its
+    rendered JSON from the driver row cache: ZERO Spark jobs."""
+    pat = f"*@{cs.transaction_id_of(123)}"
+    kw = dict(sorted_result=True, order="most_recent_first", status=None)
+    first = list(serving.serve_json_rows(pat, **kw))
+    n_jobs, again = _jobs_during(
+        spark, lambda: list(serving.serve_json_rows(pat, **kw))
+    )
+    assert n_jobs == 0
+    assert again == first and first
+
+
+def test_tip_is_memoized(serving, spark):
+    """tip() aggregates once per snapshot; every HTTP response reads the
+    memo (addCacheHeaders would otherwise cost one Spark job per request)."""
+    slot, h = serving.tip()
+    n_jobs, tip2 = _jobs_during(spark, serving.tip)
+    assert n_jobs == 0 and tip2 == (slot, h)
+    assert serving.etag() == f'W/"{slot}-{(h or "")[:16]}"'
