@@ -179,6 +179,41 @@ def cmd_run(args, serve_forever: bool = True):
 
     if args.follow and (args.in_memory or args.read_only):
         raise SystemExit("--follow requires a writable --workdir (not --in-memory/--read-only)")
+    if getattr(args, "ogmios_ws", None):
+        # WebSocket transport (the reference's actual Ogmios connection,
+        # ChainSync/Ogmios.hs:48-75): the pipelined client spools nextBlock
+        # responses into NDJSON segments, and everything downstream — batch
+        # replay, --follow streaming, rollback netting — runs on the one
+        # proven segment pipeline.  Batch mode syncs to replay end before
+        # indexing; --follow keeps syncing concurrently with the stream.
+        if args.ogmios_file:
+            raise SystemExit("--ogmios-ws and --ogmios-file are exclusive")
+        import os
+        import tempfile
+
+        from kupo_spark.sources.ws import sync_via_ws
+
+        spool = (
+            f"{args.workdir}/ws-segments"
+            if args.workdir
+            else tempfile.mkdtemp(prefix="kupo-ws-segments-")
+        )
+        if args.follow:
+            t = threading.Thread(
+                target=sync_via_ws, args=(args.ogmios_ws, spool), daemon=True
+            )
+            t.start()
+            # the stream source needs at least one listed segment to start
+            import time as _time
+
+            for _ in range(100):
+                if os.path.isdir(spool) and os.listdir(spool):
+                    break
+                _time.sleep(0.1)
+        else:
+            sync_via_ws(args.ogmios_ws, spool)
+        args.ogmios_file = spool
+
     since = parse_since(args.since)
     until = parse_until(args.until)
     workdir_store = f"{args.workdir}/patterns.txt" if args.workdir else None
@@ -705,6 +740,11 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     src = p.add_argument_group("chain source (file replay transports)")
     src.add_argument("--events", metavar="DIR", help="events parquet dir (node stand-in)")
     src.add_argument("--ogmios-file", metavar="FILEPATH", help="Ogmios nextBlock NDJSON")
+    src.add_argument(
+        "--ogmios-ws",
+        metavar="ws://HOST:PORT",
+        help="Ogmios WebSocket (pipelined nextBlock chain-sync)",
+    )
     src.add_argument("--hydra-file", metavar="FILEPATH", help="Hydra ServerOutput NDJSON")
     p.add_argument("--workdir", metavar="DIRECTORY", help="where the index is stored")
     p.add_argument("--in-memory", action="store_true", help="no durable storage")

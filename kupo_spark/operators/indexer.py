@@ -315,8 +315,18 @@ def write_index(
         "created_bucket", (F.col("created_at") / slot_bucket).cast("long")
     )
     _t0 = _time.time()
+    # one shuffle partition per created_bucket (clamped): with the session
+    # default (32) a 10x-larger chain still hashes into 32 tasks, so each
+    # task's address sort holds 10x the rows and starts spilling — the one
+    # super-linear phase in the measured scaling curve.  Keying the task
+    # count to the bucket count keeps per-task sort volume constant
+    # (~slot_bucket worth of rows) at every scale, and each task then
+    # writes exactly its own partition directory.
+    n_buckets = (
+        inputs.agg(F.max("created_bucket").alias("b")).first()["b"] or 0
+    ) + 1
     (
-        inputs.repartition("created_bucket")
+        inputs.repartition(max(32, min(int(n_buckets), 4096)), "created_bucket")
         .sortWithinPartitions("address", "created_at")
         .write.mode("overwrite")
         .partitionBy("created_bucket")

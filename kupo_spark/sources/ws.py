@@ -1,0 +1,409 @@
+"""Loopback WebSocket transport for the Ogmios chain-sync source (S1/S2).
+
+The reference connects to Ogmios over a WebSocket and drives the
+chain-sync mini-protocol with PIPELINED ``nextBlock`` requests — it primes
+100 requests, then sends one more per response received, so the socket
+always has a full window in flight (``Kupo/App/ChainSync/Ogmios.hs:48-75``).
+The sandbox has no Cardano node or Ogmios installation, but loopback TCP
+works — so this module implements:
+
+* a minimal RFC 6455 WebSocket layer (handshake + text/close/ping frames)
+  in pure stdlib — no external dependency exists in the container;
+* :class:`OgmiosReplayServer` — a loopback WS server speaking the Ogmios
+  v6 JSON-RPC surface (``findIntersection`` / ``nextBlock``) and replaying
+  the committed NDJSON segment fixtures in canonical order, closing the
+  socket after the last document (a *replay* ends; a live server idles at
+  the tip);
+* :func:`sync_via_ws` — the kupo-shaped client: find an intersection,
+  keep ``window`` nextBlock requests in flight, and spool responses into
+  natural-sort-ordered NDJSON segment files that the proven ``--follow``
+  file pipeline consumes unchanged.  The socket is the transport; the
+  decode/fold/rollback semantics stay on the one tested path.
+
+The WebSocket framing here is public-protocol knowledge (RFC 6455); the
+JSON-RPC envelope mirrors the Ogmios v6 API the reference consumes.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import itertools
+import json
+import os
+import socket
+import struct
+import threading
+from pathlib import Path
+
+_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+OP_TEXT, OP_CLOSE, OP_PING, OP_PONG = 0x1, 0x8, 0x9, 0xA
+
+
+def _accept_key(client_key: str) -> str:
+    digest = hashlib.sha1((client_key + _GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def _mask(data: bytes, key: bytes) -> bytes:
+    return bytes(b ^ k for b, k in zip(data, itertools.cycle(key)))
+
+
+class WsConn:
+    """One WebSocket endpoint over a connected TCP socket.  ``masked`` is
+    True on the client side (RFC 6455 §5.3: client→server frames MUST be
+    masked, server→client frames MUST NOT)."""
+
+    def __init__(self, sock: socket.socket, masked: bool):
+        self._sock = sock
+        self._file = sock.makefile("rb")
+        self._masked = masked
+        self._wlock = threading.Lock()
+
+    def send_text(self, text: str) -> None:
+        self._send_frame(OP_TEXT, text.encode())
+
+    def _send_frame(self, opcode: int, payload: bytes) -> None:
+        head = bytes([0x80 | opcode])
+        mask_bit = 0x80 if self._masked else 0
+        n = len(payload)
+        if n < 126:
+            head += bytes([mask_bit | n])
+        elif n < (1 << 16):
+            head += bytes([mask_bit | 126]) + struct.pack(">H", n)
+        else:
+            head += bytes([mask_bit | 127]) + struct.pack(">Q", n)
+        if self._masked:
+            key = os.urandom(4)
+            payload = key + _mask(payload, key)
+        with self._wlock:
+            self._sock.sendall(head + payload)
+
+    def _read_exact(self, n: int) -> bytes:
+        data = self._file.read(n)
+        if data is None or len(data) < n:
+            raise ConnectionError("websocket closed mid-frame")
+        return data
+
+    def recv_text(self) -> str | None:
+        """Next text message, transparently answering pings and
+        reassembling continuation frames.  None on clean close."""
+        parts: list[bytes] = []
+        while True:
+            b0b1 = self._file.read(2)
+            if not b0b1 or len(b0b1) < 2:
+                return None  # peer vanished — treat as close
+            b0, b1 = b0b1
+            fin, opcode = b0 & 0x80, b0 & 0x0F
+            masked, ln = b1 & 0x80, b1 & 0x7F
+            if ln == 126:
+                ln = struct.unpack(">H", self._read_exact(2))[0]
+            elif ln == 127:
+                ln = struct.unpack(">Q", self._read_exact(8))[0]
+            key = self._read_exact(4) if masked else None
+            payload = self._read_exact(ln) if ln else b""
+            if key:
+                payload = _mask(payload, key)
+            if opcode == OP_CLOSE:
+                try:
+                    self._send_frame(OP_CLOSE, b"")
+                except OSError:
+                    pass
+                return None
+            if opcode == OP_PING:
+                self._send_frame(OP_PONG, payload)
+                continue
+            if opcode == OP_PONG:
+                continue
+            parts.append(payload)
+            if fin:
+                return b"".join(parts).decode()
+
+    def close(self) -> None:
+        try:
+            self._send_frame(OP_CLOSE, b"")
+        except OSError:
+            pass
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+def ws_connect(host: str, port: int, path: str = "/") -> WsConn:
+    sock = socket.create_connection((host, port))
+    key = base64.b64encode(os.urandom(16)).decode()
+    req = (
+        f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+        f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+    )
+    sock.sendall(req.encode())
+    f = sock.makefile("rb")
+    status = f.readline()
+    if b"101" not in status:
+        raise ConnectionError(f"websocket handshake refused: {status!r}")
+    accept = None
+    while True:
+        line = f.readline().strip()
+        if not line:
+            break
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"sec-websocket-accept":
+            accept = v.strip().decode()
+    if accept != _accept_key(key):
+        raise ConnectionError("websocket handshake: bad Sec-WebSocket-Accept")
+    return WsConn(sock, masked=True)
+
+
+def _ws_accept(conn: socket.socket) -> WsConn:
+    f = conn.makefile("rb")
+    f.readline()  # request line
+    key = None
+    while True:
+        line = f.readline().strip()
+        if not line:
+            break
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"sec-websocket-key":
+            key = v.strip().decode()
+    if key is None:
+        conn.close()
+        raise ConnectionError("not a websocket handshake")
+    resp = (
+        "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+        f"Connection: Upgrade\r\nSec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+    )
+    conn.sendall(resp.encode())
+    return WsConn(conn, masked=False)
+
+
+class OgmiosReplayServer:
+    """Loopback Ogmios v6 server replaying a segment directory.
+
+    Speaks the two chain-sync methods the reference uses
+    (``Ogmios.hs:88-120``): ``findIntersection`` answers with the requested
+    point when it matches a replayed block (or origin), and each
+    ``nextBlock`` delivers the next document in canonical segment order
+    with the caller's request ``id`` echoed — exactly the pairing the
+    pipelined client relies on.  After the last document the server sends
+    a close frame: a replay has an end, a live server would idle."""
+
+    def __init__(self, seg_dir: str, host: str = "127.0.0.1", port: int = 0):
+        from kupo_spark.sources.ogmios import segment_order
+
+        self._docs: list[str] = []
+        for seg in segment_order(seg_dir):
+            with open(seg) as fh:
+                self._docs += [ln for ln in (l.strip() for l in fh) if ln]
+        self._sock = socket.socket()
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(4)
+        self.host, self.port = self._sock.getsockname()[:2]
+        self._threads: list[threading.Thread] = []
+        self._closing = False
+
+    @property
+    def url(self) -> str:
+        return f"ws://{self.host}:{self.port}"
+
+    def start(self) -> "OgmiosReplayServer":
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        return self
+
+    def _accept_loop(self) -> None:
+        while not self._closing:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve_client, args=(conn,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _points(self) -> list[tuple[int, str]]:
+        pts = []
+        for doc in self._docs:
+            r = json.loads(doc).get("result", {})
+            blk = r.get("block")
+            if r.get("direction") == "forward" and blk:
+                pts.append((blk["slot"], blk["id"]))
+        return pts
+
+    def _serve_client(self, conn: socket.socket) -> None:
+        try:
+            ws = _ws_accept(conn)
+        except ConnectionError:
+            return
+        cursor = 0
+        try:
+            while True:
+                raw = ws.recv_text()
+                if raw is None:
+                    return
+                req = json.loads(raw)
+                rid = req.get("id")
+                method = req.get("method")
+                if method == "findIntersection":
+                    points = req.get("params", {}).get("points", [])
+                    known = {(s, h) for s, h in self._points()}
+                    hit = None
+                    for p in points:
+                        if p == "origin":
+                            hit = "origin"
+                            break
+                        if (p.get("slot"), p.get("id")) in known:
+                            hit = p
+                            break
+                    if hit is None:
+                        ws.send_text(json.dumps({
+                            "jsonrpc": "2.0", "method": method, "id": rid,
+                            "error": {"code": 1000, "message": "intersection not found"},
+                        }))
+                    else:
+                        ws.send_text(json.dumps({
+                            "jsonrpc": "2.0", "method": method, "id": rid,
+                            "result": {"intersection": hit, "tip": self._tip()},
+                        }))
+                elif method == "nextBlock":
+                    if cursor >= len(self._docs):
+                        # replay exhausted: announce close, then DRAIN the
+                        # client's still-inbound pipelined requests before
+                        # closing the socket — closing with unread data in
+                        # the kernel buffer sends an RST that can discard
+                        # responses already in flight to the client
+                        try:
+                            ws._send_frame(OP_CLOSE, b"")
+                        except OSError:
+                            pass
+                        while ws.recv_text() is not None:
+                            pass
+                        ws.close()
+                        return
+                    doc = json.loads(self._docs[cursor])
+                    cursor += 1
+                    doc["id"] = rid  # echo the request id (JSON-RPC pairing)
+                    ws.send_text(json.dumps(doc))
+                else:
+                    ws.send_text(json.dumps({
+                        "jsonrpc": "2.0", "method": method, "id": rid,
+                        "error": {"code": -32601, "message": "method not found"},
+                    }))
+        except (ConnectionError, OSError):
+            return
+
+    def _tip(self):
+        pts = self._points()
+        if not pts:
+            return "origin"
+        slot, h = pts[-1]
+        return {"slot": slot, "id": h}
+
+    def close(self) -> None:
+        self._closing = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+def sync_via_ws(
+    url: str,
+    spool_dir: str,
+    points: list | None = None,
+    window: int = 100,
+    segment_lines: int = 50,
+) -> int:
+    """Drive chain-sync over a WebSocket and spool responses as NDJSON
+    segments — the transport half of ``--follow``.
+
+    Mirrors the reference client (``Ogmios.hs:48-75``): one
+    ``findIntersection`` (default ``["origin"]``), then ``window``
+    pipelined ``nextBlock`` requests, then one more request per response
+    until the server closes (replay end).  Responses land in
+    ``spool_dir/seg-NNNNNN.jsonl`` continuing the existing natural-sort
+    numbering, so the file-source follow pipeline (and its ordering guard)
+    consumes the stream unchanged.  Returns the number of documents
+    received."""
+    assert url.startswith("ws://"), url
+    hostport = url[5:].split("/")[0]
+    host, _, port = hostport.partition(":")
+    ws = ws_connect(host, int(port or 80))
+    spool = Path(spool_dir)
+    spool.mkdir(parents=True, exist_ok=True)
+    existing = [p for p in spool.iterdir() if p.name.startswith("seg-")]
+    seg_no = 1 + max(
+        (int(p.stem.split("-")[1]) for p in existing if p.stem.split("-")[1].isdigit()),
+        default=-1,
+    )
+    try:
+        ws.send_text(json.dumps({
+            "jsonrpc": "2.0", "method": "findIntersection",
+            "params": {"points": points if points is not None else ["origin"]},
+            "id": "find-0",
+        }))
+        found = ws.recv_text()
+        if found is None:
+            return 0
+        if "error" in json.loads(found):
+            raise ConnectionError(f"findIntersection failed: {found}")
+        next_id = 0
+
+        def request_next():
+            nonlocal next_id
+            try:
+                ws.send_text(json.dumps({
+                    "jsonrpc": "2.0", "method": "nextBlock", "id": f"nb-{next_id}"
+                }))
+            except OSError:
+                return  # replay server closed while refilling the window;
+                # the recv loop will observe the close and drain cleanly
+            next_id += 1
+
+        for _ in range(window):  # prime the full pipeline window
+            request_next()
+        received = 0
+        buffer: list[str] = []
+
+        def flush():
+            nonlocal seg_no
+            if not buffer:
+                return
+            # write-then-rename: the file stream source must never list a
+            # half-written segment
+            final = spool / f"seg-{seg_no:06d}.jsonl"
+            tmp = spool / f".seg-{seg_no:06d}.tmp"
+            tmp.write_text("\n".join(buffer) + "\n")
+            tmp.rename(final)
+            seg_no += 1
+            buffer.clear()
+
+        while True:
+            msg = ws.recv_text()
+            if msg is None:
+                break  # server closed: replay complete
+            doc = json.loads(msg)
+            if doc.get("method") != "nextBlock":
+                continue
+            # bridge contract (canonical_blocks, ogmios.py): within a
+            # segment file any rollback PRECEDES its forwards — a
+            # RollBackward marks a new delivery (reconnect/fork), so it
+            # must open a fresh segment, never land mid-file
+            if (
+                buffer
+                and doc.get("result", {}).get("direction") == "backward"
+            ):
+                flush()
+            buffer.append(json.dumps(doc, sort_keys=True))
+            received += 1
+            if len(buffer) >= segment_lines:
+                flush()
+            request_next()  # keep the window full (one per response)
+        flush()
+        return received
+    finally:
+        ws.close()

@@ -1,0 +1,236 @@
+"""Loopback WebSocket transport (S1/S2): RFC 6455 layer, pipelined
+chain-sync client, and end-to-end equality with the file-replay path."""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+
+import pytest
+
+from kupo_spark.oracle_sources import OGMIOS_SEGMENTS
+from kupo_spark.sources import ws as W
+
+
+def test_ws_roundtrip_all_frame_sizes():
+    """Client→server and server→client text frames across the 7-bit,
+    16-bit and 64-bit length encodings, with masking on the client side."""
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    got: list[str] = []
+
+    def server():
+        conn, _ = srv.accept()
+        wsrv = W._ws_accept(conn)
+        for _ in range(3):
+            msg = wsrv.recv_text()
+            got.append(msg)
+            wsrv.send_text(msg[::-1])
+        wsrv.close()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    cli = W.ws_connect("127.0.0.1", port)
+    for payload in ("tiny", "x" * 1000, "y" * 70000):
+        cli.send_text(payload)
+        assert cli.recv_text() == payload[::-1]
+    assert cli.recv_text() is None  # clean close
+    cli.close()
+    t.join(timeout=5)
+    assert [len(g) for g in got] == [4, 1000, 70000]
+    srv.close()
+
+
+def test_client_pipelines_full_window():
+    """The client must prime `window` nextBlock requests BEFORE any
+    response arrives (Ogmios.hs:48-75) — proven by a server that reads the
+    whole window first and only then starts answering."""
+    window = 20
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    seen_before_reply: list[int] = []
+
+    def server():
+        conn, _ = srv.accept()
+        wsrv = W._ws_accept(conn)
+        find = json.loads(wsrv.recv_text())
+        assert find["method"] == "findIntersection"
+        wsrv.send_text(json.dumps({
+            "jsonrpc": "2.0", "method": "findIntersection", "id": find["id"],
+            "result": {"intersection": "origin", "tip": "origin"},
+        }))
+        pending = [json.loads(wsrv.recv_text()) for _ in range(window)]
+        seen_before_reply.append(len(pending))  # all in flight, none answered
+        for req in pending[:5]:
+            wsrv.send_text(json.dumps({
+                "jsonrpc": "2.0", "method": "nextBlock", "id": req["id"],
+                "result": {"direction": "backward", "point": "origin",
+                           "tip": "origin"},
+            }))
+        # drain the 5 refills the client owes, then end the replay
+        for _ in range(5):
+            wsrv.recv_text()
+        wsrv.close()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    n = W.sync_via_ws(
+        f"ws://127.0.0.1:{port}", spool_dir="/tmp/ws-pipeline-test-spool",
+        window=window, segment_lines=1000,
+    )
+    t.join(timeout=10)
+    assert seen_before_reply == [window]
+    assert n == 5
+    srv.close()
+
+
+@pytest.fixture(scope="module")
+def spooled(tmp_path_factory):
+    """Sync the committed Ogmios segments over a real loopback WebSocket
+    into a spool directory."""
+    spool = tmp_path_factory.mktemp("ws-spool")
+    server = W.OgmiosReplayServer(OGMIOS_SEGMENTS).start()
+    try:
+        n = W.sync_via_ws(server.url, str(spool), window=100, segment_lines=7)
+    finally:
+        server.close()
+    return spool, n
+
+
+def test_ws_sync_preserves_document_stream(spooled):
+    """Every document arrives, in canonical segment order."""
+    from kupo_spark.sources.ogmios import segment_order
+
+    spool, n = spooled
+    want = []
+    for seg in segment_order(OGMIOS_SEGMENTS):
+        with open(seg) as fh:
+            want += [json.loads(ln) for ln in fh if ln.strip()]
+    got = []
+    for seg in segment_order(str(spool)):
+        with open(seg) as fh:
+            got += [json.loads(ln) for ln in fh if ln.strip()]
+    # the client echoes request ids into the spooled docs; ignore them
+    for d in got:
+        d.pop("id", None)
+    for d in want:
+        d.pop("id", None)
+    assert got == want and n == len(want)
+
+
+def test_ws_sync_index_matches_file_replay(spark, spooled):
+    """VERDICT r4 #6 done-criterion: the canonical batch view built from
+    the WS-spooled segments is row-identical to the one built from the
+    committed fixture directory — same fork netting, same decode."""
+    from kupo_spark.sources.ogmios import canonical_blocks
+
+    spool, _ = spooled
+    via_ws = canonical_blocks(spark, str(spool)).collect()
+    via_files = canonical_blocks(spark, OGMIOS_SEGMENTS).collect()
+    key = lambda r: (r["slot_no"], r["transaction_id"], r["output_index"])  # noqa: E731
+    assert sorted(map(tuple, via_ws)) == sorted(map(tuple, via_files))
+    assert via_ws  # non-empty replay
+
+
+def _get(url: str):
+    import urllib.request
+
+    with urllib.request.urlopen(url) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_cli_batch_ogmios_ws_matches_file_replay(tmp_path, spark):
+    """`run --ogmios-ws` (batch): sync over the socket, then serve an index
+    identical to `run --ogmios-file` over the fixture directory."""
+    from kupo_spark.cli import main
+
+    server = W.OgmiosReplayServer(OGMIOS_SEGMENTS).start()
+    try:
+        via_ws = main(
+            [
+                "--ogmios-ws", server.url, "--workdir", str(tmp_path / "ws-db"),
+                "--since", "origin", "--match", "*", "--gc-interval", "0",
+                "--port", "0",
+            ],
+            serve_forever=False,
+        )
+    finally:
+        server.close()
+    via_file = main(
+        [
+            "--ogmios-file", OGMIOS_SEGMENTS, "--workdir", str(tmp_path / "f-db"),
+            "--since", "origin", "--match", "*", "--gc-interval", "0",
+            "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        _, m_ws = _get(f"{via_ws.url}/matches")
+        _, m_file = _get(f"{via_file.url}/matches")
+        key = lambda m: (m["created_at"]["slot_no"], m["transaction_id"], m["output_index"])  # noqa: E731
+        assert sorted(m_ws, key=key) == sorted(m_file, key=key)
+        assert m_ws
+    finally:
+        via_ws.close()
+        via_file.close()
+
+
+def test_cli_follow_ogmios_ws_converges(tmp_path):
+    """--follow --ogmios-ws: the socket feeds the live stream; the served
+    index converges to the file-replay canonical view (VERDICT r4 #6)."""
+    import time
+
+    from kupo_spark.cli import main
+    from kupo_spark.sources.ogmios import segment_order
+
+    want = sum(1 for seg in segment_order(OGMIOS_SEGMENTS) for _ in open(seg))
+    server = W.OgmiosReplayServer(OGMIOS_SEGMENTS).start()
+    cli = main(
+        [
+            "--ogmios-ws", server.url, "--workdir", str(tmp_path / "db"),
+            "--follow", "--since", "origin", "--match", "*",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        # wait for the stream to drain the replay into the served index
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            _, matches = _get(f"{cli.url}/matches")
+            if matches and len(matches) >= 1:
+                # compare against the canonical batch view's row count once
+                # the spool has all documents
+                from pathlib import Path
+
+                spool = Path(tmp_path / "db" / "ws-segments")
+                n_spooled = sum(
+                    1 for p in spool.iterdir() for _ in open(p)
+                ) if spool.exists() else 0
+                if n_spooled >= want:
+                    break
+            time.sleep(0.5)
+        assert time.time() < deadline, "ws follow never drained the replay"
+        # one more settle loop: the last delivered batch must be indexed
+        from kupo_spark.session import get_spark
+        from kupo_spark.sources.ogmios import canonical_blocks
+
+        spark = get_spark("ws-follow-check")
+        expect = canonical_blocks(spark, OGMIOS_SEGMENTS)
+        n_expect = expect.selectExpr("explode(outputs)").count()
+        got = 0
+        while time.time() < deadline:
+            _, matches = _get(f"{cli.url}/matches")
+            got = len(matches)
+            if got == n_expect:
+                break
+            time.sleep(0.5)
+        assert got == n_expect
+    finally:
+        cli.close()
+        server.close()
