@@ -148,6 +148,47 @@ def main() -> None:
         lambda: similarity.semantic_dedup(embs, threshold=0.3).count()
     )
 
+    # adversarial dedup diagnostic (VERDICT r4 #7): a dup-saturated corpus
+    # (50% near-dup copies, one corpus-wide boilerplate shingle run) through
+    # (a) the LSH pipeline with broadcast_id_limit=0 — deterministic
+    # exercise of the shuffle-semi-join fallback the 100 TB story relies on
+    # when candidates are corpus-sized — and (b) exact n-gram Jaccard under
+    # the frequent-shingle cap.  The plan flag records that the fallback
+    # was actually taken (SortMergeJoin LeftSemi, no broadcast ids).
+    from kupo_spark.plans.explain import formatted_plan  # noqa: E402
+
+    boiler = (
+        "all rights reserved terms and conditions apply to the content "
+        "provided herein"
+    )
+    from pyspark.sql import functions as F  # noqa: E402
+
+    sat_base = docs.select(
+        "doc_id", F.concat(F.lit(boiler + " "), F.col("text")).alias("text")
+    )
+    sat = sat_base.unionByName(
+        sat_base.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    ).persist()
+    sat.count()
+    queries["q_dedup_saturated_diag"] = timed(
+        lambda: dedup.minhash_near_dup_pairs(
+            sat, threshold=0.5, broadcast_id_limit=0
+        ).count()
+    )
+    sat_plan = formatted_plan(
+        dedup.minhash_near_dup_pairs(sat, threshold=0.5, broadcast_id_limit=0)
+    )
+    queries["q_dedup_saturated_fallback_smj_diag"] = float(
+        "SortMergeJoin LeftSemi" in sat_plan
+    )
+    queries["q_dedup_saturated_ngram_diag"] = timed(
+        lambda: dedup.ngram_jaccard_pairs(sat, threshold=0.5, max_df=64).count()
+    )
+    sat.unpersist()
+
     # round-4 fifth-session additions (diagnostics)
     from kupo_spark.functions.chunking import pack_sequences  # noqa: E402
     from kupo_spark.functions.shards import assign_shards  # noqa: E402

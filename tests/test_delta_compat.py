@@ -142,3 +142,34 @@ def test_deltalake_roundtrip_if_available(spark, table):
     dt = deltalake.DeltaTable(str(table.root))
     assert dt.version() == table.latest_version()
     assert sorted(dt.files()) == sorted(table.snapshot().adds)
+
+
+def test_duckdb_delta_roundtrip_if_available(spark, table):
+    """Second independent reader probe (VERDICT r4 #8).  Probe result in
+    this sandbox: ``INSTALL delta`` needs network access (refused) and the
+    ``deltalake`` wheel is absent — so external-reader interop stays
+    schema-level (the wire-shape tests above) until an environment with a
+    reader runs this.  The test body is the real interop check and runs
+    the moment the extension is loadable."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("LOAD delta")
+    except Exception:
+        pytest.skip(
+            "duckdb delta extension unavailable (sandbox has no network; "
+            "probe documented in-test)"
+        )
+    n_ext = con.execute(
+        f"SELECT count(*) FROM delta_scan('{table.root}')"
+    ).fetchone()[0]
+    internal = table.read(spark)
+    assert n_ext == internal.count()
+    ids_ext = {
+        r[0]
+        for r in con.execute(
+            f"SELECT id FROM delta_scan('{table.root}')"
+        ).fetchall()
+    }
+    assert ids_ext == {r["id"] for r in internal.select("id").collect()}
