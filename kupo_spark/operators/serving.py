@@ -39,6 +39,10 @@ CHAIN_ORDER_KEYS = ("created_at", "transaction_index", "output_index")
 
 class Serving:
     PLAN_CACHE_SIZE = 256
+    #: per-entry row bound for caching address-family results — kupo's
+    #: page cache is byte-bounded; an unbounded 56k-row delegation answer
+    #: must not pin driver memory
+    ROW_CACHE_MAX_ROWS = 10_000
     #: driver-side hot-row cache for point lookups (P7/P8) — the moral
     #: equivalent of kupo's page cache over its B-tree.  A Spark job has a
     #: ~20 ms scheduling floor no plan can beat; a repeated point lookup
@@ -76,6 +80,20 @@ class Serving:
             .sortWithinPartitions("transaction_id", "output_index")
             .persist()
         )
+        # the address "B-tree": the same rows clustered by address.  The
+        # reshuffled encoding (C1, Database.hs:733-736) makes the three
+        # address-family query shapes sargable on this one sort order —
+        # exact address is equality, delegation is the '01'+cred prefix,
+        # payment+delegation carries that prefix too — so the in-memory
+        # batch min/max stats skip every non-matching 10k-row batch and
+        # warm address lookups stop scanning the corpus (they grew ~linear
+        # with data on the chain-order view: 87→827 ms across sf1→sf10).
+        # Payment-ONLY patterns are a suffix match and stay on the scan.
+        self._addr_view = (
+            inputs.repartitionByRange(max(1, partitions // 4), F.col("address"))
+            .sortWithinPartitions("address")
+            .persist()
+        )
         self.index = Index(
             inputs=self._view,
             checkpoints=index.checkpoints.coalesce(1).persist(),
@@ -86,9 +104,11 @@ class Serving:
             slot_bucket=index.slot_bucket,
         )
         self._point_index = self.index.with_inputs(self._point_view)
+        self._addr_index = self.index.with_inputs(self._addr_view)
         self._hot = [
             self._view,
             self._point_view,
+            self._addr_view,
             self.index.checkpoints,
             self.index.policies,
             self.index.binary_data,
@@ -113,12 +133,38 @@ class Serving:
         p = pattern_from_text(pattern) if not isinstance(pattern, Pattern) else pattern
         return isinstance(p, (MatchTransactionId, MatchOutputReference))
 
+    @staticmethod
+    def _is_addr(pattern) -> bool:
+        """Sargable on the address-clustered view: exact address
+        (equality), delegation ('01'+cred prefix), payment+delegation
+        (same prefix).  Payment-only is a suffix test — not sargable."""
+        from kupo_spark.patterns import (
+            MatchDelegation,
+            MatchExact,
+            MatchPaymentAndDelegation,
+            Pattern,
+            pattern_from_text,
+        )
+
+        p = pattern_from_text(pattern) if not isinstance(pattern, Pattern) else pattern
+        return isinstance(
+            p, (MatchExact, MatchDelegation, MatchPaymentAndDelegation)
+        )
+
     def fold(
-        self, pattern="*", use_plan_cache: bool = True, point: bool = False, **kwargs
+        self,
+        pattern="*",
+        use_plan_cache: bool = True,
+        point: bool = False,
+        clustered: bool = False,
+        **kwargs,
     ) -> DataFrame:
         """fold_inputs over the hot view.  Output arrives in chain order
         (most recent first) WITHOUT a sort step — the storage order is the
         query order, as in kupo's index traversal (SQLite.hs:948-969).
+        With ``point``/``clustered`` the key-ordered views serve the scan
+        instead and the CALLER owns re-ordering (fold_rows sorts the page
+        driver-side; serve_json sorts in-plan).
 
         Repeated query shapes reuse their analyzed/optimized plan via a
         small cache — the analog of kupo preparing its SQL statements once
@@ -136,10 +182,15 @@ class Serving:
         if sbp is not None:
             self._assert_point_cached(*sbp)
             kwargs["spent_before"] = sbp[0]
-        index = self._point_index if point else self.index
+        if point:
+            index = self._point_index
+        elif clustered:
+            index = self._addr_index
+        else:
+            index = self.index
         if not use_plan_cache:
             return fold_inputs(index, pattern, **kwargs)
-        key = (str(pattern), point, tuple(sorted(kwargs.items())))
+        key = (str(pattern), point, clustered, tuple(sorted(kwargs.items())))
         df = self._plan_cache.get(key)
         if df is None:
             df = fold_inputs(index, pattern, **kwargs)
@@ -172,10 +223,19 @@ class Serving:
         from kupo_spark.operators import serve as _serve
 
         point = self._is_point(pattern)
+        # result_json re-sorts explicitly (the assets join destroys storage
+        # order anyway), so the address-clustered view is safe here and
+        # turns the address-family shapes into batch-skipping range reads
+        clustered = (
+            not point
+            and bool(kwargs.get("sorted_result"))  # order restored by sort
+            and self._is_addr(pattern)
+        )
         key = (
             "json",
             str(pattern),
             point,
+            clustered,
             resolve_hashes,
             quantity_as_string,
             rendered_addresses,
@@ -183,8 +243,14 @@ class Serving:
         )
         df = self._plan_cache.get(key)
         if df is None:
+            if point:
+                src_index = self._point_index
+            elif clustered:
+                src_index = self._addr_index
+            else:
+                src_index = self.index
             df = _serve.result_json(
-                self._point_index if point else self.index,
+                src_index,
                 pattern,
                 resolve_hashes=resolve_hashes,
                 quantity_as_string=quantity_as_string,
@@ -264,6 +330,27 @@ class Serving:
             if len(self._row_cache) >= self.ROW_CACHE_SIZE:
                 self._row_cache.pop(next(iter(self._row_cache)))
             self._row_cache[ck] = tuple(rows)
+            return rows
+        if self._is_addr(pattern):
+            # address-family shapes read the address-clustered view (batch
+            # stats skip non-matching batches); the page is re-ordered on
+            # the driver — a B-tree range read then an in-memory sort,
+            # exactly like the point path.  Results small enough to be
+            # page-cache-shaped are cached; a huge delegation answer is not
+            # (kupo's page cache is byte-bounded too).
+            ck = (str(pattern), order, tuple(sorted(kwargs.items())))
+            hit = self._row_cache.get(ck)
+            if hit is not None:
+                return list(hit)
+            rows = self.fold(pattern, clustered=True, **kwargs).collect()
+            rows.sort(
+                key=lambda r: tuple(r[k] for k in CHAIN_ORDER_KEYS),
+                reverse=(order == "most_recent_first"),
+            )
+            if len(rows) <= self.ROW_CACHE_MAX_ROWS:
+                if len(self._row_cache) >= self.ROW_CACHE_SIZE:
+                    self._row_cache.pop(next(iter(self._row_cache)))
+                self._row_cache[ck] = tuple(rows)
             return rows
         rows = self.fold(pattern, **kwargs).collect()
         return rows if order == "most_recent_first" else rows[::-1]

@@ -160,7 +160,9 @@ def test_point_bound_fold_memoizes_assertion(serving, spark):
     n_jobs, again = _jobs_during(
         spark, lambda: serving.fold_rows(addr, created_after_point=good)
     )
-    assert n_jobs == 1  # the collect itself; no assert-count job
+    # no assert-count job — and the address-family row cache absorbs the
+    # collect too, so the repeat launches nothing at all
+    assert n_jobs == 0
     assert [tuple(r) for r in again] == want
     with _pytest.raises(UnknownPointError):
         serving.fold_rows(addr, created_after_point=(50, "00" * 16))
@@ -234,3 +236,34 @@ def test_tip_is_memoized(serving, spark):
     n_jobs, tip2 = _jobs_during(spark, serving.tip)
     assert n_jobs == 0 and tip2 == (slot, h)
     assert serving.etag() == f'W/"{slot}-{(h or "")[:16]}"'
+
+
+def test_addr_family_served_from_clustered_view_and_cached(serving, spark, index):
+    """Exact-address / delegation shapes route through the address-
+    clustered view and repeats hit the row cache (zero jobs) — while
+    results stay identical to the cold chain-order fold (the parametrized
+    parity test covers values; this pins the caching + the bound)."""
+    # a NON-EMPTY address from this chain (address_of(42) may not appear
+    # in the small unit fixture)
+    addr = index.inputs.groupBy("address").count().orderBy(F.desc("count")).first()[
+        "address"
+    ]
+    deleg = f"*/{cs.delegation_credential_of(5)}"
+    first_a = serving.fold_rows(addr)
+    first_d = serving.fold_rows(deleg)
+    n_jobs, again = _jobs_during(
+        spark, lambda: (serving.fold_rows(addr), serving.fold_rows(deleg))
+    )
+    assert n_jobs == 0
+    assert [tuple(r) for r in again[0]] == [tuple(r) for r in first_a] and first_a
+    assert [tuple(r) for r in again[1]] == [tuple(r) for r in first_d]
+    # entries beyond the page bound are NOT cached (driver memory stays
+    # bounded no matter how hot a 56k-row delegation answer is)
+    old = Serving.ROW_CACHE_MAX_ROWS
+    try:
+        Serving.ROW_CACHE_MAX_ROWS = 0
+        serving._row_cache.clear()
+        rows = serving.fold_rows(addr)
+        assert rows and serving._row_cache == {}
+    finally:
+        Serving.ROW_CACHE_MAX_ROWS = old
