@@ -214,6 +214,33 @@ def cmd_run(args, serve_forever: bool = True):
             sync_via_ws(args.ogmios_ws, spool)
         args.ogmios_file = spool
 
+    if getattr(args, "hydra_ws", None):
+        # Hydra's WS API is push-mode (ChainSync/Hydra.hs:56): spool the
+        # ServerOutput stream into segments for the file pipeline
+        if args.hydra_file:
+            raise SystemExit("--hydra-ws and --hydra-file are exclusive")
+        import os
+        import tempfile
+
+        from kupo_spark.sources.ws import sync_hydra_ws
+
+        spool = (
+            f"{args.workdir}/ws-segments"
+            if args.workdir
+            else tempfile.mkdtemp(prefix="kupo-hydra-ws-")
+        )
+        if args.follow:
+            threading.Thread(
+                target=sync_hydra_ws, args=(args.hydra_ws, spool), daemon=True
+            ).start()
+            for _ in range(100):
+                if os.path.isdir(spool) and os.listdir(spool):
+                    break
+                time.sleep(0.1)
+        else:
+            sync_hydra_ws(args.hydra_ws, spool)
+        args.hydra_file = spool
+
     since = parse_since(args.since)
     until = parse_until(args.until)
     workdir_store = f"{args.workdir}/patterns.txt" if args.workdir else None
@@ -746,6 +773,11 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         help="Ogmios WebSocket (pipelined nextBlock chain-sync)",
     )
     src.add_argument("--hydra-file", metavar="FILEPATH", help="Hydra ServerOutput NDJSON")
+    src.add_argument(
+        "--hydra-ws",
+        metavar="ws://HOST:PORT",
+        help="Hydra node WebSocket (push-mode ServerOutput stream)",
+    )
     p.add_argument("--workdir", metavar="DIRECTORY", help="where the index is stored")
     p.add_argument("--in-memory", action="store_true", help="no durable storage")
     p.add_argument("--since", metavar="POINT", help="origin | SLOT | SLOT.HEADERHASH")

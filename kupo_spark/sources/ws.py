@@ -311,6 +311,107 @@ class OgmiosReplayServer:
             pass
 
 
+class HydraReplayServer:
+    """Loopback Hydra node replay.  Hydra's WS API is PUSH-mode — the node
+    sends every ServerOutput to each connected client unprompted
+    (``ChainSync/Hydra.hs:56``); no request/response, no pipelining.  This
+    replays an NDJSON ServerOutput log one text frame per line, then
+    closes (a replay ends; a live head idles)."""
+
+    def __init__(self, log_path: str, host: str = "127.0.0.1", port: int = 0):
+        with open(log_path) as fh:
+            self._docs = [ln for ln in (l.strip() for l in fh) if ln]
+        self._sock = socket.socket()
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(4)
+        self.host, self.port = self._sock.getsockname()[:2]
+        self._closing = False
+
+    @property
+    def url(self) -> str:
+        return f"ws://{self.host}:{self.port}"
+
+    def start(self) -> "HydraReplayServer":
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        return self
+
+    def _accept_loop(self) -> None:
+        while not self._closing:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve_client, args=(conn,), daemon=True
+            ).start()
+
+    def _serve_client(self, conn: socket.socket) -> None:
+        try:
+            ws = _ws_accept(conn)
+            for doc in self._docs:
+                ws.send_text(doc)
+            ws._send_frame(OP_CLOSE, b"")
+            while ws.recv_text() is not None:  # drain until close-ack
+                pass
+            ws.close()
+        except (ConnectionError, OSError):
+            return
+
+    def close(self) -> None:
+        self._closing = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+def sync_hydra_ws(url: str, spool_dir: str, segment_lines: int = 50) -> int:
+    """Receive a Hydra ServerOutput push stream and spool it as NDJSON
+    segments for the file pipeline (batch ``read_hydra_jsonl`` and the
+    --follow stream both read the directory).  The Head protocol has no
+    rollbacks, so segments are pure appends — still written via
+    write-then-rename so the stream source never lists a torn file."""
+    assert url.startswith("ws://"), url
+    hostport = url[5:].split("/")[0]
+    host, _, port = hostport.partition(":")
+    ws = ws_connect(host, int(port or 80))
+    spool = Path(spool_dir)
+    spool.mkdir(parents=True, exist_ok=True)
+    existing = [p for p in spool.iterdir() if p.name.startswith("seg-")]
+    seg_no = 1 + max(
+        (int(p.stem.split("-")[1]) for p in existing if p.stem.split("-")[1].isdigit()),
+        default=-1,
+    )
+    received = 0
+    buffer: list[str] = []
+
+    def flush():
+        nonlocal seg_no
+        if not buffer:
+            return
+        final = spool / f"seg-{seg_no:06d}.jsonl"
+        tmp = spool / f".seg-{seg_no:06d}.tmp"
+        tmp.write_text("\n".join(buffer) + "\n")
+        tmp.rename(final)
+        seg_no += 1
+        buffer.clear()
+
+    try:
+        while True:
+            msg = ws.recv_text()
+            if msg is None:
+                break
+            buffer.append(msg)
+            received += 1
+            if len(buffer) >= segment_lines:
+                flush()
+        flush()
+        return received
+    finally:
+        ws.close()
+
+
 def sync_via_ws(
     url: str,
     spool_dir: str,

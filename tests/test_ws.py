@@ -234,3 +234,59 @@ def test_cli_follow_ogmios_ws_converges(tmp_path):
     finally:
         cli.close()
         server.close()
+
+
+def test_hydra_ws_push_stream_spools_verbatim(tmp_path):
+    """Hydra push-mode replay: every ServerOutput line arrives verbatim,
+    in order, across segment files."""
+    from kupo_spark.oracle_sources import HYDRA_LOG
+
+    server = W.HydraReplayServer(HYDRA_LOG).start()
+    try:
+        n = W.sync_hydra_ws(server.url, str(tmp_path / "spool"), segment_lines=2)
+    finally:
+        server.close()
+    want = [ln for ln in open(HYDRA_LOG).read().splitlines() if ln.strip()]
+    from kupo_spark.sources.ogmios import segment_order
+
+    got = []
+    for seg in segment_order(str(tmp_path / "spool")):
+        got += [ln for ln in open(seg).read().splitlines() if ln.strip()]
+    assert got == want and n == len(want)
+
+
+def test_cli_batch_hydra_ws_matches_file_replay(tmp_path, spark):
+    """`run --hydra-ws` serves the same /matches rows as --hydra-file over
+    the committed ServerOutput log."""
+    from kupo_spark.cli import main
+    from kupo_spark.oracle_sources import HYDRA_LOG
+
+    server = W.HydraReplayServer(HYDRA_LOG).start()
+    try:
+        via_ws = main(
+            [
+                "--hydra-ws", server.url, "--workdir", str(tmp_path / "ws-db"),
+                "--since", "origin", "--match", "*", "--gc-interval", "0",
+                "--port", "0",
+            ],
+            serve_forever=False,
+        )
+    finally:
+        server.close()
+    via_file = main(
+        [
+            "--hydra-file", HYDRA_LOG, "--workdir", str(tmp_path / "f-db"),
+            "--since", "origin", "--match", "*", "--gc-interval", "0",
+            "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        _, m_ws = _get(f"{via_ws.url}/matches")
+        _, m_file = _get(f"{via_file.url}/matches")
+        key = lambda m: (m["created_at"]["slot_no"], m["transaction_id"], m["output_index"])  # noqa: E731
+        assert sorted(m_ws, key=key) == sorted(m_file, key=key)
+        assert m_ws
+    finally:
+        via_ws.close()
+        via_file.close()

@@ -136,9 +136,14 @@ def main() -> None:
         return ts[len(ts) // 2]
 
     q["q_transaction_id_warm_miss"] = warm(lambda: miss_df.collect())
-    q["q_exact_address_warm"] = warm(lambda: serving.fold(addr).collect())
+    # address-family shapes route the way fold_rows does — through the
+    # address-clustered view (batch-stats skipping); .collect() on the
+    # cached plan keeps this the honest per-job cost (no driver row cache)
+    addr_df = serving.fold(addr, clustered=True)
+    deleg_df = serving.fold(f"*/{deleg}", clustered=True)
+    q["q_exact_address_warm"] = warm(lambda: addr_df.collect())
     q["q_policy_warm"] = warm(lambda: serving.fold(f"{policy}.*").collect())
-    q["q_delegation_warm"] = warm(lambda: serving.fold(f"*/{deleg}").collect())
+    q["q_delegation_warm"] = warm(lambda: deleg_df.collect())
 
     # ---- pipeline heads (dedup / ANN / text / packing / shards) ---------
     docs = spark.read.parquet(f"{src}/documents.parquet")
