@@ -191,16 +191,20 @@ def cmd_run(args, serve_forever: bool = True):
         import os
         import tempfile
 
-        from kupo_spark.sources.ws import sync_via_ws
+        from kupo_spark.sources.ws import last_spooled_point, sync_via_ws
 
         spool = (
             f"{args.workdir}/ws-segments"
             if args.workdir
             else tempfile.mkdtemp(prefix="kupo-ws-segments-")
         )
+        # a restart intersects at the last spooled block: the server
+        # answers RollBackward-to-intersection then only the tail —
+        # no re-delivery of what the spool already holds
+        resume = last_spooled_point(spool)
         if args.follow:
             t = threading.Thread(
-                target=sync_via_ws, args=(args.ogmios_ws, spool), daemon=True
+                target=sync_via_ws, args=(args.ogmios_ws, spool, resume), daemon=True
             )
             t.start()
             # the stream source needs at least one listed segment to start
@@ -211,7 +215,7 @@ def cmd_run(args, serve_forever: bool = True):
                     break
                 _time.sleep(0.1)
         else:
-            sync_via_ws(args.ogmios_ws, spool)
+            sync_via_ws(args.ogmios_ws, spool, resume)
         args.ogmios_file = spool
 
     if getattr(args, "hydra_ws", None):

@@ -240,6 +240,9 @@ class OgmiosReplayServer:
         except ConnectionError:
             return
         cursor = 0
+        pending_rollback = None  # protocol: first nextBlock after a non-
+        # origin intersection answers RollBackward to that point, then
+        # forwards resume from just after it (Ogmios.hs:88-120)
         try:
             while True:
                 raw = ws.recv_text()
@@ -250,14 +253,21 @@ class OgmiosReplayServer:
                 method = req.get("method")
                 if method == "findIntersection":
                     points = req.get("params", {}).get("points", [])
-                    known = {(s, h) for s, h in self._points()}
+                    known = {}
+                    for i, doc in enumerate(self._docs):
+                        r = json.loads(doc).get("result", {})
+                        blk = r.get("block")
+                        if r.get("direction") == "forward" and blk:
+                            known[(blk["slot"], blk["id"])] = i
                     hit = None
                     for p in points:
                         if p == "origin":
-                            hit = "origin"
+                            hit, cursor = "origin", 0
                             break
                         if (p.get("slot"), p.get("id")) in known:
                             hit = p
+                            cursor = known[(p["slot"], p["id"])] + 1
+                            pending_rollback = p
                             break
                     if hit is None:
                         ws.send_text(json.dumps({
@@ -270,6 +280,17 @@ class OgmiosReplayServer:
                             "result": {"intersection": hit, "tip": self._tip()},
                         }))
                 elif method == "nextBlock":
+                    if pending_rollback is not None:
+                        ws.send_text(json.dumps({
+                            "jsonrpc": "2.0", "method": method, "id": rid,
+                            "result": {
+                                "direction": "backward",
+                                "point": pending_rollback,
+                                "tip": self._tip(),
+                            },
+                        }))
+                        pending_rollback = None
+                        continue
                     if cursor >= len(self._docs):
                         # replay exhausted: announce close, then DRAIN the
                         # client's still-inbound pipelined requests before
@@ -410,6 +431,33 @@ def sync_hydra_ws(url: str, spool_dir: str, segment_lines: int = 50) -> int:
         return received
     finally:
         ws.close()
+
+
+def last_spooled_point(spool_dir: str) -> list:
+    """Resume points for a restarted sync: the most recent forward block
+    already in the spool (scanning segments newest-first), then
+    ``"origin"`` as the fallback the protocol requires.  Restart cost is
+    one RollBackward to the intersection instead of a full re-delivery."""
+    spool = Path(spool_dir)
+    if not spool.is_dir():
+        return ["origin"]
+    segs = sorted(
+        (p for p in spool.iterdir() if p.name.startswith("seg-")),
+        key=lambda p: p.name,
+        reverse=True,
+    )
+    for seg in segs:
+        best = None
+        for ln in seg.read_text().splitlines():
+            if not ln.strip():
+                continue
+            r = json.loads(ln).get("result", {})
+            blk = r.get("block")
+            if r.get("direction") == "forward" and blk:
+                best = {"slot": blk["slot"], "id": blk["id"]}
+        if best is not None:
+            return [best, "origin"]
+    return ["origin"]
 
 
 def sync_via_ws(

@@ -290,3 +290,61 @@ def test_cli_batch_hydra_ws_matches_file_replay(tmp_path, spark):
     finally:
         via_ws.close()
         via_file.close()
+
+
+def test_ws_resume_no_redelivery(tmp_path):
+    """A restarted sync intersects at the last spooled block: the server
+    answers RollBackward to the intersection, then only blocks AFTER it —
+    never re-delivering the spooled prefix (Ogmios.hs:88-120 resume)."""
+    from kupo_spark.sources.ogmios import segment_order
+
+    spool = str(tmp_path / "spool")
+    server = W.OgmiosReplayServer(OGMIOS_SEGMENTS).start()
+    try:
+        n1 = W.sync_via_ws(server.url, spool, window=10, segment_lines=5)
+        segs_before = [p.name for p in segment_order(spool)]
+        # restart: resume from the spool
+        n2 = W.sync_via_ws(
+            server.url, spool, points=W.last_spooled_point(spool),
+            window=10, segment_lines=5,
+        )
+    finally:
+        server.close()
+    assert n1 > 0
+    # the resume delivers exactly one document: the RollBackward to the
+    # intersection (the replay has nothing after its last block)
+    assert n2 == 1
+    new_segs = [p for p in segment_order(spool) if p.name not in segs_before]
+    assert len(new_segs) == 1
+    (doc,) = [json.loads(ln) for ln in open(new_segs[0]) if ln.strip()]
+    r = doc["result"]
+    assert r["direction"] == "backward"
+    # and the rollback point is the intersection we asked for
+    want_pt = W.last_spooled_point(spool)
+    # after the resume, last_spooled_point still resolves to the same block
+    assert want_pt[0]["slot"] == r["point"]["slot"]
+    assert want_pt[0]["id"] == r["point"]["id"]
+
+
+def test_ws_resume_canonical_view_unchanged(spark, tmp_path):
+    """The RollBackward a resume spools nets out nothing: the canonical
+    view over (original sync + resume) equals the fixture view."""
+    from kupo_spark.sources.ogmios import canonical_blocks
+
+    spool = str(tmp_path / "spool")
+    server = W.OgmiosReplayServer(OGMIOS_SEGMENTS).start()
+    try:
+        W.sync_via_ws(server.url, spool, window=10, segment_lines=5)
+        W.sync_via_ws(
+            server.url, spool, points=W.last_spooled_point(spool),
+            window=10, segment_lines=5,
+        )
+    finally:
+        server.close()
+    got = sorted(
+        map(tuple, canonical_blocks(spark, spool).collect())
+    )
+    want = sorted(
+        map(tuple, canonical_blocks(spark, OGMIOS_SEGMENTS).collect())
+    )
+    assert got == want
