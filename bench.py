@@ -173,14 +173,18 @@ def main() -> None:
         )
     ).persist()
     sat.count()
+    # max_df drops the corpus-wide boilerplate shingles before min-hashing
+    # and max_bucket bounds any residual hot band bucket — without them the
+    # boiler shingles win the min-hash permutations and the band self-join
+    # goes quadratic (measured 85x blow-up at sf1); with them the
+    # saturated corpus costs ~the sparse case + its extra true pairs
+    sat_kw = dict(
+        threshold=0.5, broadcast_id_limit=0, max_df=1000, max_bucket=200
+    )
     queries["q_dedup_saturated_diag"] = timed(
-        lambda: dedup.minhash_near_dup_pairs(
-            sat, threshold=0.5, broadcast_id_limit=0
-        ).count()
+        lambda: dedup.minhash_near_dup_pairs(sat, **sat_kw).count()
     )
-    sat_plan = formatted_plan(
-        dedup.minhash_near_dup_pairs(sat, threshold=0.5, broadcast_id_limit=0)
-    )
+    sat_plan = formatted_plan(dedup.minhash_near_dup_pairs(sat, **sat_kw))
     queries["q_dedup_saturated_fallback_smj_diag"] = float(
         "SortMergeJoin LeftSemi" in sat_plan
     )

@@ -179,6 +179,7 @@ def cmd_run(args, serve_forever: bool = True):
 
     if args.follow and (args.in_memory or args.read_only):
         raise SystemExit("--follow requires a writable --workdir (not --in-memory/--read-only)")
+    ws_stop = None  # --follow websocket loop's stop event (server-owned)
     if getattr(args, "ogmios_ws", None):
         # WebSocket transport (the reference's actual Ogmios connection,
         # ChainSync/Ogmios.hs:48-75): the pipelined client spools nextBlock
@@ -203,8 +204,15 @@ def cmd_run(args, serve_forever: bool = True):
         # no re-delivery of what the spool already holds
         resume = last_spooled_point(spool)
         if args.follow:
+            from kupo_spark.sources.ws import follow_via_ws
+
+            # reconnecting loop (a dropped connection must not silently
+            # freeze the followed index); the server's close() stops it
+            ws_stop = threading.Event()
             t = threading.Thread(
-                target=sync_via_ws, args=(args.ogmios_ws, spool, resume), daemon=True
+                target=follow_via_ws,
+                args=(args.ogmios_ws, spool, ws_stop),
+                daemon=True,
             )
             t.start()
             # the stream source needs at least one listed segment to start
@@ -234,8 +242,12 @@ def cmd_run(args, serve_forever: bool = True):
             else tempfile.mkdtemp(prefix="kupo-hydra-ws-")
         )
         if args.follow:
+            from kupo_spark.sources.ws import follow_hydra_ws
+
+            ws_stop = threading.Event()
             threading.Thread(
-                target=sync_hydra_ws, args=(args.hydra_ws, spool), daemon=True
+                target=follow_hydra_ws, args=(args.hydra_ws, spool, ws_stop),
+                daemon=True,
             ).start()
             for _ in range(100):
                 if os.path.isdir(spool) and os.listdir(spool):
@@ -647,6 +659,8 @@ def cmd_run(args, serve_forever: bool = True):
     ).start()
     stop = threading.Event()
     server._stop_gc = stop  # KupoHttpServer.close() sets it (gardener dies with the server)
+    if ws_stop is not None:
+        server._ws_stop = ws_stop  # close() also ends the websocket follow loop
     if holder.get("query") is not None:
         server._stream_query = holder["query"]  # close() stops the follow stream
         # close the registration race under the writer lock: a micro-batch

@@ -192,10 +192,27 @@ def lsh_band_keys(
 
 def lsh_candidate_pairs(
     docs: DataFrame, bands: int = N_BANDS, rows: int = ROWS_PER_BAND, k: int = 3,
-    sh: DataFrame | None = None,
+    sh: DataFrame | None = None, max_bucket: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs sharing at least one LSH band."""
+    """Distinct candidate pairs sharing at least one LSH band.
+
+    ``max_bucket`` guards the band self-join's quadratic hazard: a bucket
+    of B docs yields B² pairs, and a boilerplate-saturated corpus can push
+    whole-corpus buckets through a band (boiler shingles win most min-hash
+    permutations, so thousands of documents share a band key — measured
+    85× blow-up on a 50%-dup corpus at sf1).  Buckets above the cap are
+    DROPPED, same philosophy as :func:`drop_frequent_shingles`: a band key
+    shared by that many documents carries no discriminative information.
+    Hot buckets are few by definition, so the kill list broadcasts."""
     bk = lsh_band_keys(docs, bands, rows, k, sh=sh)
+    if max_bucket is not None:
+        hot = (
+            bk.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        bk = bk.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a = bk.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = bk.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
@@ -217,14 +234,31 @@ def minhash_near_dup_pairs(
     docs: DataFrame, threshold: float = 0.5, bands: int = N_BANDS,
     rows: int = ROWS_PER_BAND, k: int = 3,
     broadcast_id_limit: int = BROADCAST_ID_LIMIT,
+    max_df: int | None = None, max_bucket: int | None = None,
 ) -> DataFrame:
     """The scale path: LSH candidates, then exact Jaccard verification of
-    candidates only."""
+    candidates only.
+
+    ``max_df`` drops corpus-frequent shingles BEFORE min-hashing (same
+    cap + same Jaccard-on-capped-space semantics as
+    :func:`ngram_jaccard_pairs`): boilerplate shingles present in every
+    document otherwise win most min-hash permutations and collapse the
+    LSH buckets into whole-corpus bins.  ``max_bucket`` additionally
+    bounds any residual hot band bucket (see
+    :func:`lsh_candidate_pairs`).  Both default OFF so default results
+    stay oracle-exact; a boilerplate-heavy corpus should set them — the
+    standard discipline of web-scale dedup pipelines (stopword/template
+    shingle suppression)."""
     # ONE shingle table feeds both candidate generation (via the signature
     # agg) and verification — without sharing it, the explode + distinct
     # shuffle (the pipeline's most expensive stage) runs twice
-    sh = shingles(docs, k).persist()
-    cand = lsh_candidate_pairs(docs, bands, rows, k, sh=sh).persist()
+    sh = shingles(docs, k)
+    if max_df is not None:
+        sh = drop_frequent_shingles(sh, max_df)
+    sh = sh.persist()
+    cand = lsh_candidate_pairs(
+        docs, bands, rows, k, sh=sh, max_bucket=max_bucket
+    ).persist()
     n_cand = cand.count()  # materialize candidates once; they gate everything below
     # verification touches ONLY candidate documents: semi-join the shingle
     # table down to candidate ids before the pairwise intersection join —

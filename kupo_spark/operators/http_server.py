@@ -185,6 +185,9 @@ class KupoHttpServer:
         stop = getattr(self, "_stop_gc", None)
         if stop is not None:
             stop.set()  # the CLI's gardener loop dies with the server
+        ws_stop = getattr(self, "_ws_stop", None)
+        if ws_stop is not None:
+            ws_stop.set()  # the CLI's websocket follow loop dies too
         query = getattr(self, "_stream_query", None)
         if query is not None:
             try:

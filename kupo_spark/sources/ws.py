@@ -387,12 +387,18 @@ class HydraReplayServer:
             pass
 
 
-def sync_hydra_ws(url: str, spool_dir: str, segment_lines: int = 50) -> int:
+def sync_hydra_ws(
+    url: str, spool_dir: str, segment_lines: int = 50, skip: int = 0
+) -> int:
     """Receive a Hydra ServerOutput push stream and spool it as NDJSON
     segments for the file pipeline (batch ``read_hydra_jsonl`` and the
     --follow stream both read the directory).  The Head protocol has no
     rollbacks, so segments are pure appends — still written via
-    write-then-rename so the stream source never lists a torn file."""
+    write-then-rename so the stream source never lists a torn file.
+
+    ``skip``: drop the first N messages without spooling them — a Hydra
+    node re-pushes its history on reconnect, so a follow loop passes the
+    already-spooled count to keep the spool duplicate-free."""
     assert url.startswith("ws://"), url
     hostport = url[5:].split("/")[0]
     host, _, port = hostport.partition(":")
@@ -423,14 +429,83 @@ def sync_hydra_ws(url: str, spool_dir: str, segment_lines: int = 50) -> int:
             msg = ws.recv_text()
             if msg is None:
                 break
-            buffer.append(msg)
             received += 1
+            if received <= skip:
+                continue
+            buffer.append(msg)
             if len(buffer) >= segment_lines:
                 flush()
         flush()
         return received
     finally:
         ws.close()
+
+
+def follow_hydra_ws(
+    url: str,
+    spool_dir: str,
+    stop: "threading.Event | None" = None,
+    retry_delay: float = 1.0,
+    segment_lines: int = 50,
+) -> None:
+    """Reconnecting Hydra follow loop: each (re)connect skips the
+    re-pushed history up to the already-spooled count, so the spool stays
+    duplicate-free across connection drops.  Runs until ``stop`` is set."""
+    import time as _time
+
+    while stop is None or not stop.is_set():
+        spool = Path(spool_dir)
+        skip = 0
+        if spool.is_dir():
+            for p in spool.iterdir():
+                if p.name.startswith("seg-"):
+                    skip += sum(1 for ln in p.read_text().splitlines() if ln.strip())
+        try:
+            sync_hydra_ws(url, spool_dir, segment_lines=segment_lines, skip=skip)
+        except (ConnectionError, OSError):
+            pass
+        if stop is not None:
+            if stop.wait(retry_delay):
+                return
+        else:
+            _time.sleep(retry_delay)
+
+
+def follow_via_ws(
+    url: str,
+    spool_dir: str,
+    stop: "threading.Event | None" = None,
+    retry_delay: float = 1.0,
+    window: int = 100,
+    segment_lines: int = 50,
+) -> None:
+    """Reconnecting follow loop — the transport half of ``--follow
+    --ogmios-ws``.  The reference's chain-sync client reconnects with its
+    latest checkpoints after a connection drop; a single-shot sync thread
+    dying silently would freeze the served index while still claiming to
+    follow.  Each (re)connect resumes at :func:`last_spooled_point`, and
+    resume is storage-idempotent (the echo RollBackward is not spooled),
+    so a quiet or replay-exhausted server costs nothing per retry.  Runs
+    until ``stop`` is set (forever when ``stop`` is None — daemon-thread
+    usage)."""
+    import time as _time
+
+    while stop is None or not stop.is_set():
+        try:
+            sync_via_ws(
+                url,
+                spool_dir,
+                points=last_spooled_point(spool_dir),
+                window=window,
+                segment_lines=segment_lines,
+            )
+        except (ConnectionError, OSError):
+            pass  # server unreachable/dropped: retry after the delay
+        if stop is not None:
+            if stop.wait(retry_delay):
+                return
+        else:
+            _time.sleep(retry_delay)
 
 
 def last_spooled_point(spool_dir: str) -> list:
@@ -531,6 +606,7 @@ def sync_via_ws(
             seg_no += 1
             buffer.clear()
 
+        first = True
         while True:
             msg = ws.recv_text()
             if msg is None:
@@ -538,17 +614,31 @@ def sync_via_ws(
             doc = json.loads(msg)
             if doc.get("method") != "nextBlock":
                 continue
+            received += 1
+            r = doc.get("result", {})
+            # a leading RollBackward to exactly the point we asked to
+            # resume at carries zero information (nothing past it is
+            # spooled, by construction of last_spooled_point) — skip it so
+            # reconnect loops don't grow the spool by one rollback segment
+            # per retry
+            if (
+                first
+                and points
+                and r.get("direction") == "backward"
+                and isinstance(points[0], dict)
+                and r.get("point") == points[0]
+            ):
+                first = False
+                request_next()
+                continue
+            first = False
             # bridge contract (canonical_blocks, ogmios.py): within a
             # segment file any rollback PRECEDES its forwards — a
             # RollBackward marks a new delivery (reconnect/fork), so it
             # must open a fresh segment, never land mid-file
-            if (
-                buffer
-                and doc.get("result", {}).get("direction") == "backward"
-            ):
+            if buffer and r.get("direction") == "backward":
                 flush()
             buffer.append(json.dumps(doc, sort_keys=True))
-            received += 1
             if len(buffer) >= segment_lines:
                 flush()
             request_next()  # keep the window full (one per response)

@@ -39,3 +39,57 @@ def test_cluster_probe_cadence_same_fixpoint(docs):
         for r in near_dup_clusters(docs, threshold=0.5, check_every=3).collect()
     )
     assert every_round == every_third
+
+
+def test_boilerplate_saturation_guards(spark, docs):
+    """A corpus-wide boilerplate prefix makes boiler shingles win the
+    min-hash permutations: band buckets go corpus-sized and the self-join
+    quadratic.  max_df (drop corpus-frequent shingles pre-hash) + max_bucket
+    (drop residual hot buckets) bound the candidates while every TRUE
+    near-dup pair is still found."""
+    from pyspark.sql import functions as F
+
+    from kupo_spark.functions.dedup import lsh_candidate_pairs, shingles
+
+    boiler = "all rights reserved terms and conditions apply to the content"
+    base = docs.select(
+        "doc_id", F.concat(F.lit(boiler + " "), F.col("text")).alias("text")
+    )
+    dup_src = base.where(F.col("doc_id") % 2 == 0)
+    sat = base.unionByName(
+        dup_src.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    n_docs = sat.count()
+    # unguarded: the boilerplate collapses band buckets toward corpus bins
+    raw_cand = lsh_candidate_pairs(sat).count()
+    guarded_sh = shingles(sat)
+    from kupo_spark.functions.dedup import drop_frequent_shingles
+
+    capped = drop_frequent_shingles(guarded_sh, max_df=n_docs // 4)
+    guarded_cand = lsh_candidate_pairs(sat, sh=capped, max_bucket=50).count()
+    assert guarded_cand < raw_cand  # the guards actually bound the blow-up
+    # and the guarded pipeline keeps LSH-grade recall on the true pairs
+    # (LSH is probabilistic: a borderline-similarity pair can miss a band;
+    # the exact n-gram path under the SAME cap is the ground truth)
+    from kupo_spark.functions.dedup import ngram_jaccard_pairs
+
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(
+            sat, threshold=0.5, max_df=n_docs // 4, max_bucket=50
+        ).collect()
+    }
+    planted = {
+        (int(r.doc_id), int(r.doc_id) + 10_000_000) for r in dup_src.collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            sat, threshold=0.5, max_df=n_docs // 4
+        ).collect()
+    }
+    assert len(planted & found) / len(planted) >= 0.95
+    assert len(exact & found) / max(1, len(exact)) >= 0.95
