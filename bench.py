@@ -184,7 +184,22 @@ def main() -> None:
     queries["q_dedup_saturated_diag"] = timed(
         lambda: dedup.minhash_near_dup_pairs(sat, **sat_kw).count()
     )
-    sat_plan = formatted_plan(dedup.minhash_near_dup_pairs(sat, **sat_kw))
+    # plan flag: with broadcast_id_limit=0 the candidate-id semi-join must
+    # carry NO explicit broadcast hint — compiled with AQE off AND
+    # autoBroadcastJoinThreshold=-1, the only way a broadcast could appear
+    # is the hint, so the static plan showing SortMergeJoin LeftSemi
+    # proves the shuffle-fallback code path was taken.  (At runtime AQE
+    # may still upgrade it from shuffle stats — that's AQE's call, not a
+    # driver-known-small assumption.)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sat_plan = formatted_plan(dedup.minhash_near_dup_pairs(sat, **sat_kw))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
     queries["q_dedup_saturated_fallback_smj_diag"] = float(
         "SortMergeJoin LeftSemi" in sat_plan
     )

@@ -800,15 +800,70 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
 """
 
 
+def minhash_lsh_guarded_sql(
+    threshold: float = 0.5, max_df: int = 64, max_bucket: int = 32
+) -> str:
+    """The boilerplate-saturation-guarded LSH path restated in SQL:
+    shingles with document frequency above ``max_df`` are dropped BEFORE
+    min-hashing (signatures + counts over the capped space, mirroring
+    ``minhash_near_dup_pairs(max_df=...)``), and band buckets with more
+    than ``max_bucket`` members are dropped before the self-join
+    (``lsh_candidate_pairs(max_bucket=...)``)."""
+    n = N_BANDS * ROWS_PER_BAND
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+shingles_all AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      ELSE [] END) AS sh
+    FROM toks)
+),
+shingles AS (
+  SELECT s.doc_id, s.sh FROM shingles_all s
+  JOIN (SELECT sh FROM shingles_all GROUP BY sh HAVING count(*) <= {max_df}) ok
+    USING (sh)
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),{_sigs_bands_ctes(n, ROWS_PER_BAND)},
+bands_ok AS (
+  SELECT b.doc_id, b.band, b.key FROM bands b
+  JOIN (
+    SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= {max_bucket}
+  ) g USING (band, key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_ok a JOIN bands_ok b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = inter.doc_a
+JOIN counts cb ON cb.doc_id = inter.doc_b
+WHERE round(i / (ca.n + cb.n - i), 6) >= {threshold}
+"""
+
+
 def minhash_lsh_and_est_sql(threshold: float = 0.5) -> str:
-    """Tagged union: exact-verified LSH near-dup pairs plus the sketch-only
-    (signature-agreement) pair list."""
+    """Tagged union: exact-verified LSH near-dup pairs, the sketch-only
+    (signature-agreement) pair list, and the saturation-guarded path."""
     exact = minhash_lsh_sql(threshold).strip()
     est = minhash_est_pairs_sql(threshold).strip()
+    guarded = minhash_lsh_guarded_sql(threshold).strip()
     return f"""
 SELECT 'lsh' AS q, * FROM ({exact})
 UNION ALL
 SELECT 'est', * FROM ({est})
+UNION ALL
+SELECT 'guarded', * FROM ({guarded})
 """
 
 

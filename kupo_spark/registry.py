@@ -402,7 +402,12 @@ def _minhash_lsh_and_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("est").alias("q"), "doc_a", "doc_b",
         F.col("est_jaccard").alias("jaccard"),
     )
-    return exact.unionByName(est)
+    # the boilerplate-saturation guards (max_df pre-hash shingle cap +
+    # band bucket cap) — the oracle re-derives the capped space end to end
+    guarded = dedup.minhash_near_dup_pairs(
+        docs, threshold=0.5, max_df=64, max_bucket=32
+    ).select(F.lit("guarded").alias("q"), "doc_a", "doc_b", "jaccard")
+    return exact.unionByName(est).unionByName(guarded)
 
 
 #: LLM-data-pipeline operators: name → (spark callable, oracle SQL | None)
