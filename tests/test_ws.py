@@ -369,10 +369,14 @@ def test_follow_via_ws_reconnect_loop(tmp_path):
         want = sum(
             1 for seg in segment_order(OGMIOS_SEGMENTS) for ln in open(seg) if ln.strip()
         )
+        import os
+
         while time.time() < deadline:
-            got = sum(
-                1 for seg in segment_order(spool) for ln in open(seg) if ln.strip()
-            ) if list(segment_order(spool) if __import__("os").path.isdir(spool) else []) else 0
+            got = 0
+            if os.path.isdir(spool):
+                got = sum(
+                    1 for seg in segment_order(spool) for ln in open(seg) if ln.strip()
+                )
             if got >= want:
                 break
             time.sleep(0.1)

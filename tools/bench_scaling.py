@@ -172,6 +172,34 @@ def main() -> None:
         lambda: assign_shards(docs, 8, seed="r5").count(), heavy_runs
     )
 
+    # adversarial: 50%-near-dup corpus with a corpus-wide boilerplate run,
+    # through the saturation guards + the shuffle fallback — the curve
+    # proves the guarded path scales like the sparse one (unguarded it
+    # measured 85x the sparse cost at sf1)
+    from pyspark.sql import functions as F
+
+    boiler = (
+        "all rights reserved terms and conditions apply to the content "
+        "provided herein"
+    )
+    sat_base = docs.select(
+        "doc_id", F.concat(F.lit(boiler + " "), F.col("text")).alias("text")
+    )
+    sat = sat_base.unionByName(
+        sat_base.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    ).persist()
+    sat.count()
+    q["q_dedup_saturated"] = timed(
+        lambda: dedup.minhash_near_dup_pairs(
+            sat, threshold=0.5, broadcast_id_limit=0, max_df=1000, max_bucket=200
+        ).count(),
+        heavy_runs,
+    )
+    sat.unpersist()
+
     # ---- merge into SCALING.json ----------------------------------------
     doc = {}
     if OUT.exists():
