@@ -44,7 +44,7 @@ def test_ws_roundtrip_all_frame_sizes():
     srv.close()
 
 
-def test_client_pipelines_full_window():
+def test_client_pipelines_full_window(tmp_path):
     """The client must prime `window` nextBlock requests BEFORE any
     response arrives (Ogmios.hs:48-75) — proven by a server that reads the
     whole window first and only then starts answering."""
@@ -80,7 +80,7 @@ def test_client_pipelines_full_window():
     t = threading.Thread(target=server, daemon=True)
     t.start()
     n = W.sync_via_ws(
-        f"ws://127.0.0.1:{port}", spool_dir="/tmp/ws-pipeline-test-spool",
+        f"ws://127.0.0.1:{port}", spool_dir=str(tmp_path / "spool"),
         window=window, segment_lines=1000,
     )
     t.join(timeout=10)
