@@ -226,6 +226,46 @@ def cmd_run(args, serve_forever: bool = True):
             sync_via_ws(args.ogmios_ws, spool, resume)
         args.ogmios_file = spool
 
+    if getattr(args, "node_socket", None):
+        # node-to-client chain-sync over an AF_UNIX socket (the reference's
+        # primary producer, ChainSync/Node.hs:50-167): mux-framed CBOR
+        # messages, elastic pipelining, spooled into the same NDJSON
+        # segment documents the Ogmios file pipeline consumes — transport
+        # swaps, decode/fold/rollback semantics stay on the proven path.
+        if args.ogmios_file or getattr(args, "ogmios_ws", None):
+            raise SystemExit("--node-socket and --ogmios-file/--ogmios-ws are exclusive")
+        import os
+        import tempfile
+
+        from kupo_spark.sources.node import sync_via_node_socket
+        from kupo_spark.sources.ws import last_spooled_point
+
+        spool = (
+            f"{args.workdir}/node-segments"
+            if args.workdir
+            else tempfile.mkdtemp(prefix="kupo-node-segments-")
+        )
+        if args.follow:
+            from kupo_spark.sources.node import follow_via_node_socket
+
+            ws_stop = threading.Event()
+            threading.Thread(
+                target=follow_via_node_socket,
+                args=(args.node_socket, spool, ws_stop),
+                daemon=True,
+            ).start()
+            import time as _time
+
+            for _ in range(100):
+                if os.path.isdir(spool) and os.listdir(spool):
+                    break
+                _time.sleep(0.1)
+        else:
+            sync_via_node_socket(
+                args.node_socket, spool, points=last_spooled_point(spool)
+            )
+        args.ogmios_file = spool
+
     if getattr(args, "hydra_ws", None):
         # Hydra's WS API is push-mode (ChainSync/Hydra.hs:56): spool the
         # ServerOutput stream into segments for the file pipeline
@@ -789,6 +829,11 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "--ogmios-ws",
         metavar="ws://HOST:PORT",
         help="Ogmios WebSocket (pipelined nextBlock chain-sync)",
+    )
+    src.add_argument(
+        "--node-socket",
+        metavar="FILEPATH",
+        help="cardano-node UNIX socket (mux-framed chain-sync mini-protocol)",
     )
     src.add_argument("--hydra-file", metavar="FILEPATH", help="Hydra ServerOutput NDJSON")
     src.add_argument(
