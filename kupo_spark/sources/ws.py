@@ -55,9 +55,15 @@ class WsConn:
     True on the client side (RFC 6455 §5.3: client→server frames MUST be
     masked, server→client frames MUST NOT)."""
 
-    def __init__(self, sock: socket.socket, masked: bool):
+    def __init__(self, sock: socket.socket, masked: bool, rfile=None):
         self._sock = sock
-        self._file = sock.makefile("rb")
+        # the handshake reads through a BUFFERED file object which may have
+        # pre-fetched bytes past the header's blank line — the peer's first
+        # frames, when it speaks immediately after the upgrade (a Hydra
+        # node pushes unprompted; our Ogmios client pipelines its
+        # findIntersection without waiting).  Opening a fresh makefile here
+        # would silently drop them, so the handshake hands its reader over.
+        self._file = rfile if rfile is not None else sock.makefile("rb")
         self._masked = masked
         self._wlock = threading.Lock()
 
@@ -154,7 +160,7 @@ def ws_connect(host: str, port: int, path: str = "/") -> WsConn:
             accept = v.strip().decode()
     if accept != _accept_key(key):
         raise ConnectionError("websocket handshake: bad Sec-WebSocket-Accept")
-    return WsConn(sock, masked=True)
+    return WsConn(sock, masked=True, rfile=f)
 
 
 def _ws_accept(conn: socket.socket) -> WsConn:
@@ -176,7 +182,7 @@ def _ws_accept(conn: socket.socket) -> WsConn:
         f"Connection: Upgrade\r\nSec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
     )
     conn.sendall(resp.encode())
-    return WsConn(conn, masked=False)
+    return WsConn(conn, masked=False, rfile=f)
 
 
 class OgmiosReplayServer:

@@ -44,6 +44,87 @@ def test_ws_roundtrip_all_frame_sizes():
     srv.close()
 
 
+def test_handshake_does_not_swallow_first_frame():
+    """The peer's first frame may arrive in the SAME TCP segment as the
+    handshake bytes; the handshake's buffered reader pre-fetches it and
+    must hand it to the connection, not drop it.  Forced deterministically
+    here by writing handshake + first frame in one sendall, both
+    directions (a Hydra node pushes unprompted; our Ogmios client sends
+    findIntersection without waiting)."""
+    # server -> client: 101 response and a text frame share one write
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    server_got: list[str] = []
+
+    def server():
+        conn, _ = srv.accept()
+        f = conn.makefile("rb")
+        f.readline()
+        key = None
+        while True:
+            line = f.readline().strip()
+            if not line:
+                break
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"sec-websocket-key":
+                key = v.strip().decode()
+        resp = (
+            "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Accept: {W._accept_key(key)}\r\n\r\n"
+        ).encode()
+        frame = bytes([0x81, 5]) + b"hello"  # unmasked server text frame
+        conn.sendall(resp + frame)  # ONE write: the race, made certain
+        wsrv = W.WsConn(conn, masked=False, rfile=f)
+        server_got.append(wsrv.recv_text())
+        wsrv.close()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    cli = W.ws_connect("127.0.0.1", port)
+    assert cli.recv_text() == "hello"
+    cli.send_text("world")
+    cli.close()
+    t.join(timeout=5)
+    assert server_got == ["world"]
+    srv.close()
+
+    # client -> server: upgrade request and a masked frame share one write
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    accepted_got: list[str] = []
+
+    def server2():
+        conn, _ = srv.accept()
+        wsrv = W._ws_accept(conn)
+        accepted_got.append(wsrv.recv_text())
+        wsrv.close()
+
+    t = threading.Thread(target=server2, daemon=True)
+    t.start()
+    import base64
+    import os as _os
+
+    raw = socket.create_connection(("127.0.0.1", port))
+    key = base64.b64encode(_os.urandom(16)).decode()
+    req = (
+        f"GET / HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+        f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+        "Sec-WebSocket-Version: 13\r\n\r\n"
+    ).encode()
+    mask = b"\x01\x02\x03\x04"
+    payload = W._mask(b"early", mask)
+    frame = bytes([0x81, 0x80 | 5]) + mask + payload
+    raw.sendall(req + frame)  # ONE write
+    t.join(timeout=5)
+    assert accepted_got == ["early"]
+    raw.close()
+    srv.close()
+
+
 def test_client_pipelines_full_window(tmp_path):
     """The client must prime `window` nextBlock requests BEFORE any
     response arrives (Ogmios.hs:48-75) — proven by a server that reads the
