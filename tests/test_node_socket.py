@@ -12,6 +12,8 @@ import socket
 import threading
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from kupo_spark import cbor
 from kupo_spark.oracle_sources import OGMIOS_SEGMENTS
@@ -84,6 +86,80 @@ def test_elastic_window_policy():
     assert N.max_in_flight(1001) == 5
     assert N.max_in_flight(1000) == 1
     assert N.max_in_flight(0) == 1
+
+
+class _FakeSock:
+    """A pre-recorded byte stream standing in for a connected socket, so
+    the mux reassembly property can exercise arbitrary (adversarial)
+    segment boundaries without socket-buffer coupling."""
+
+    def __init__(self, data: bytes):
+        import io
+
+        self._data = io.BytesIO(data)
+
+    def makefile(self, mode):
+        return self._data
+
+
+_msg_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.binary(min_size=0, max_size=200_000),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(msgs=_msg_strategy, data=st.data())
+def test_mux_reassembly_any_segmentation(msgs, data):
+    """Property: CBOR messages survive ANY segmentation of the byte stream
+    into <=65535-byte mux segments — cuts mid-head, mid-payload, across
+    message boundaries, empty-payload segments included."""
+    stream = b"".join(
+        cbor.encode(cbor.mk_array([cbor.mk_uint(w), cbor.mk_bytes(b)]))
+        for w, b in msgs
+    )
+    frames, pos = b"", 0
+    while pos < len(stream):
+        cut = data.draw(
+            st.integers(min_value=1, max_value=min(N._MAX_SEGMENT, len(stream) - pos))
+        )
+        chunk = stream[pos : pos + cut]
+        pos += cut
+        frames += __import__("struct").pack(">IHH", 0, N.PROTO_CHAIN_SYNC, len(chunk)) + chunk
+    reader = N.MuxReader(_FakeSock(frames))
+    got = [reader.recv_msg() for _ in msgs]
+    assert got == [[w, b] for w, b in msgs]
+    assert reader.recv_msg() is None
+
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**64), max_value=2**64 - 1),
+    st.floats(allow_nan=False),
+    st.text(max_size=40),
+)
+_json_docs = st.recursive(
+    _json_scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(st.text(max_size=10), inner, max_size=4),
+    ),
+    max_leaves=25,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(doc=st.dictionaries(st.text(max_size=10), _json_docs, max_size=4))
+def test_block_payload_roundtrip_property(doc):
+    """Property: any JSON document rides the CBOR-in-CBOR block payload
+    exactly — nesting, unicode keys, 64-bit ints, finite floats, and the
+    {}-vs-[] distinction."""
+    assert N._block_from_node(cbor.decode(N._block_to_bytes(doc))) == doc
 
 
 # ---------------------------------------------------------------------------
@@ -285,6 +361,53 @@ def _get(url: str):
 
     with urllib.request.urlopen(url) as r:
         return r.status, json.loads(r.read())
+
+
+def test_cli_follow_node_socket_converges(tmp_path):
+    """--follow --node-socket: the socket feeds the live stream; the
+    served index converges to the file-replay canonical view."""
+    import time
+    from pathlib import Path
+
+    from kupo_spark.cli import main
+    from kupo_spark.session import get_spark
+    from kupo_spark.sources.ogmios import canonical_blocks, segment_order
+
+    want = sum(
+        1 for seg in segment_order(OGMIOS_SEGMENTS) for ln in open(seg) if ln.strip()
+    )
+    server = N.NodeReplayServer(OGMIOS_SEGMENTS, str(tmp_path / "node.sock")).start()
+    cli = main(
+        [
+            "--node-socket", server.socket_path, "--workdir", str(tmp_path / "db"),
+            "--follow", "--since", "origin", "--match", "*",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        spark = get_spark("node-follow-check")
+        n_expect = (
+            canonical_blocks(spark, OGMIOS_SEGMENTS).selectExpr("explode(outputs)").count()
+        )
+        deadline = time.time() + 240
+        spool = Path(tmp_path / "db" / "node-segments")
+        got = 0
+        while time.time() < deadline:
+            n_spooled = (
+                sum(1 for p in segment_order(str(spool)) for _ in open(p))
+                if spool.is_dir()
+                else 0
+            )
+            _, matches = _get(f"{cli.url}/matches")
+            got = len(matches)
+            if n_spooled >= want and got == n_expect:
+                break
+            time.sleep(0.5)
+        assert got == n_expect
+    finally:
+        cli.close()
+        server.close()
 
 
 def test_cli_batch_node_socket_matches_file_replay(tmp_path, spark):
