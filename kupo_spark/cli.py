@@ -172,6 +172,52 @@ def _gardener(server, interval: float, prune_utxo: bool, stop: threading.Event):
             server._swap_index(nxt)
 
 
+#: every way to name a chain source; exactly one may be given (the file
+#: flags are also the REWRITE TARGETS of the socket transports, so the
+#: exclusivity must be checked before any transport spools)
+_SOURCE_FLAGS = (
+    "events", "ogmios_file", "ogmios_ws", "node_socket", "hydra_file", "hydra_ws"
+)
+
+
+def _spool_transport(args, endpoint: str, spool_name: str, sync_fn, follow_fn):
+    """Run a socket transport into an NDJSON segment spool and return the
+    spool path (+ the follow loop's stop event, if any).
+
+    Batch mode syncs to replay end before indexing; --follow starts the
+    reconnecting loop (a dropped connection must not silently freeze the
+    followed index — the serving close() sets the stop event) and waits
+    for the first PUBLISHED segment so the file stream source has
+    something to list.  Each transport gets its own spool directory name:
+    the spooled document types differ, so a shared directory would feed
+    one decoder another's documents on a workdir reuse."""
+    import os
+    import tempfile
+    import time as _time
+
+    spool = (
+        f"{args.workdir}/{spool_name}"
+        if args.workdir
+        else tempfile.mkdtemp(prefix=f"kupo-{spool_name}-")
+    )
+    if args.follow:
+        stop = threading.Event()
+        threading.Thread(
+            target=follow_fn, args=(endpoint, spool, stop), daemon=True
+        ).start()
+        for _ in range(100):
+            # only published segments count — a dot-prefixed .tmp file is
+            # mid-write and not yet visible to the stream source
+            if os.path.isdir(spool) and any(
+                not n.startswith(".") for n in os.listdir(spool)
+            ):
+                break
+            _time.sleep(0.1)
+        return spool, stop
+    sync_fn(endpoint, spool)
+    return spool, None
+
+
 def cmd_run(args, serve_forever: bool = True):
     from kupo_spark.session import get_spark
 
@@ -179,52 +225,28 @@ def cmd_run(args, serve_forever: bool = True):
 
     if args.follow and (args.in_memory or args.read_only):
         raise SystemExit("--follow requires a writable --workdir (not --in-memory/--read-only)")
-    ws_stop = None  # --follow websocket loop's stop event (server-owned)
+    chosen = [f for f in _SOURCE_FLAGS if getattr(args, f, None)]
+    if len(chosen) > 1:
+        raise SystemExit(
+            "exactly one chain source required, got: "
+            + ", ".join("--" + f.replace("_", "-") for f in chosen)
+        )
+    ws_stop = None  # --follow socket loop's stop event (server-owned)
     if getattr(args, "ogmios_ws", None):
         # WebSocket transport (the reference's actual Ogmios connection,
         # ChainSync/Ogmios.hs:48-75): the pipelined client spools nextBlock
         # responses into NDJSON segments, and everything downstream — batch
         # replay, --follow streaming, rollback netting — runs on the one
-        # proven segment pipeline.  Batch mode syncs to replay end before
-        # indexing; --follow keeps syncing concurrently with the stream.
-        if args.ogmios_file:
-            raise SystemExit("--ogmios-ws and --ogmios-file are exclusive")
-        import os
-        import tempfile
+        # proven segment pipeline.  A restart intersects at the last
+        # spooled block: the server answers RollBackward-to-intersection
+        # then only the tail — no re-delivery of what the spool holds.
+        from kupo_spark.sources.ws import follow_via_ws, last_spooled_point, sync_via_ws
 
-        from kupo_spark.sources.ws import last_spooled_point, sync_via_ws
-
-        spool = (
-            f"{args.workdir}/ws-segments"
-            if args.workdir
-            else tempfile.mkdtemp(prefix="kupo-ws-segments-")
+        args.ogmios_file, ws_stop = _spool_transport(
+            args, args.ogmios_ws, "ws-segments",
+            lambda url, spool: sync_via_ws(url, spool, last_spooled_point(spool)),
+            follow_via_ws,
         )
-        # a restart intersects at the last spooled block: the server
-        # answers RollBackward-to-intersection then only the tail —
-        # no re-delivery of what the spool already holds
-        resume = last_spooled_point(spool)
-        if args.follow:
-            from kupo_spark.sources.ws import follow_via_ws
-
-            # reconnecting loop (a dropped connection must not silently
-            # freeze the followed index); the server's close() stops it
-            ws_stop = threading.Event()
-            t = threading.Thread(
-                target=follow_via_ws,
-                args=(args.ogmios_ws, spool, ws_stop),
-                daemon=True,
-            )
-            t.start()
-            # the stream source needs at least one listed segment to start
-            import time as _time
-
-            for _ in range(100):
-                if os.path.isdir(spool) and os.listdir(spool):
-                    break
-                _time.sleep(0.1)
-        else:
-            sync_via_ws(args.ogmios_ws, spool, resume)
-        args.ogmios_file = spool
 
     if getattr(args, "node_socket", None):
         # node-to-client chain-sync over an AF_UNIX socket (the reference's
@@ -232,70 +254,25 @@ def cmd_run(args, serve_forever: bool = True):
         # messages, elastic pipelining, spooled into the same NDJSON
         # segment documents the Ogmios file pipeline consumes — transport
         # swaps, decode/fold/rollback semantics stay on the proven path.
-        if args.ogmios_file or getattr(args, "ogmios_ws", None):
-            raise SystemExit("--node-socket and --ogmios-file/--ogmios-ws are exclusive")
-        import os
-        import tempfile
-
-        from kupo_spark.sources.node import sync_via_node_socket
+        from kupo_spark.sources.node import follow_via_node_socket, sync_via_node_socket
         from kupo_spark.sources.ws import last_spooled_point
 
-        spool = (
-            f"{args.workdir}/node-segments"
-            if args.workdir
-            else tempfile.mkdtemp(prefix="kupo-node-segments-")
+        args.ogmios_file, ws_stop = _spool_transport(
+            args, args.node_socket, "node-segments",
+            lambda path, spool: sync_via_node_socket(
+                path, spool, points=last_spooled_point(spool)
+            ),
+            follow_via_node_socket,
         )
-        if args.follow:
-            from kupo_spark.sources.node import follow_via_node_socket
-
-            ws_stop = threading.Event()
-            threading.Thread(
-                target=follow_via_node_socket,
-                args=(args.node_socket, spool, ws_stop),
-                daemon=True,
-            ).start()
-            import time as _time
-
-            for _ in range(100):
-                if os.path.isdir(spool) and os.listdir(spool):
-                    break
-                _time.sleep(0.1)
-        else:
-            sync_via_node_socket(
-                args.node_socket, spool, points=last_spooled_point(spool)
-            )
-        args.ogmios_file = spool
 
     if getattr(args, "hydra_ws", None):
         # Hydra's WS API is push-mode (ChainSync/Hydra.hs:56): spool the
         # ServerOutput stream into segments for the file pipeline
-        if args.hydra_file:
-            raise SystemExit("--hydra-ws and --hydra-file are exclusive")
-        import os
-        import tempfile
+        from kupo_spark.sources.ws import follow_hydra_ws, sync_hydra_ws
 
-        from kupo_spark.sources.ws import sync_hydra_ws
-
-        spool = (
-            f"{args.workdir}/ws-segments"
-            if args.workdir
-            else tempfile.mkdtemp(prefix="kupo-hydra-ws-")
+        args.hydra_file, ws_stop = _spool_transport(
+            args, args.hydra_ws, "hydra-segments", sync_hydra_ws, follow_hydra_ws
         )
-        if args.follow:
-            from kupo_spark.sources.ws import follow_hydra_ws
-
-            ws_stop = threading.Event()
-            threading.Thread(
-                target=follow_hydra_ws, args=(args.hydra_ws, spool, ws_stop),
-                daemon=True,
-            ).start()
-            for _ in range(100):
-                if os.path.isdir(spool) and os.listdir(spool):
-                    break
-                time.sleep(0.1)
-        else:
-            sync_hydra_ws(args.hydra_ws, spool)
-        args.hydra_file = spool
 
     since = parse_since(args.since)
     until = parse_until(args.until)

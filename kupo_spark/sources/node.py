@@ -58,7 +58,6 @@ import socket
 import struct
 import threading
 import time
-from pathlib import Path
 
 from kupo_spark import cbor
 
@@ -258,6 +257,10 @@ class NodeReplayServer:
         for seg in segment_order(seg_dir):
             with open(seg) as fh:
                 self._docs += [json.loads(ln) for ln in fh if ln.strip()]
+        # the replay corpus never changes: index forward points and compute
+        # the tip once, not per connection/FindIntersect
+        self._known = self._forward_points()
+        self._tip_val = self._tip()
         self.socket_path = socket_path
         if os.path.exists(socket_path):
             os.unlink(socket_path)
@@ -299,8 +302,11 @@ class NodeReplayServer:
     def _serve_client(self, conn: socket.socket) -> None:
         reader = MuxReader(conn)
         cursor = 0
+        # protocol: the first RequestNext after ANY intersection — origin
+        # included — answers RollBackward to that point (the origin echo is
+        # what tells a client with a STALE spool to retract everything)
         pending_rollback = None
-        tip = self._tip()
+        tip = self._tip_val
 
         def reply(node) -> None:
             mux_send(conn, cbor.encode(node), responder=True)
@@ -312,12 +318,13 @@ class NodeReplayServer:
                     return
                 word = msg[0]
                 if word == MSG_FIND_INTERSECT:
-                    known = self._forward_points()
+                    known = self._known
                     hit = None
                     for p in msg[1]:
                         pj = _point_from_plain(p)
                         if pj == "origin":
                             hit, cursor = "origin", 0
+                            pending_rollback = "origin"
                             break
                         if (pj["slot"], pj["id"]) in known:
                             hit = pj
@@ -420,18 +427,18 @@ def sync_via_node_socket(
     caught-up one keeps 1.  RollForward blocks (CBOR-in-CBOR) decode back
     to the canonical JSON documents; a RollBackward always opens a fresh
     segment file (the bridge contract ``canonical_blocks`` nets forks by);
-    the echo RollBackward to a requested resume point is not spooled, so
-    reconnect loops are storage-idempotent.  Returns documents received."""
+    the echo RollBackward to the requested resume point is neither spooled
+    nor counted (reconnect loops are storage-idempotent), but a leading
+    RollBackward to any OTHER point — the origin fallback when the node
+    does not know our spool — is real information and is spooled so the
+    canonical netting retracts the stale prefix.  Returns documents
+    spooled."""
+    from kupo_spark.sources.ws import SegmentSpool
+
     sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     sock.connect(socket_path)
     reader = MuxReader(sock)
-    spool = Path(spool_dir)
-    spool.mkdir(parents=True, exist_ok=True)
-    existing = [p for p in spool.iterdir() if p.name.startswith("seg-")]
-    seg_no = 1 + max(
-        (int(p.stem.split("-")[1]) for p in existing if p.stem.split("-")[1].isdigit()),
-        default=-1,
-    )
+    spool = SegmentSpool(spool_dir, segment_lines)
     req_points = points if points is not None else ["origin"]
     try:
         mux_send(
@@ -481,19 +488,7 @@ def sync_via_node_socket(
         if in_flight == 0:  # window can be 0 only if send failed instantly
             return 0
         received = 0
-        buffer: list[str] = []
-
-        def flush():
-            nonlocal seg_no
-            if not buffer:
-                return
-            final = spool / f"seg-{seg_no:06d}.jsonl"
-            tmp = spool / f".seg-{seg_no:06d}.tmp"
-            tmp.write_text("\n".join(buffer) + "\n")
-            tmp.rename(final)
-            seg_no += 1
-            buffer.clear()
-
+        preferred = req_points[0]
         first = True
         while in_flight > 0:
             msg = reader.recv_msg()
@@ -520,9 +515,7 @@ def sync_via_node_socket(
                 tip_slot = 0 if tip == "origin" else tip["slot"]
                 first = False
                 received += 1
-                buffer.append(json.dumps(doc, sort_keys=True))
-                if len(buffer) >= segment_lines:
-                    flush()
+                spool.append(json.dumps(doc, sort_keys=True))
             elif word == MSG_ROLL_BACKWARD:
                 point = _point_from_plain(msg[1])
                 tip = _tip_from_plain(msg[2])
@@ -530,27 +523,26 @@ def sync_via_node_socket(
                 tip_slot = 0 if tip == "origin" else tip["slot"]
                 # the echo RollBackward to exactly the requested resume
                 # point carries zero information (nothing past it is
-                # spooled, by construction of last_spooled_point)
-                if first and points and isinstance(points[0], dict) and point == points[0]:
+                # spooled, by construction of last_spooled_point); one to
+                # any OTHER point is a real retraction and is spooled
+                if first and point == preferred:
                     first = False
                     refill()
                     continue
                 first = False
                 received += 1
-                if buffer:  # rollback opens a fresh segment (bridge contract)
-                    flush()
+                if spool.buffered:  # rollback opens a fresh segment
+                    spool.flush()
                 doc = {
                     "jsonrpc": "2.0",
                     "method": "nextBlock",
                     "result": {"direction": "backward", "point": point, "tip": tip},
                 }
-                buffer.append(json.dumps(doc, sort_keys=True))
-                if len(buffer) >= segment_lines:
-                    flush()
+                spool.append(json.dumps(doc, sort_keys=True))
             else:
                 raise ConnectionError(f"unexpected chain-sync message {word}")
             refill()
-        flush()
+        spool.flush()
         return received
     finally:
         try:
@@ -571,20 +563,15 @@ def follow_via_node_socket(
     (one RollBackward to the intersection instead of a re-delivery), and
     resume is storage-idempotent, so a quiet or replay-exhausted node
     costs nothing per retry.  Runs until ``stop`` is set."""
-    from kupo_spark.sources.ws import last_spooled_point
+    from kupo_spark.sources.ws import follow_loop, last_spooled_point
 
-    while stop is None or not stop.is_set():
-        try:
-            sync_via_node_socket(
-                socket_path,
-                spool_dir,
-                points=last_spooled_point(spool_dir),
-                segment_lines=segment_lines,
-            )
-        except (ConnectionError, OSError):
-            pass  # node unreachable/dropped: retry after the delay
-        if stop is not None:
-            if stop.wait(retry_delay):
-                return
-        else:
-            time.sleep(retry_delay)
+    follow_loop(
+        lambda: sync_via_node_socket(
+            socket_path,
+            spool_dir,
+            points=last_spooled_point(spool_dir),
+            segment_lines=segment_lines,
+        ),
+        stop,
+        retry_delay,
+    )

@@ -529,12 +529,19 @@ def canonical_blocks(spark: SparkSession, seg_dir: str) -> DataFrame:
     # not a reconstructed full URI: input_file_name() returns Spark's own
     # percent-encoded URI and does not resolve symlinks, so a rebuilt
     # ``file://{p.resolve()}`` diverges on symlinked or space-containing
-    # seg_dirs (ADVICE r4).  url_decode undoes the Hadoop Path encoding
-    # (a literal '%' in a name arrives as '%25', so the decode is exact).
+    # seg_dirs (ADVICE r4).  The Hadoop Path encoding is PERCENT-encoding
+    # (a literal '%' arrives as '%25') but url_decode implements FORM
+    # decoding, which additionally maps '+' to ' ' — so '+' is pre-escaped
+    # to '%2B', making the decode exactly urllib-unquote (the same decode
+    # cli._check_segment_order applies).
     order = [(p.name, i) for i, p in enumerate(files)]
     raw = spark.read.text([str(p) for p in files]).withColumn(
         "_file",
-        F.url_decode(F.element_at(F.split(F.input_file_name(), "/"), -1)),
+        F.url_decode(
+            F.regexp_replace(
+                F.element_at(F.split(F.input_file_name(), "/"), -1), r"\+", "%2B"
+            )
+        ),
     )
     # ordinal via broadcast hash join (O(1) probe per row; a literal map
     # would be a linear scan per row at thousands of segments)

@@ -185,6 +185,79 @@ def _ws_accept(conn: socket.socket) -> WsConn:
     return WsConn(conn, masked=False, rfile=f)
 
 
+class SegmentSpool:
+    """Write-then-rename NDJSON segment writer — the ONE implementation of
+    the spool contract every socket transport shares: segments named
+    ``seg-NNNNNN.jsonl`` continuing the directory's existing natural-sort
+    numbering, published atomically (tmp write + rename) so the file
+    stream source never lists a half-written file."""
+
+    def __init__(self, spool_dir: str, segment_lines: int = 50):
+        self._dir = Path(spool_dir)
+        self._dir.mkdir(parents=True, exist_ok=True)
+        existing = [p for p in self._dir.iterdir() if p.name.startswith("seg-")]
+        self._seg_no = 1 + max(
+            (
+                int(p.stem.split("-")[1])
+                for p in existing
+                if p.stem.split("-")[1].isdigit()
+            ),
+            default=-1,
+        )
+        self._lines = segment_lines
+        self._buffer: list[str] = []
+
+    @property
+    def buffered(self) -> bool:
+        return bool(self._buffer)
+
+    def append(self, line: str) -> None:
+        self._buffer.append(line)
+        if len(self._buffer) >= self._lines:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._buffer:
+            return
+        final = self._dir / f"seg-{self._seg_no:06d}.jsonl"
+        tmp = self._dir / f".seg-{self._seg_no:06d}.tmp"
+        tmp.write_text("\n".join(self._buffer) + "\n")
+        tmp.rename(final)
+        self._seg_no += 1
+        self._buffer.clear()
+
+
+def spooled_count(spool_dir: str) -> int:
+    """Number of documents already spooled (published segments only)."""
+    spool = Path(spool_dir)
+    if not spool.is_dir():
+        return 0
+    return sum(
+        sum(1 for ln in p.read_text().splitlines() if ln.strip())
+        for p in spool.iterdir()
+        if p.name.startswith("seg-")
+    )
+
+
+def follow_loop(sync_once, stop: "threading.Event | None", retry_delay: float) -> None:
+    """The ONE reconnecting follow loop every socket transport shares: a
+    dropped connection must not silently freeze a followed index, so each
+    retry re-runs ``sync_once`` (which resumes from the spool) until
+    ``stop`` is set."""
+    import time as _time
+
+    while stop is None or not stop.is_set():
+        try:
+            sync_once()
+        except (ConnectionError, OSError):
+            pass  # peer unreachable/dropped: retry after the delay
+        if stop is not None:
+            if stop.wait(retry_delay):
+                return
+        else:
+            _time.sleep(retry_delay)
+
+
 class OgmiosReplayServer:
     """Loopback Ogmios v6 server replaying a segment directory.
 
@@ -203,12 +276,25 @@ class OgmiosReplayServer:
         for seg in segment_order(seg_dir):
             with open(seg) as fh:
                 self._docs += [ln for ln in (l.strip() for l in fh) if ln]
+        # the replay corpus never changes after construction: parse the
+        # forward-point index and the tip ONCE, not per findIntersection
+        # (a reconnecting follow loop intersects every retry_delay)
+        self._known: dict[tuple[int, str], int] = {}
+        for i, doc in enumerate(self._docs):
+            r = json.loads(doc).get("result", {})
+            blk = r.get("block")
+            if r.get("direction") == "forward" and blk:
+                self._known[(blk["slot"], blk["id"])] = i
+        if self._known:
+            s, h = max(self._known, key=self._known.get)  # last forward delivered
+            self._tip_val = {"slot": s, "id": h}
+        else:
+            self._tip_val = "origin"
         self._sock = socket.socket()
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
         self._sock.listen(4)
         self.host, self.port = self._sock.getsockname()[:2]
-        self._threads: list[threading.Thread] = []
         self._closing = False
 
     @property
@@ -216,9 +302,7 @@ class OgmiosReplayServer:
         return f"ws://{self.host}:{self.port}"
 
     def start(self) -> "OgmiosReplayServer":
-        t = threading.Thread(target=self._accept_loop, daemon=True)
-        t.start()
-        self._threads.append(t)
+        threading.Thread(target=self._accept_loop, daemon=True).start()
         return self
 
     def _accept_loop(self) -> None:
@@ -227,18 +311,9 @@ class OgmiosReplayServer:
                 conn, _ = self._sock.accept()
             except OSError:
                 return
-            t = threading.Thread(target=self._serve_client, args=(conn,), daemon=True)
-            t.start()
-            self._threads.append(t)
-
-    def _points(self) -> list[tuple[int, str]]:
-        pts = []
-        for doc in self._docs:
-            r = json.loads(doc).get("result", {})
-            blk = r.get("block")
-            if r.get("direction") == "forward" and blk:
-                pts.append((blk["slot"], blk["id"]))
-        return pts
+            threading.Thread(
+                target=self._serve_client, args=(conn,), daemon=True
+            ).start()
 
     def _serve_client(self, conn: socket.socket) -> None:
         try:
@@ -246,9 +321,11 @@ class OgmiosReplayServer:
         except ConnectionError:
             return
         cursor = 0
-        pending_rollback = None  # protocol: first nextBlock after a non-
-        # origin intersection answers RollBackward to that point, then
-        # forwards resume from just after it (Ogmios.hs:88-120)
+        pending_rollback = None  # protocol: the first nextBlock after ANY
+        # intersection — origin included — answers RollBackward to that
+        # point, then forwards resume from just after it (Ogmios.hs:88-120).
+        # The origin echo is what lets a client with a STALE spool (points
+        # unknown to this server) learn it must retract everything.
         try:
             while True:
                 raw = ws.recv_text()
@@ -259,20 +336,15 @@ class OgmiosReplayServer:
                 method = req.get("method")
                 if method == "findIntersection":
                     points = req.get("params", {}).get("points", [])
-                    known = {}
-                    for i, doc in enumerate(self._docs):
-                        r = json.loads(doc).get("result", {})
-                        blk = r.get("block")
-                        if r.get("direction") == "forward" and blk:
-                            known[(blk["slot"], blk["id"])] = i
                     hit = None
                     for p in points:
                         if p == "origin":
                             hit, cursor = "origin", 0
+                            pending_rollback = "origin"
                             break
-                        if (p.get("slot"), p.get("id")) in known:
+                        if (p.get("slot"), p.get("id")) in self._known:
                             hit = p
-                            cursor = known[(p["slot"], p["id"])] + 1
+                            cursor = self._known[(p["slot"], p["id"])] + 1
                             pending_rollback = p
                             break
                     if hit is None:
@@ -324,11 +396,7 @@ class OgmiosReplayServer:
             return
 
     def _tip(self):
-        pts = self._points()
-        if not pts:
-            return "origin"
-        slot, h = pts[-1]
-        return {"slot": slot, "id": h}
+        return self._tip_val
 
     def close(self) -> None:
         self._closing = True
@@ -394,42 +462,25 @@ class HydraReplayServer:
 
 
 def sync_hydra_ws(
-    url: str, spool_dir: str, segment_lines: int = 50, skip: int = 0
+    url: str, spool_dir: str, segment_lines: int = 50, skip: int | None = None
 ) -> int:
     """Receive a Hydra ServerOutput push stream and spool it as NDJSON
     segments for the file pipeline (batch ``read_hydra_jsonl`` and the
     --follow stream both read the directory).  The Head protocol has no
-    rollbacks, so segments are pure appends — still written via
-    write-then-rename so the stream source never lists a torn file.
+    rollbacks, so segments are pure appends.
 
     ``skip``: drop the first N messages without spooling them — a Hydra
-    node re-pushes its history on reconnect, so a follow loop passes the
-    already-spooled count to keep the spool duplicate-free."""
+    node re-pushes its history on every connect, so the default (the
+    already-spooled count) keeps the spool duplicate-free across BOTH
+    follow-loop reconnects and batch re-runs over the same workdir."""
     assert url.startswith("ws://"), url
+    if skip is None:
+        skip = spooled_count(spool_dir)
     hostport = url[5:].split("/")[0]
     host, _, port = hostport.partition(":")
     ws = ws_connect(host, int(port or 80))
-    spool = Path(spool_dir)
-    spool.mkdir(parents=True, exist_ok=True)
-    existing = [p for p in spool.iterdir() if p.name.startswith("seg-")]
-    seg_no = 1 + max(
-        (int(p.stem.split("-")[1]) for p in existing if p.stem.split("-")[1].isdigit()),
-        default=-1,
-    )
+    spool = SegmentSpool(spool_dir, segment_lines)
     received = 0
-    buffer: list[str] = []
-
-    def flush():
-        nonlocal seg_no
-        if not buffer:
-            return
-        final = spool / f"seg-{seg_no:06d}.jsonl"
-        tmp = spool / f".seg-{seg_no:06d}.tmp"
-        tmp.write_text("\n".join(buffer) + "\n")
-        tmp.rename(final)
-        seg_no += 1
-        buffer.clear()
-
     try:
         while True:
             msg = ws.recv_text()
@@ -438,10 +489,8 @@ def sync_hydra_ws(
             received += 1
             if received <= skip:
                 continue
-            buffer.append(msg)
-            if len(buffer) >= segment_lines:
-                flush()
-        flush()
+            spool.append(msg)
+        spool.flush()
         return received
     finally:
         ws.close()
@@ -457,24 +506,11 @@ def follow_hydra_ws(
     """Reconnecting Hydra follow loop: each (re)connect skips the
     re-pushed history up to the already-spooled count, so the spool stays
     duplicate-free across connection drops.  Runs until ``stop`` is set."""
-    import time as _time
-
-    while stop is None or not stop.is_set():
-        spool = Path(spool_dir)
-        skip = 0
-        if spool.is_dir():
-            for p in spool.iterdir():
-                if p.name.startswith("seg-"):
-                    skip += sum(1 for ln in p.read_text().splitlines() if ln.strip())
-        try:
-            sync_hydra_ws(url, spool_dir, segment_lines=segment_lines, skip=skip)
-        except (ConnectionError, OSError):
-            pass
-        if stop is not None:
-            if stop.wait(retry_delay):
-                return
-        else:
-            _time.sleep(retry_delay)
+    follow_loop(
+        lambda: sync_hydra_ws(url, spool_dir, segment_lines=segment_lines),
+        stop,
+        retry_delay,
+    )
 
 
 def follow_via_ws(
@@ -494,24 +530,17 @@ def follow_via_ws(
     so a quiet or replay-exhausted server costs nothing per retry.  Runs
     until ``stop`` is set (forever when ``stop`` is None — daemon-thread
     usage)."""
-    import time as _time
-
-    while stop is None or not stop.is_set():
-        try:
-            sync_via_ws(
-                url,
-                spool_dir,
-                points=last_spooled_point(spool_dir),
-                window=window,
-                segment_lines=segment_lines,
-            )
-        except (ConnectionError, OSError):
-            pass  # server unreachable/dropped: retry after the delay
-        if stop is not None:
-            if stop.wait(retry_delay):
-                return
-        else:
-            _time.sleep(retry_delay)
+    follow_loop(
+        lambda: sync_via_ws(
+            url,
+            spool_dir,
+            points=last_spooled_point(spool_dir),
+            window=window,
+            segment_lines=segment_lines,
+        ),
+        stop,
+        retry_delay,
+    )
 
 
 def last_spooled_point(spool_dir: str) -> list:
@@ -558,18 +587,13 @@ def sync_via_ws(
     ``spool_dir/seg-NNNNNN.jsonl`` continuing the existing natural-sort
     numbering, so the file-source follow pipeline (and its ordering guard)
     consumes the stream unchanged.  Returns the number of documents
-    received."""
+    SPOOLED (the echo RollBackward to the requested resume point carries
+    zero information and is neither spooled nor counted)."""
     assert url.startswith("ws://"), url
     hostport = url[5:].split("/")[0]
     host, _, port = hostport.partition(":")
     ws = ws_connect(host, int(port or 80))
-    spool = Path(spool_dir)
-    spool.mkdir(parents=True, exist_ok=True)
-    existing = [p for p in spool.iterdir() if p.name.startswith("seg-")]
-    seg_no = 1 + max(
-        (int(p.stem.split("-")[1]) for p in existing if p.stem.split("-")[1].isdigit()),
-        default=-1,
-    )
+    spool = SegmentSpool(spool_dir, segment_lines)
     try:
         ws.send_text(json.dumps({
             "jsonrpc": "2.0", "method": "findIntersection",
@@ -597,21 +621,15 @@ def sync_via_ws(
         for _ in range(window):  # prime the full pipeline window
             request_next()
         received = 0
-        buffer: list[str] = []
-
-        def flush():
-            nonlocal seg_no
-            if not buffer:
-                return
-            # write-then-rename: the file stream source must never list a
-            # half-written segment
-            final = spool / f"seg-{seg_no:06d}.jsonl"
-            tmp = spool / f".seg-{seg_no:06d}.tmp"
-            tmp.write_text("\n".join(buffer) + "\n")
-            tmp.rename(final)
-            seg_no += 1
-            buffer.clear()
-
+        # the point we ASKED to resume at; a leading RollBackward to
+        # exactly it carries zero information (nothing past it is spooled,
+        # by construction of last_spooled_point) and is skipped so
+        # reconnect loops don't grow the spool by one rollback segment per
+        # retry.  A leading RollBackward to any OTHER point — the origin
+        # fallback when this server doesn't know our spool — is REAL
+        # information (the spooled prefix is stale) and must be spooled so
+        # the canonical netting retracts it.
+        preferred = points[0] if points else "origin"
         first = True
         while True:
             msg = ws.recv_text()
@@ -620,35 +638,22 @@ def sync_via_ws(
             doc = json.loads(msg)
             if doc.get("method") != "nextBlock":
                 continue
-            received += 1
             r = doc.get("result", {})
-            # a leading RollBackward to exactly the point we asked to
-            # resume at carries zero information (nothing past it is
-            # spooled, by construction of last_spooled_point) — skip it so
-            # reconnect loops don't grow the spool by one rollback segment
-            # per retry
-            if (
-                first
-                and points
-                and r.get("direction") == "backward"
-                and isinstance(points[0], dict)
-                and r.get("point") == points[0]
-            ):
+            if first and r.get("direction") == "backward" and r.get("point") == preferred:
                 first = False
                 request_next()
                 continue
             first = False
+            received += 1
             # bridge contract (canonical_blocks, ogmios.py): within a
             # segment file any rollback PRECEDES its forwards — a
             # RollBackward marks a new delivery (reconnect/fork), so it
             # must open a fresh segment, never land mid-file
-            if buffer and r.get("direction") == "backward":
-                flush()
-            buffer.append(json.dumps(doc, sort_keys=True))
-            if len(buffer) >= segment_lines:
-                flush()
+            if spool.buffered and r.get("direction") == "backward":
+                spool.flush()
+            spool.append(json.dumps(doc, sort_keys=True))
             request_next()  # keep the window full (one per response)
-        flush()
+        spool.flush()
         return received
     finally:
         ws.close()

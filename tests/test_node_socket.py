@@ -298,6 +298,56 @@ def test_node_resume_no_redelivery(tmp_path):
     assert [(p.name, p.read_bytes()) for p in segment_order(spool)] == segs_before
 
 
+def test_node_stale_spool_retracted_via_origin_rollback(spark, tmp_path):
+    """A spool the node does not know falls back to the origin
+    intersection; the protocol's RollBackward-to-origin echo is spooled
+    (it is not the preferred resume point) and the canonical netting
+    retracts the stale prefix."""
+    from kupo_spark.sources.ogmios import canonical_blocks, segment_order
+    from kupo_spark.sources.ws import last_spooled_point
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    stale = {
+        "jsonrpc": "2.0",
+        "method": "nextBlock",
+        "result": {
+            "direction": "forward",
+            "tip": {"slot": 999, "id": "ee" * 32},
+            "block": {
+                "type": "praos", "era": "conway", "id": "ee" * 32,
+                "slot": 999, "height": 1,
+                "transactions": [{
+                    "id": "dd" * 32, "spends": "inputs",
+                    "inputs": [{"transaction": {"id": "0" * 64}, "index": 0}],
+                    "outputs": [
+                        {"address": "addr1x", "value": {"ada": {"lovelace": 1}}}
+                    ],
+                }],
+            },
+        },
+    }
+    (spool / "seg-000000.jsonl").write_text(json.dumps(stale) + "\n")
+    server = N.NodeReplayServer(OGMIOS_SEGMENTS, str(tmp_path / "node.sock")).start()
+    try:
+        n = N.sync_via_node_socket(
+            server.socket_path, str(spool), points=last_spooled_point(str(spool))
+        )
+    finally:
+        server.close()
+    docs = []
+    for seg in segment_order(str(spool)):
+        docs += [json.loads(ln) for ln in open(seg) if ln.strip()]
+    assert any(
+        d["result"].get("direction") == "backward" and d["result"].get("point") == "origin"
+        for d in docs
+    )
+    assert n == len(docs) - 1
+    got = sorted(map(tuple, canonical_blocks(spark, str(spool)).collect()))
+    want = sorted(map(tuple, canonical_blocks(spark, OGMIOS_SEGMENTS).collect()))
+    assert got == want
+
+
 def test_node_intersection_not_found(tmp_path):
     """Unknown points raise IntersectionNotFound, the reference's restart
     signal (Node.hs:96-97)."""

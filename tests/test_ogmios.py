@@ -470,6 +470,17 @@ def test_canonical_blocks_symlinked_and_space_dirs(spark, tmp_path):
         r.slot_no for r in canonical_blocks(spark, str(link)).select("slot_no").collect()
     }
     assert via_link == {100, 110}
+    # '+' is the adversarial case for the decode: Hadoop's URI encoding
+    # leaves '+' literal, but a FORM decode would turn it into a space and
+    # miss the basename join — the decode must be pure percent-decoding
+    plus = tmp_path / "plus"
+    plus.mkdir()
+    (plus / "seg+1.jsonl").write_text(fwd(100, "a" * 64) + "\n")
+    (plus / "seg %25+2.jsonl").write_text(fwd(110, "b" * 64) + "\n")
+    via_plus = {
+        r.slot_no for r in canonical_blocks(spark, str(plus)).select("slot_no").collect()
+    }
+    assert via_plus == {100, 110}
 
 
 def test_canonical_blocks_random_walk_equivalence(spark, tmp_path):

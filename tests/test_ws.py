@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 import socket
 import threading
+from pathlib import Path
 
 import pytest
 
@@ -166,7 +167,9 @@ def test_client_pipelines_full_window(tmp_path):
     )
     t.join(timeout=10)
     assert seen_before_reply == [window]
-    assert n == 5
+    # the FIRST backward-to-origin is the protocol's echo of the requested
+    # origin intersection — skipped, not spooled; the other four count
+    assert n == 4
     srv.close()
 
 
@@ -399,8 +402,9 @@ def test_ws_resume_no_redelivery(tmp_path):
     finally:
         server.close()
     assert n1 > 0
-    # each resume receives exactly the echo RollBackward and spools nothing
-    assert n2 == 1 and n3 == 1
+    # each resume receives exactly the echo RollBackward, which is neither
+    # spooled nor counted
+    assert n2 == 0 and n3 == 0
     assert [p.name for p in segment_order(spool)] == segs_before
 
 
@@ -426,6 +430,106 @@ def test_ws_resume_canonical_view_unchanged(spark, tmp_path):
         map(tuple, canonical_blocks(spark, OGMIOS_SEGMENTS).collect())
     )
     assert got == want
+
+
+def test_ws_stale_spool_retracted_via_origin_rollback(spark, tmp_path):
+    """A spool whose points the server does NOT know (a replaced/truncated
+    upstream) must not survive a resume: the server falls back to the
+    origin intersection and — per the chain-sync protocol — answers the
+    first request with RollBackward to origin, which IS spooled (it is not
+    the echo of the preferred resume point) so the canonical netting
+    retracts the stale prefix and the view converges to the server's
+    chain."""
+    import json as _json
+
+    from kupo_spark.sources.ogmios import canonical_blocks
+
+    spool = str(tmp_path / "spool")
+    # hand-spool a stale chain the replay server has never heard of
+    stale_dir = Path(spool)
+    stale_dir.mkdir(parents=True)
+    stale = {
+        "jsonrpc": "2.0",
+        "method": "nextBlock",
+        "result": {
+            "direction": "forward",
+            "tip": {"slot": 999, "id": "ee" * 32},
+            "block": {
+                "type": "praos", "era": "conway", "id": "ee" * 32,
+                "slot": 999, "height": 1,
+                "transactions": [{
+                    "id": "dd" * 32, "spends": "inputs",
+                    "inputs": [{"transaction": {"id": "0" * 64}, "index": 0}],
+                    "outputs": [
+                        {"address": "addr1x", "value": {"ada": {"lovelace": 1}}}
+                    ],
+                }],
+            },
+        },
+    }
+    (stale_dir / "seg-000000.jsonl").write_text(_json.dumps(stale) + "\n")
+    server = W.OgmiosReplayServer(OGMIOS_SEGMENTS).start()
+    try:
+        n = W.sync_via_ws(
+            server.url, spool, points=W.last_spooled_point(spool),
+            window=10, segment_lines=5,
+        )
+    finally:
+        server.close()
+    # the origin rollback + the full replay were spooled
+    docs = []
+    from kupo_spark.sources.ogmios import segment_order
+
+    for seg in segment_order(spool):
+        docs += [_json.loads(ln) for ln in open(seg) if ln.strip()]
+    backwards = [d for d in docs if d["result"].get("direction") == "backward"]
+    assert any(d["result"].get("point") == "origin" for d in backwards)
+    assert n == len(docs) - 1  # everything but the pre-existing stale doc
+    # the canonical view over the spool equals the server's own chain —
+    # the stale slot-999 block is gone
+    got = sorted(map(tuple, canonical_blocks(spark, spool).collect()))
+    want = sorted(map(tuple, canonical_blocks(spark, OGMIOS_SEGMENTS).collect()))
+    assert got == want
+    assert not any(r[0] == 999 for r in got)
+
+
+def test_hydra_batch_rerun_is_idempotent(tmp_path):
+    """A batch re-sync over the same spool skips the re-pushed history by
+    the spooled count (the skip default), so re-running `run --hydra-ws`
+    against one workdir never duplicates documents."""
+    from kupo_spark.oracle_sources import HYDRA_LOG
+    from kupo_spark.sources.ogmios import segment_order
+
+    spool = str(tmp_path / "spool")
+    server = W.HydraReplayServer(HYDRA_LOG).start()
+    try:
+        n1 = W.sync_hydra_ws(server.url, spool, segment_lines=2)
+        n2 = W.sync_hydra_ws(server.url, spool, segment_lines=2)
+    finally:
+        server.close()
+    want = [ln for ln in open(HYDRA_LOG).read().splitlines() if ln.strip()]
+    got = []
+    for seg in segment_order(spool):
+        got += [ln for ln in open(seg).read().splitlines() if ln.strip()]
+    assert got == want
+    assert n1 == len(want) and n2 == len(want)  # received, not re-spooled
+
+
+def test_cli_rejects_multiple_chain_sources(tmp_path):
+    """Socket transports rewrite the file-source flags, so naming two
+    sources must fail loudly BEFORE any transport spools — not after two
+    follow loops have cross-contaminated a shared directory."""
+    from kupo_spark.cli import main
+
+    with pytest.raises(SystemExit, match="exactly one chain source"):
+        main(
+            [
+                "--ogmios-ws", "ws://127.0.0.1:1", "--hydra-ws", "ws://127.0.0.1:2",
+                "--workdir", str(tmp_path / "db"), "--since", "origin",
+                "--match", "*", "--port", "0",
+            ],
+            serve_forever=False,
+        )
 
 
 def test_follow_via_ws_reconnect_loop(tmp_path):
