@@ -240,7 +240,7 @@ class KupoHttpServer:
         re-adds them); spent-marks are global, as in any full replay."""
         if self._read_only:
             raise _Unavailable("read_only")
-        if self._blocks is None:
+        if self._blocks is None and self._blocks_factory is None:
             raise _Unavailable("no_replay_source")
         if self._streaming is not None:
             # --follow: route through the LOG-level operator (M5) — the
@@ -282,7 +282,7 @@ class KupoHttpServer:
             for p in new_patterns:
                 self.store.add(p)
             union_pats = self.store.list()
-            idx = build_index(self._blocks, patterns=union_pats)
+            idx = build_index(self._replay_blocks(), patterns=union_pats)
             old_pred = F.lit(False)
             for p in old:
                 old_pred = old_pred | to_column(p)
@@ -370,6 +370,11 @@ def _make_handler(srv: KupoHttpServer):
         def _stream_array(self, chunks, content_type, extra=()):
             """Chunked JSON array from an iterator — the analog of
             responseStreamJson (no driver materialization)."""
+            # once the 200 + chunked headers are out, an error can no
+            # longer be reported as an HTTP response — _route's handler
+            # must drop the connection instead of writing a second status
+            # line into the open body (see _headers_sent)
+            self._headers_sent = True
             self.send_response(200)
             self.send_header("Content-Type", content_type)
             self.send_header("Transfer-Encoding", "chunked")
@@ -404,6 +409,7 @@ def _make_handler(srv: KupoHttpServer):
             self._route("PUT")
 
         def _route(self, method: str):
+            self._headers_sent = False  # per-request; set by _stream_array
             try:
                 u = urlparse(self.path)
                 # percent-decode path segments (Warp does upstream: a
@@ -441,8 +447,17 @@ def _make_handler(srv: KupoHttpServer):
             except Exception:
                 import traceback
 
-                body = json.dumps({"hint": "Unexpected server error."}).encode()
                 traceback.print_exc()
+                if self._headers_sent:
+                    # a failure mid-chunked-stream (e.g. a Spark stage
+                    # abort inside toLocalIterator): the 200 is already
+                    # out, so a 500 written now would land INSIDE the open
+                    # chunked body and desynchronize the keep-alive
+                    # connection — abort the connection instead, which the
+                    # client observes as a truncated chunked response
+                    self.close_connection = True
+                    return
+                body = json.dumps({"hint": "Unexpected server error."}).encode()
                 try:
                     self._send(500, body, "application/json;charset=utf-8")
                 except Exception:
@@ -461,7 +476,6 @@ def _make_handler(srv: KupoHttpServer):
             if args:
                 return self._error("not_found")
             accept = self.headers.get("Accept", "")
-            h = _serve.health(srv.index).collect()[0]
             # handleGetHealth's negotiation (Http.hs:496-512): text/plain
             # and */* → Prometheus text; application/json or no Accept →
             # JSON (except /metrics, where no Accept also means text)
@@ -481,6 +495,11 @@ def _make_handler(srv: KupoHttpServer):
                     self._cache_headers(),
                 )
             else:
+                # the aggregate is collected only on the JSON branch —
+                # metrics_text runs its own internally, so collecting it
+                # up front would cost every Prometheus scrape a second
+                # full-scan job
+                h = _serve.health(srv.index).collect()[0]
                 # a follow stream that died (e.g. in-stream point
                 # validation) must surface here: health-check probes and
                 # operators read connection_status
@@ -571,7 +590,10 @@ def _make_handler(srv: KupoHttpServer):
             if "transaction_id" in q:
                 kwargs["filter_transaction_id"] = q["transaction_id"][0]
             if "output_index" in q:
-                kwargs["filter_output_index"] = int(q["output_index"][0])
+                try:
+                    kwargs["filter_output_index"] = int(q["output_index"][0])
+                except ValueError:
+                    return self._error("invalid_filter")
             as_string = "asset-quantity=string" in self.headers.get("Accept", "")
             ct = "application/json;charset=utf-8" + (
                 ";asset-quantity=string" if as_string else ""
@@ -616,7 +638,7 @@ def _make_handler(srv: KupoHttpServer):
                 return self._error("method_not_allowed")
             if len(args) != 1:
                 return self._error("not_found")
-            if srv._blocks is None:
+            if srv._blocks is None and srv._blocks_factory is None:
                 return self._error("no_replay_source")
             try:
                 slot = int(args[0])
@@ -697,7 +719,11 @@ def _make_handler(srv: KupoHttpServer):
                         pattern_from_text(p)
                 except PatternError:
                     return self._error("invalid_pattern")
-                active = srv._put_patterns(pats, int(since["slot_no"]))
+                try:
+                    rollback_slot = int(since["slot_no"])
+                except (ValueError, TypeError):
+                    return self._error("malformed_point")
+                active = srv._put_patterns(pats, rollback_slot)
                 return self._json(200, sorted(active))
             return self._error("method_not_allowed")
 

@@ -99,10 +99,18 @@ class Catalog:
         version = self.latest_version() + 1
         final = self.path / f"{version:020d}.json"
         tmp = self.path / f".tmp-{uuid.uuid4().hex}"
-        tmp.write_text(json.dumps(entry))
-        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # claim
-        os.close(fd)
-        os.replace(tmp, final)
+        with tmp.open("w") as f:
+            f.write(json.dumps(entry))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # content-first + atomic hard link: the link is both the claim
+            # (EEXIST = lost the race) and the visibility point — a
+            # read-only replica can never json.loads a claimed-but-empty
+            # entry (the claim-then-replace window an earlier round had)
+            os.link(tmp, final)
+        finally:
+            tmp.unlink()
         return version
 
     def delete(self, version: int) -> None:

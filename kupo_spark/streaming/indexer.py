@@ -537,14 +537,26 @@ class StreamingIndexer:
         needs a second in-memory pruned copy."""
         from kupo_spark.operators.indexer import write_index
 
+        if dest is None:
+            # the in-place fold must be atomic against concurrent batch
+            # commits: the fold point is read FIRST and the resolve pins
+            # its table versions under the same lock, so a batch can never
+            # land between them — it would be recorded as folded while
+            # absent from the base (then physically dropped by
+            # truncate_log).  Single-writer-process is the contract (the
+            # reference is single-writer through its mailbox too); the
+            # lock enforces it in-process.
+            with self.write_lock:
+                base_seq = self._next_seq() - 1
+                resolved = self.resolved_index(spark)
+                if transform is not None:
+                    resolved = transform(resolved)
+                db = self._base_db()
+                db.commit(resolved, slot_bucket=slot_bucket, extra={"seq": base_seq})
+                return db.read(spark)
         resolved = self.resolved_index(spark)
         if transform is not None:
             resolved = transform(resolved)
-        if dest is None:
-            base_seq = self._next_seq() - 1
-            db = self._base_db()
-            db.commit(resolved, slot_bucket=slot_bucket, extra={"seq": base_seq})
-            return db.read(spark)
         write_index(resolved, dest, slot_bucket=slot_bucket)
         return resolved
 
@@ -627,7 +639,13 @@ class StreamingIndexer:
         # skipped, while an intentional re-run with a fresh checkpoint dir
         # (kupo's reconnect-and-replay after rollback) reprocesses.
         def body(df: DataFrame, batch_id: int) -> None:
-            self.process_batch(df, batch_id, dedup_scope=checkpoint_dir)
+            # serialize against HTTP mutations (PUT /patterns rollback +
+            # backfill, DELETE /matches) — both compute _next_seq() and an
+            # interleaved batch would share a sequence number with the
+            # mutation's retraction record, corrupting _alive's resolution.
+            # Re-entrant, so callers that already hold the lock still nest.
+            with self.write_lock:
+                self.process_batch(df, batch_id, dedup_scope=checkpoint_dir)
 
         writer = (
             blocks_stream.writeStream.foreachBatch(body)

@@ -152,6 +152,12 @@ def _pa_stats(local_path: Path) -> dict:
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     nulls: dict[str, int] = {}
+    # a column's file-level bound is only valid if EVERY row group
+    # contributed one — publishing bounds from a subset would let a
+    # stats_filter prune a file whose uncovered groups hold matching rows
+    # (Delta writers likewise omit stats they cannot prove complete)
+    no_minmax: set[str] = set()
+    no_nulls: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -162,13 +168,21 @@ def _pa_stats(local_path: Path) -> dict:
             st = col.statistics
             if st is not None and st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                no_nulls.add(name)
             if col.physical_type not in _STATS_TYPES:
                 continue
             if st is None or not st.has_min_max:
+                no_minmax.add(name)
                 continue
             mn, mx = st.min, st.max
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    for name in no_minmax:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    for name in no_nulls:
+        nulls.pop(name, None)
     return {
         "numRecords": md.num_rows,
         "minValues": mins,
@@ -219,7 +233,12 @@ class Table:
 
     @staticmethod
     def exists(root: str) -> bool:
-        return (Path(root) / LOG_DIR).exists()
+        # a legacy-layout table EXISTS (``__init__`` opens it via the
+        # fallback) — reporting False here would let exists-then-create
+        # callers shadow its entire history with a fresh empty _delta_log
+        return (Path(root) / LOG_DIR).exists() or (
+            Path(root) / LEGACY_LOG_DIR
+        ).exists()
 
     # -- log plumbing -----------------------------------------------------
 
@@ -260,22 +279,27 @@ class Table:
         ]
 
     def _write_commit(self, version: int, actions: list[dict]) -> None:
-        """The commit point: exclusive create, then fsync'd rename-free
-        write.  ``open(.., "x")`` fails if the version exists — that failure
-        is the optimistic-concurrency signal, never a torn file, because the
-        content is written to a hidden tmp and atomically renamed over a
-        name nobody else can claim (we hold the exclusive marker)."""
+        """The commit point: the content is fully written and fsync'd to a
+        hidden tmp FIRST, then atomically hard-linked into the version
+        name.  The link is both the optimistic-concurrency claim (EEXIST =
+        another writer took this version — the caller's retry signal) and
+        the visibility point, so a reader can never observe a
+        claimed-but-empty or torn commit, and a crash before the link
+        leaves only an invisible dot-file (versions are never consumed
+        without their content).  A claim-first design (O_EXCL create, then
+        rename content in) has a window where ``latest_version()`` sees an
+        empty commit — an earlier round shipped that and it let concurrent
+        snapshots replay version v as zero actions."""
         final = self._commit_path(version)
-        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # claim
+        tmp = self.log / f".tmp-{version}-{uuid.uuid4().hex}"
+        with tmp.open("w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            tmp = self.log / f".tmp-{version}-{uuid.uuid4().hex}"
-            with tmp.open("w") as f:
-                f.write("\n".join(json.dumps(a) for a in actions) + "\n")
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, final)  # atomic content swap over our claim
+            os.link(tmp, final)  # atomic claim + publish in one step
         finally:
-            os.close(fd)
+            tmp.unlink()
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(version)
 
@@ -562,11 +586,26 @@ class Table:
             .distinct()
             .collect()
         )
-        rel_hits = [
-            os.path.relpath(p[len("file:"):] if p.startswith("file:") else p, self.root)
-            for p in hit_files
-        ]
-        rel_hits = [p for p in rel_hits if p in snap.adds]
+        # input_file_name() returns Spark's percent-encoded URI; decode it
+        # the same way before mapping back to the snapshot's relative
+        # paths (a table root containing a space would otherwise never
+        # match).  The scan read EXACTLY the snapshot's files, so any
+        # unmapped path is a normalization bug — fail loudly rather than
+        # silently turning the delete into a no-op.
+        from urllib.parse import unquote, urlparse
+
+        def _rel(p: str) -> str:
+            if p.startswith("file:"):
+                p = unquote(urlparse(p).path)
+            return os.path.relpath(p, self.root)
+
+        rel_hits = [_rel(p) for p in hit_files]
+        unknown = [p for p in rel_hits if p not in snap.adds]
+        if unknown:
+            raise RuntimeError(
+                f"delete_where: scanned files not in snapshot v{snap.version}: "
+                f"{unknown[:3]}"
+            )
         if not rel_hits:
             return snap.version
         paths = [str(self.root / p) for p in rel_hits]

@@ -173,6 +173,26 @@ def test_matches_param_errors(server):
     assert _get(f"{server.url}/matches/?created_after=xyz")[0] == 400
     assert _get(f"{server.url}/matches/a/b/c")[0] == 404
     assert _get(f"{server.url}/matches/%F0%9F%A6%91")[0] == 400
+    # malformed values of WELL-formed parameter combinations are 400s,
+    # not 500s
+    assert _get(f"{server.url}/matches?transaction_id=ab&output_index=xyz")[0] == 400
+
+
+def test_put_patterns_malformed_slot_is_400(server):
+    body = json.dumps(
+        {"rollback_to": {"slot_no": "abc"}, "patterns": ["*"]}
+    ).encode()
+    status, _, _ = _get(
+        f"{server.url}/patterns", method="PUT", body=body,
+        headers={"Content-Type": "application/json"},
+    )
+    assert status == 400
+    body = json.dumps({"rollback_to": {"slot_no": None}, "patterns": ["*"]}).encode()
+    status, _, _ = _get(
+        f"{server.url}/patterns", method="PUT", body=body,
+        headers={"Content-Type": "application/json"},
+    )
+    assert status == 400
 
 
 def test_matches_residual_filters(server, index):

@@ -348,3 +348,102 @@ def test_overwrite_schema_rejects_mismatched_frame(spark, tmp_path):
         t.overwrite_schema(spark.range(2).select(F.col("id").alias("a")), new_schema)
     # table untouched by the failed call
     assert [f.name for f in t.schema().fields] == ["a"]
+
+
+def test_commit_never_visible_empty(spark, tmp_path):
+    """The commit's visibility point carries its content atomically: a
+    reader polling latest_version/_read_actions while a writer commits in
+    a tight loop must never observe a claimed-but-empty version (the
+    claim-then-fill design this replaced had exactly that window)."""
+    import threading
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kupo_spark.table import Table
+
+    root = str(tmp_path / "race")
+    t = Table.create(root, StructType([StructField("a", LongType())]))
+    df = spark.range(3).select(F.col("id").alias("a"))
+    stop = threading.Event()
+    bad: list[int] = []
+
+    def reader():
+        r = Table(root)
+        while not stop.is_set():
+            v = r.latest_version()
+            if v < 0:
+                continue
+            try:
+                actions = r._read_actions(v)
+            except FileNotFoundError:
+                continue  # raced ahead of a vacuumed tmp; not possible here
+            if not actions:
+                bad.append(v)
+                return
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    for _ in range(8):
+        t.append(df)
+    stop.set()
+    th.join(timeout=10)
+    assert bad == []
+
+
+def test_exists_sees_legacy_txlog_layout(spark, tmp_path):
+    """A legacy `_txlog` table EXISTS — otherwise exists-then-create
+    callers shadow its whole history with a fresh empty _delta_log."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kupo_spark.table import Table
+
+    root = str(tmp_path / "legacy")
+    t = Table.create(root, StructType([StructField("a", LongType())]))
+    t.append(spark.range(2).select(F.col("id").alias("a")))
+    os.rename(f"{root}/_delta_log", f"{root}/_txlog")
+    assert Table.exists(root)
+    assert Table(root).read(spark).count() == 2
+
+
+def test_delete_where_in_space_containing_root(spark, tmp_path):
+    """delete_where maps scanned URIs back to snapshot paths with percent
+    decoding, so a table root containing a space still deletes (and an
+    unmappable path raises instead of silently no-oping)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kupo_spark.table import Table
+
+    root = str(tmp_path / "with space" / "tbl")
+    t = Table.create(root, StructType([StructField("a", LongType())]))
+    t.append(spark.range(10).select(F.col("id").alias("a")))
+    t.delete_where(spark, "a >= 5")
+    got = sorted(r.a for r in Table(root).read(spark).collect())
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_stats_omitted_unless_every_row_group_has_them(tmp_path):
+    """File-level bounds are only published for a column when every row
+    group contributed one — a group without min/max (here: an all-null
+    group) removes the column from minValues/maxValues rather than
+    publishing bounds that may not cover the file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kupo_spark.table import _pa_stats
+
+    f = tmp_path / "two_groups.parquet"
+    w = pq.ParquetWriter(str(f), pa.schema([("a", pa.int64())]))
+    w.write_table(pa.table({"a": [1, 2, 3]}))
+    w.write_table(pa.table({"a": pa.array([None, None], type=pa.int64())}))
+    w.close()
+    stats = _pa_stats(f)
+    assert stats["numRecords"] == 5
+    # the all-null group has no min/max for `a`; the bound is dropped
+    assert "a" not in stats["minValues"] and "a" not in stats["maxValues"]
+    # null counts covered every group, so they survive
+    assert stats["nullCount"]["a"] == 2
