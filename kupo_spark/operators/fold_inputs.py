@@ -78,6 +78,7 @@ def fold_inputs(
     filter_transaction_id: str | None = None,
     filter_output_index: int | None = None,
     use_policy_join: bool = True,
+    broadcast_policy_join: bool = False,
     sorted_result: bool = False,
     created_after_point: tuple[int, str] | None = None,
     spent_before_point: tuple[int, str] | None = None,
@@ -104,6 +105,13 @@ def fold_inputs(
         keys = index.policies.where(F.col("policy_id") == pattern.policy_id).select(
             "output_reference"
         )
+        if broadcast_policy_join:
+            # pinned BroadcastHashJoin: a per-partition probe-side filter —
+            # narrow, so it PRESERVES the inputs' storage order, which the
+            # serving tier's no-sort hot path depends on (an SMJ fallback
+            # would shuffle and silently destroy it).  Callers gate this on
+            # a proven-small key set.
+            keys = F.broadcast(keys)
         df = df.join(keys, "output_reference", "left_semi")
     else:
         df = df.where(to_column(pattern))
@@ -131,13 +139,16 @@ def fold_inputs(
     if spent_before is not None:
         df = df.where(F.col("spent_at").isNotNull() & (F.col("spent_at") <= F.lit(spent_before)))
 
-    # P14 residual filters (FilterMatchesBy.hs; mkYieldIf Http.hs:662-684)
+    # P14 residual filters (FilterMatchesBy.hs; mkYieldIf Http.hs:662-684).
+    # Values are BOUND as literal columns, never string-interpolated into
+    # SQL text: these arrive verbatim from HTTP query parameters, and an
+    # f-string here would be a remotely reachable expression injection.
     if filter_policy_id is not None and filter_asset_name is not None:
         df = df.where(
-            F.expr(
-                f"try_element_at(try_element_at(assets, '{filter_policy_id}'), "
-                f"'{filter_asset_name}') IS NOT NULL"
-            )
+            F.try_element_at(
+                F.try_element_at(F.col("assets"), F.lit(filter_policy_id)),
+                F.lit(filter_asset_name),
+            ).isNotNull()
         )
     elif filter_policy_id is not None:
         df = df.where(F.map_contains_key(F.col("assets"), F.lit(filter_policy_id)))

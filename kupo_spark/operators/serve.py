@@ -95,6 +95,11 @@ def _script_object(col: Column) -> Column:
         .when(tag == "01", F.lit("plutus:v1"))
         .when(tag == "02", F.lit("plutus:v2"))
         .when(tag == "03", F.lit("plutus:v3"))
+        # an unmapped tag (corruption, or a future language written by a
+        # newer indexer) must not NULL-propagate through the concat and
+        # silently DROP the script key the InlineAll contract guarantees —
+        # render it, visibly unknown, instead of masking the data
+        .otherwise(F.concat(F.lit("unknown:"), tag))
     )
     return F.concat(
         F.lit('{"script":"'),
@@ -221,7 +226,10 @@ def metrics_text(index: Index) -> str:
         ("kupo_unspent_inputs", row["n_unspent"]),
     ]:
         lines.append(f"# TYPE {name} gauge")
-        lines.append(f"{name} {value}")
+        # max/sum over an EMPTY index are SQL NULL — 'name None' is invalid
+        # exposition text and a scraper rejects the whole scrape, exactly
+        # during bootstrap when operators are watching
+        lines.append(f"{name} {0 if value is None else value}")
     return "\n".join(lines) + "\n"
 
 

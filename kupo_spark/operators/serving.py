@@ -28,6 +28,9 @@ hot view; results are bit-identical to the cold path (pinned by tests).
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,23 +40,91 @@ from kupo_spark.operators.indexer import Index
 CHAIN_ORDER_KEYS = ("created_at", "transaction_index", "output_index")
 
 
+class _LruCache:
+    """Thread-safe LRU with an entry bound and an optional byte budget.
+
+    The serving tier runs under ThreadingHTTPServer (one handler thread
+    per request), so a bare-dict check-then-pop eviction races: two
+    threads can pick the same victim and the loser's ``pop`` raises
+    KeyError on a valid request.  And an entry-count bound alone is not
+    the byte bound kupo's page cache has — 4096 entries x 10k rendered
+    rows is tens of GB.  ``weight`` is the caller's byte estimate for the
+    value (0 = count-only entries, e.g. plan handles)."""
+
+    def __init__(self, max_entries: int, max_bytes: int | None = None):
+        self._d: OrderedDict = OrderedDict()
+        self._weights: dict = {}
+        self._lock = threading.Lock()
+        self._max = max_entries
+        self._max_bytes = max_bytes
+        self._bytes = 0
+
+    def get(self, key):
+        with self._lock:
+            if key not in self._d:
+                return None
+            self._d.move_to_end(key)  # true LRU: hits refresh recency
+            return self._d[key]
+
+    def put(self, key, value, weight: int = 0) -> None:
+        with self._lock:
+            if key in self._d:
+                self._bytes -= self._weights.get(key, 0)
+                del self._d[key]
+            self._d[key] = value
+            self._weights[key] = weight
+            self._bytes += weight
+            while self._d and (
+                len(self._d) > self._max
+                or (self._max_bytes is not None and self._bytes > self._max_bytes)
+            ):
+                victim, _ = self._d.popitem(last=False)
+                self._bytes -= self._weights.pop(victim, 0)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._d.clear()
+            self._weights.clear()
+            self._bytes = 0
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
+def _rows_weight(rows) -> int:
+    """Byte estimate for a cached page: exact for rendered-JSON strings,
+    repr-sized for Row tuples (computed once, at insert)."""
+    return sum(len(r) if isinstance(r, str) else len(str(r)) for r in rows)
+
+
 class Serving:
     PLAN_CACHE_SIZE = 256
-    #: per-entry row bound for caching address-family results — kupo's
-    #: page cache is byte-bounded; an unbounded 56k-row delegation answer
-    #: must not pin driver memory
+    #: per-entry row bound for caching address-family results — an
+    #: unbounded 56k-row delegation answer must not pin driver memory
     ROW_CACHE_MAX_ROWS = 10_000
+    #: total byte budget across all cached pages — kupo's page cache is
+    #: byte-bounded, and so is this (entry/row bounds alone admit tens of
+    #: GB at the 4096x10k corner)
+    ROW_CACHE_MAX_BYTES = 256 * 2**20
     #: driver-side hot-row cache for point lookups (P7/P8) — the moral
     #: equivalent of kupo's page cache over its B-tree.  A Spark job has a
     #: ~20 ms scheduling floor no plan can beat; a repeated point lookup
     #: must not launch one.  Tip-keyed by construction: every index swap
     #: builds a NEW Serving, so entries can never outlive their snapshot.
     ROW_CACHE_SIZE = 4096
+    #: policy key sets up to this many rows take the (order-safe, pinned)
+    #: broadcast semi-join plan on the no-sort hot path; larger ones fall
+    #: back to the map-key predicate — same scale rule as the dedup
+    #: family's BROADCAST_ID_LIMIT (~2M ids ≈ 80 MB broadcast)
+    POLICY_BROADCAST_LIMIT = 2_000_000
 
     def __init__(self, index: Index, partitions: int = 8):
-        self._plan_cache: dict = {}
-        self._row_cache: dict = {}
-        self._point_memo: dict = {}
+        self._plan_cache = _LruCache(self.PLAN_CACHE_SIZE)
+        self._row_cache = _LruCache(self.ROW_CACHE_SIZE, self.ROW_CACHE_MAX_BYTES)
+        self._point_memo = _LruCache(self.ROW_CACHE_SIZE)
+        # per-policy key-set sizes for the broadcast-join gate (the count
+        # is snapshot-stable, so one job per policy per Serving)
+        self._policy_count_memo = _LruCache(self.ROW_CACHE_SIZE)
         self._etag_memo: str | None = None
         inputs = index.inputs
         if "created_header_hash" not in inputs.columns:
@@ -179,6 +250,36 @@ class Serving:
         (SQLite.hs:919-1003 are compiled per connection, not per request);
         without it every request pays ~60 ms of Catalyst on this box."""
         kwargs.setdefault("sorted_result", False)
+        if not kwargs["sorted_result"]:
+            # "storage order is the query order" only holds for pure
+            # filters and NARROW joins: the policy semi-join (J5) above
+            # the broadcast threshold becomes a shuffle that destroys the
+            # storage order SILENTLY.  A pinned BROADCAST semi-join is a
+            # per-partition probe filter — order-safe — so use the join
+            # plan (fast: scans the narrow policies table, not the wide
+            # assets maps) only when the key set provably fits a
+            # broadcast, and fall back to the order-preserving map-key
+            # predicate otherwise.  The count job runs once per plan-cache
+            # fill, mirroring the dedup family's BROADCAST_ID_LIMIT gate.
+            from kupo_spark.patterns import MatchPolicyId, Pattern, pattern_from_text
+
+            p = pattern if isinstance(pattern, Pattern) else pattern_from_text(pattern)
+            if isinstance(p, MatchPolicyId) and "use_policy_join" not in kwargs:
+                n = self._policy_count_memo.get(p.policy_id)
+                if n is None:
+                    n = (
+                        self.index.policies.where(
+                            F.col("policy_id") == p.policy_id
+                        ).count()
+                        if self.index.policies is not None
+                        else self.POLICY_BROADCAST_LIMIT + 1
+                    )
+                    self._policy_count_memo.put(p.policy_id, n)
+                if n <= self.POLICY_BROADCAST_LIMIT:
+                    kwargs["use_policy_join"] = True
+                    kwargs["broadcast_policy_join"] = True
+                else:
+                    kwargs["use_policy_join"] = False
         # P16 point-valued bounds resolve through the driver-side memo
         # instead of fold_inputs' eager per-call count job (one scheduler
         # round-trip per request for what kupo does with a B-tree probe)
@@ -202,9 +303,7 @@ class Serving:
         df = self._plan_cache.get(key)
         if df is None:
             df = fold_inputs(index, pattern, **kwargs)
-            if len(self._plan_cache) >= self.PLAN_CACHE_SIZE:
-                self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[key] = df
+            self._plan_cache.put(key, df)
         return df
 
     def serve_json(
@@ -265,9 +364,7 @@ class Serving:
                 rendered_addresses=rendered_addresses,
                 **kwargs,
             )
-            if len(self._plan_cache) >= self.PLAN_CACHE_SIZE:
-                self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[key] = df
+            self._plan_cache.put(key, df)
         return df
 
     def serve_json_rows(self, pattern="*", **kwargs):
@@ -280,23 +377,38 @@ class Serving:
         Http.hs:457-471, and never materializes the 190 MB delegation
         answer either)."""
         df = self.serve_json(pattern, **kwargs)
-        if self._is_point(pattern) or self._is_exact(pattern):
-            # point AND exact-address responses: collect once, serve
-            # rendered JSON from the driver cache on repeat (zero jobs) —
-            # the high-QPS shapes kupo answers from its page cache.
-            # fold_rows already collects exact-address results fully, so
-            # this materializes nothing the serving tier didn't already.
-            # Oversized pages (ROW_CACHE_MAX_ROWS) are returned but not
-            # cached — the cache stays byte-bounded.
+        is_point = self._is_point(pattern)
+        if is_point or self._is_exact(pattern):
+            # point AND exact-address responses: serve rendered JSON from
+            # the driver cache on repeat (zero jobs) — the high-QPS shapes
+            # kupo answers from its page cache.  Points collect (a
+            # partition-bounded handful of rows); exact addresses STREAM
+            # while buffering up to ROW_CACHE_MAX_ROWS — a hot contract
+            # address with millions of UTxOs must never be materialized on
+            # the driver just to decide it is too big to cache.
             ck = ("json_rows", str(pattern), tuple(sorted(kwargs.items())))
             hit = self._row_cache.get(ck)
-            if hit is None:
+            if hit is not None:
+                return iter(hit)
+            if is_point:
                 hit = tuple(r["result"] for r in df.collect())
-                if self._is_point(pattern) or len(hit) <= self.ROW_CACHE_MAX_ROWS:
-                    if len(self._row_cache) >= self.ROW_CACHE_SIZE:
-                        self._row_cache.pop(next(iter(self._row_cache)))
-                    self._row_cache[ck] = hit
-            return iter(hit)
+                self._row_cache.put(ck, hit, _rows_weight(hit))
+                return iter(hit)
+
+            def stream_and_maybe_cache():
+                buf: list | None = []
+                for r in df.toLocalIterator(prefetchPartitions=True):
+                    s = r["result"]
+                    if buf is not None:
+                        buf.append(s)
+                        if len(buf) > self.ROW_CACHE_MAX_ROWS:
+                            buf = None  # too big: stop buffering, keep streaming
+                    yield s
+                if buf is not None:  # fully delivered AND cacheable
+                    page = tuple(buf)
+                    self._row_cache.put(ck, page, _rows_weight(page))
+
+            return stream_and_maybe_cache()
         # wide scans (delegation, policy, '*') keep the bounded-memory
         # streaming path — the 190 MB delegation answer is never resident
         return (r["result"] for r in df.toLocalIterator(prefetchPartitions=True))
@@ -316,9 +428,7 @@ class Serving:
                 ok = True
             except UnknownPointError:
                 ok = False
-            if len(self._point_memo) >= self.ROW_CACHE_SIZE:
-                self._point_memo.pop(next(iter(self._point_memo)))
-            self._point_memo[key] = ok
+            self._point_memo.put(key, ok)
         if not ok:
             raise UnknownPointError(f"unknown point {slot_no}.{header_hash}")
 
@@ -345,9 +455,8 @@ class Serving:
                 key=lambda r: tuple(r[k] for k in CHAIN_ORDER_KEYS),
                 reverse=(order == "most_recent_first"),
             )
-            if len(self._row_cache) >= self.ROW_CACHE_SIZE:
-                self._row_cache.pop(next(iter(self._row_cache)))
-            self._row_cache[ck] = tuple(rows)
+            page = tuple(rows)
+            self._row_cache.put(ck, page, _rows_weight(page))
             return rows
         if self._is_addr(pattern):
             # address-family shapes read the address-clustered view (batch
@@ -366,9 +475,8 @@ class Serving:
                 reverse=(order == "most_recent_first"),
             )
             if len(rows) <= self.ROW_CACHE_MAX_ROWS:
-                if len(self._row_cache) >= self.ROW_CACHE_SIZE:
-                    self._row_cache.pop(next(iter(self._row_cache)))
-                self._row_cache[ck] = tuple(rows)
+                page = tuple(rows)
+                self._row_cache.put(ck, page, _rows_weight(page))
             return rows
         rows = self.fold(pattern, **kwargs).collect()
         return rows if order == "most_recent_first" else rows[::-1]

@@ -251,3 +251,77 @@ def test_context_cache_evicts_stale_sessions(spark):
     reg._TAG_INDEX_CACHE[(-1, "/nowhere", "x")] = _Fake()
     reg._tag_index(spark, "/root/testdata/sf0.001")
     assert (-1, "/nowhere", "x") not in reg._TAG_INDEX_CACHE
+
+
+def test_residual_asset_filter_binds_values_not_sql(index):
+    """The policy_id+asset_name residual filter must BIND its values (they
+    arrive verbatim from HTTP query params) — a quote or SQL fragment is
+    just a key that matches nothing, never an expression."""
+    from kupo_spark.operators.fold_inputs import fold_inputs
+
+    hostile = "b') IS NOT NULL OR ('1'='1"
+    rows = fold_inputs(
+        index, "*", filter_policy_id="a'", filter_asset_name=hostile
+    ).collect()
+    assert rows == []
+    # and a legitimate pair still matches
+    pol = cs.policy_id_of(3)
+    legit = fold_inputs(index, "*", filter_policy_id=pol)
+    some = legit.limit(1).collect()
+    assert some  # the fixture has assets under this policy
+
+
+def test_metrics_text_renders_zero_for_empty_index(spark):
+    """Prometheus exposition over an empty index must not contain the
+    Python literal 'None' (an invalid sample a scraper rejects)."""
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kupo_spark.operators.indexer import Index
+    from kupo_spark.operators.serve import metrics_text
+
+    inputs = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("spent_at", LongType()),
+            ]
+        ),
+    )
+    checkpoints = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("slot_no", LongType()),
+                StructField("header_hash", StringType()),
+            ]
+        ),
+    )
+    idx = Index(
+        inputs=inputs,
+        checkpoints=checkpoints,
+        policies=None,
+        assets=None,
+        binary_data=None,
+        scripts=None,
+    )
+    text = metrics_text(idx)
+    assert "None" not in text
+    assert "kupo_most_recent_checkpoint 0" in text
+
+
+def test_script_object_unknown_tag_keeps_key(spark):
+    """An unmapped script language tag renders visibly ('unknown:NN')
+    instead of NULL-propagating the whole script fragment away."""
+    from kupo_spark.operators.serve import _script_object
+
+    df = spark.createDataFrame([("09deadbeef",)], "script string").select(
+        _script_object(F.col("script")).alias("obj")
+    )
+    got = df.collect()[0]["obj"]
+    assert got == '{"script":"deadbeef","language":"unknown:09"}'

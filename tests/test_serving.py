@@ -188,7 +188,11 @@ def test_etag_is_memoized_and_swap_fresh(index, spark):
     assert rows
     # a swap builds a fresh Serving: its caches are empty by construction
     s2 = Serving(index, partitions=2)
-    assert s2._row_cache == {} and s2._point_memo == {} and s2._etag_memo is None
+    assert (
+        len(s2._row_cache) == 0
+        and len(s2._point_memo) == 0
+        and s2._etag_memo is None
+    )
     assert [tuple(r) for r in s2.fold_rows(pat)] == [tuple(r) for r in rows]
     s.close()
     s2.close()
@@ -264,6 +268,69 @@ def test_addr_family_served_from_clustered_view_and_cached(serving, spark, index
         Serving.ROW_CACHE_MAX_ROWS = 0
         serving._row_cache.clear()
         rows = serving.fold_rows(addr)
-        assert rows and serving._row_cache == {}
+        assert rows and len(serving._row_cache) == 0
     finally:
         Serving.ROW_CACHE_MAX_ROWS = old
+
+
+def test_lru_cache_byte_budget_and_thread_safety():
+    """The row cache is byte-bounded (kupo's page cache is) and safe under
+    concurrent handler threads — eviction never raises on a racing pop."""
+    import threading
+
+    from kupo_spark.operators.serving import _LruCache
+
+    c = _LruCache(max_entries=1000, max_bytes=100)
+    c.put("a", ("x" * 40,), 40)
+    c.put("b", ("y" * 40,), 40)
+    c.put("c", ("z" * 40,), 40)  # 120 bytes > 100: evicts the LRU entry
+    assert c.get("a") is None and c.get("b") is not None and c.get("c") is not None
+    # LRU, not FIFO: a hit refreshes recency
+    c2 = _LruCache(max_entries=2)
+    c2.put("a", 1)
+    c2.put("b", 2)
+    assert c2.get("a") == 1  # refresh a
+    c2.put("c", 3)  # evicts b (the least recently USED), not a
+    assert c2.get("a") == 1 and c2.get("b") is None and c2.get("c") == 3
+    # hammer from many threads: no KeyError, bounds hold
+    big = _LruCache(max_entries=8)
+    errors = []
+
+    def worker(tid):
+        try:
+            for i in range(500):
+                big.put((tid, i), i)
+                big.get((tid, i - 1))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert errors == [] and len(big) <= 8
+
+
+def test_policy_fold_hot_path_is_order_safe(serving, index, spark):
+    """The no-sort policy fold takes a PINNED broadcast semi-join (narrow,
+    order-preserving) under the gate, and the pure map-key predicate when
+    the key set is declared too big — never an order-destroying shuffle
+    join."""
+    pol = f"{cs.policy_id_of(3)}.*"
+    plan = formatted_plan(serving.fold(pol))
+    query_side = plan.split("InMemoryRelation", 1)[0]
+    assert "BroadcastHashJoin" in query_side and "LeftSemi" in query_side
+    assert "SortMergeJoin" not in query_side
+    # force the fallback: with a zero limit the plan has NO join at all
+    old = Serving.POLICY_BROADCAST_LIMIT
+    try:
+        Serving.POLICY_BROADCAST_LIMIT = 0
+        s2 = Serving(index, partitions=2)
+        plan2 = formatted_plan(s2.fold(pol))
+        q2 = plan2.split("InMemoryRelation", 1)[0]
+        assert "Join" not in q2
+        # and both plans return identical ordered rows
+        a = [tuple(r) for r in serving.fold_rows(pol)]
+        b = [tuple(r) for r in s2.fold_rows(pol)]
+        assert a == b and a
+    finally:
+        Serving.POLICY_BROADCAST_LIMIT = old
