@@ -105,7 +105,13 @@ def decode_item(data: bytes, pos: int = 0):
         pos += val
         if mt == 2:
             return ("bytes", ai, raw), pos
-        return ("text", ai, raw.decode("utf-8")), pos
+        try:
+            return ("text", ai, raw.decode("utf-8")), pos
+        except UnicodeDecodeError as e:
+            # the module's malformed-input signal is CborError — a leaked
+            # UnicodeDecodeError escapes callers' except clauses and kills
+            # whole UDF batches on one bad string
+            raise CborError(f"invalid UTF-8 in text string: {e}") from e
 
     if mt == 4:
         items = []
@@ -147,6 +153,11 @@ def decode_item(data: bytes, pos: int = 0):
     if ai < 24:
         return ("simple", ai, ai), pos
     if ai == 24:
+        if val < 32:
+            # RFC 8949 §3.3: two-byte simple values 0-31 are NOT
+            # well-formed (they shadow the one-byte encodings); the
+            # reference toolchain (cborg) rejects them
+            raise CborError(f"non-canonical two-byte simple value {val}")
         return ("simple", ai, val), pos
     if ai in (25, 26, 27):
         return ("float", ai, val), pos

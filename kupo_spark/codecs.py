@@ -72,6 +72,11 @@ def bech32_encode(hrp: str, payload: bytes) -> str:
 def bech32_decode(text: str) -> tuple[str, bytes] | None:
     if any(ord(c) < 33 or ord(c) > 126 for c in text):
         return None
+    # BIP-173: mixed-case strings are invalid (the reference's bech32
+    # library rejects them as StringToDecodeHasMixedCase) — lowercasing
+    # first would accept what kupo refuses
+    if text != text.lower() and text != text.upper():
+        return None
     text = text.lower()
     pos = text.rfind("1")
     if pos < 1 or pos + 7 > len(text):
@@ -168,16 +173,27 @@ def unshuffle_address(row_hex: str) -> tuple[int, bytes]:
     Returns ``(tag, ledger_bytes)``.
     """
     raw = bytes.fromhex(row_hex)
+    if not raw:
+        raise ValueError("empty address row")
     tag, body = raw[0], raw[1:]
     if tag == 0:
         return tag, body
+    # length guards raise ValueError (the error class address_to_text's
+    # pass-through catch handles) — a bare slice would raise IndexError
+    # and abort the whole rendering UDF batch on one malformed row
     if tag == 1:
+        if len(body) < 29:
+            raise ValueError("truncated base address row")
         delegation, header, payment = body[:28], body[28], body[29:]
         return tag, bytes([header]) + payment + delegation
     if tag == 2:
+        if len(body) < 29:
+            raise ValueError("truncated pointer address row")
         payment, header, ptr = body[-28:], body[-29], body[:-29]
         return tag, bytes([header]) + payment + ptr
     if tag == 3:
+        if len(body) < 1:
+            raise ValueError("truncated enterprise address row")
         return tag, bytes([body[0]]) + body[1:]
     raise ValueError(f"unknown address tag {tag}")
 
@@ -209,7 +225,16 @@ def address_from_bech32(text: str) -> str | None:
     hrp, payload = dec
     if hrp in ("addr", "addr_test") and len(payload) >= 29:
         header, payment = payload[0], payload[1:29]
-        delegation = payload[29:57] if len(payload) >= 57 else None
+        addr_type = header >> 4
+        rest = payload[29:]
+        if addr_type in (4, 5):
+            # pointer address: the tail is the VARIABLE-width pointer and
+            # rides the middle slot whole (the tag-2 arm of
+            # unshuffle_address parses it back from there) — slicing 28
+            # bytes here would silently drop or corrupt it
+            delegation = rest or None
+        else:
+            delegation = rest[:28] if len(rest) >= 28 else None
         return reshuffle_address(header, payment, delegation)
     if hrp in ("stake", "stake_test") and len(payload) == 29:
         return payload[1:].hex()  # reward account: header ‖ 28B credential

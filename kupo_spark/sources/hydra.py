@@ -115,8 +115,16 @@ def _engine_address(raw: bytes) -> str:
     if header >> 4 == 0x8:
         return "00" + raw.hex()
     payment = raw[1:29]
-    delegation = raw[29:57] if len(raw) >= 57 else None
-    return reshuffle_address(header, payment, delegation or None)
+    rest = raw[29:]
+    if header >> 4 in (4, 5):
+        # pointer address: the tail is the VARIABLE-width pointer and is
+        # preserved whole in the middle slot (addressToRow keeps it; the
+        # tag-2 unshuffle arm parses it back) — a 28-byte slice would
+        # drop or corrupt it
+        delegation = rest or None
+    else:
+        delegation = rest[:28] if len(rest) >= 28 else None
+    return reshuffle_address(header, payment, delegation)
 
 
 def _decode_value(node) -> tuple[int, dict]:
@@ -135,8 +143,17 @@ def _decode_value(node) -> tuple[int, dict]:
 
 def _pack_script_node(tag: int, body) -> tuple[str, str]:
     """Language tag + script body node → (blake2b-224 hash, tag‖body hex) —
-    the ledger's `scriptFromBytes` form shared with the Ogmios source."""
-    packed = bytes([tag]) + cbor.encode(body)
+    the ledger's `scriptFromBytes` form shared with the Ogmios source.
+
+    Plutus bodies (tags 1-3) are CBOR bytes ITEMS whose CONTENT is the
+    script — the ledger hashes/stores the content, and the Ogmios source
+    packs ``script['cbor']`` which is that content.  Re-encoding the item
+    would smuggle its length head into the packing and yield a hash that
+    matches neither the ledger script hash nor the Ogmios-sourced row.
+    Native bodies (tag 0) are the timelock CBOR STRUCTURE, whose encoding
+    IS the script bytes."""
+    raw = cbor.to_plain(body) if body[0] == "bytes" else cbor.encode(body)
+    packed = bytes([tag]) + raw
     return _blake2b(packed, 28), packed.hex()
 
 
@@ -422,10 +439,16 @@ def partial_blocks(decoded: DataFrame) -> DataFrame:
     )
 
 
-def tips(decoded: DataFrame) -> DataFrame:
+def tips(decoded: DataFrame, blocks: DataFrame | None = None) -> DataFrame:
     """The tip implied by each block-bearing message (mkHydraBlock's Tip:
-    height = slot = snapshot number)."""
-    blocks = partial_blocks(decoded)
+    height = slot = snapshot number).
+
+    ``blocks``: pass an already-built (ideally persisted) ``partial_blocks``
+    frame to share its snapshot decode — the Python CBOR UDF is the
+    dominant per-batch cost, and a separate lineage re-runs it per
+    action."""
+    if blocks is None:
+        blocks = partial_blocks(decoded)
     return (
         blocks.groupBy("slot_no", "header_hash")
         .agg(F.first("slot_no").alias("height"))

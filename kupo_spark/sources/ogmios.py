@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 
 import pandas
 from pyspark.sql import DataFrame, SparkSession
@@ -178,6 +179,56 @@ def _blake2b256_batch(hex_payload: pandas.Series) -> pandas.Series:
 
 
 blake2b_256_hex = pandas_udf(_blake2b256_batch, returnType=StringType())
+
+
+_ENGINE_HEX = re.compile(r"(00|01|02|03)([0-9a-f][0-9a-f])+")
+
+
+def _normalize_address_batch(addr: pandas.Series) -> pandas.Series:
+    """Wire address text → the reshuffled engine row form.
+
+    A real Ogmios v6 endpoint serves bech32 (`addr1…`) / base58 (Byron)
+    address TEXT, while the matching/indexing layer assumes the reshuffled
+    hex rows (Database.hs:536-599) — without this normalization every
+    address/credential pattern silently matches nothing on an Ogmios-fed
+    index (the reference normalizes in its own decoder, Ogmios.hs).
+    Already-normalized rows (the engine-hex replay fixtures) take the
+    regex fast path untouched."""
+    from kupo_spark import cbor as _cbor
+    from kupo_spark.codecs import address_from_bech32, base58_decode
+
+    def looks_byron(raw: bytes) -> bool:
+        # Byron addresses are CBOR `[tag24(root-payload), crc]` — any
+        # base58-alphabet string decodes to SOME bytes, so the structure
+        # check is what separates a real bootstrap address from text
+        try:
+            node = _cbor.decode(raw)
+        except _cbor.CborError:
+            return False
+        return (
+            node[0] == "array"
+            and len(node[2]) == 2
+            and node[2][0][0] == "tag"
+            and node[2][0][2][0] == 24
+        )
+
+    def norm(a):
+        if a is None:
+            return None
+        if _ENGINE_HEX.fullmatch(a):
+            return a
+        via = address_from_bech32(a)
+        if via is not None:
+            return via
+        raw = base58_decode(a)
+        if raw is not None and looks_byron(raw):
+            return "00" + raw.hex()
+        return a  # unknown text: keep verbatim (lenient decode contract)
+
+    return addr.map(norm)
+
+
+normalize_address = pandas_udf(_normalize_address_batch, returnType=StringType())
 
 
 def _metadatum_from_json_value(v):
@@ -378,7 +429,7 @@ def partial_blocks(decoded: DataFrame) -> DataFrame:
             o.isNotNull(),
             F.struct(
                 F.col("po.output_index").alias("output_index"),
-                o["address"].alias("address"),
+                normalize_address(o["address"]).alias("address"),
                 F.element_at(F.element_at(o["value"], "ada"), "lovelace").alias("coins"),
                 F.map_filter(
                     F.coalesce(

@@ -215,3 +215,20 @@ def test_chain_script_payloads_are_language_tagged_cbor(spark, blocks):
         assert raw[0] == 0x02  # plutus:v2 language tag
         node = cbor.decode(raw[1:])
         assert node[0] == "bytes" and len(node[2]) == 4
+
+
+def test_strict_rejects_non_wellformed_simple_and_utf8():
+    """RFC 8949 §3.3: two-byte simple values 0-31 are not well-formed;
+    invalid UTF-8 in a text string surfaces as CborError (the module's
+    malformed-input signal), never UnicodeDecodeError."""
+    import pytest as _pytest
+
+    from kupo_spark import cbor as C
+
+    with _pytest.raises(C.CborError):
+        C.decode(b"\xf8\x14")
+    with _pytest.raises(C.CborError):
+        C.decode(bytes([0x61, 0xFF]))
+    # the one-byte encodings and >=32 two-byte values still decode
+    assert C.to_plain(C.decode(b"\xf5")) is True
+    assert C.to_plain(C.decode(b"\xf8\x20")) == ("simple", 32)

@@ -126,3 +126,50 @@ def test_datum_info_roundtrip():
         assert unpack_datum_info(b) == (kind, h)
     with pytest.raises(ValueError):
         unpack_datum_info(b"\x02" + bytes(32))
+
+
+def test_pointer_address_roundtrip():
+    """Pointer addresses (header types 4/5) carry a VARIABLE-width pointer
+    that must survive reshuffle → unshuffle → text byte-exactly (it was
+    silently dropped before; Database.hs keeps it in the middle slot)."""
+    from kupo_spark.codecs import (
+        address_from_bech32,
+        address_to_text,
+        bech32_encode,
+        unshuffle_address,
+    )
+
+    header = 0x41  # type 4 (payment key + pointer), mainnet
+    payment = bytes(range(28))
+    ptr = bytes([0x81, 0x01, 0x02])  # variable-width pointer
+    ledger = bytes([header]) + payment + ptr
+    text = bech32_encode("addr", ledger)
+    row = address_from_bech32(text)
+    assert row is not None and row.startswith("02")  # pointer tag
+    tag, back = unshuffle_address(row)
+    assert tag == 2 and back == ledger  # pointer preserved whole
+    assert address_to_text(row) == text
+
+
+def test_unshuffle_truncated_rows_raise_value_error():
+    """Malformed rows raise ValueError (the class the serve path's
+    pass-through catches), never IndexError."""
+    import pytest as _pytest
+
+    from kupo_spark.codecs import unshuffle_address
+
+    for bad in ("01abcd", "02abcd", "03", ""):
+        with _pytest.raises(ValueError):
+            unshuffle_address(bad)
+
+
+def test_bech32_rejects_mixed_case():
+    """BIP-173: mixed-case strings are invalid (the reference's bech32
+    library throws StringToDecodeHasMixedCase)."""
+    from kupo_spark.codecs import bech32_decode, bech32_encode
+
+    text = bech32_encode("addr", bytes([0x61]) + bytes(28))
+    assert bech32_decode(text) is not None
+    assert bech32_decode(text.upper()) is not None  # all-upper is legal
+    mixed = text[:5] + text[5].swapcase() + text[6:]
+    assert bech32_decode(mixed) is None

@@ -50,7 +50,11 @@ def _script_node():
     return cbor.mk_array([cbor.mk_uint(2), cbor.mk_bytes(SCRIPT_BODY)])
 
 
-PACKED_SCRIPT = b"\x02" + cbor.encode(cbor.mk_bytes(SCRIPT_BODY))
+# ledger scriptFromBytes form: language tag ‖ script CONTENT (the bytes
+# item's payload, NOT its re-encoded CBOR with the length head) — this is
+# what hashScript hashes and what the Ogmios source packs from
+# script['cbor'], so both sources produce the same row
+PACKED_SCRIPT = b"\x02" + SCRIPT_BODY
 
 
 def _rich_tx():
@@ -323,3 +327,18 @@ def test_genesis_address_decode_paths():
     assert _genesis_address(base58_encode(byron)) == "00" + byron.hex()
     with pytest.raises(ValueError, match="undecodable genesis address"):
         _genesis_address("addr1notanaddress")
+
+
+def test_script_packing_matches_ogmios_source():
+    """Cross-source W3 invariant: the same Plutus script content packs to
+    the same (hash, cbor) row from both decoders — the Hydra CBOR path
+    must strip the bytes item's length head exactly as the Ogmios JSON
+    path receives the content."""
+    from kupo_spark.sources.hydra import _pack_script_node
+    from kupo_spark.sources.ogmios import _pack_script
+
+    h_hash, h_cbor = _pack_script_node(2, cbor.mk_bytes(SCRIPT_BODY))
+    o_hash, o_cbor = _pack_script(
+        {"language": "plutus:v2", "cbor": SCRIPT_BODY.hex()}
+    )
+    assert (h_hash, h_cbor) == (o_hash, o_cbor)

@@ -594,3 +594,35 @@ def test_canonical_blocks_committed_fixture(spark):
 
     rows = canonical_blocks(spark, OGMIOS_SEGMENTS).select("slot_no").collect()
     assert sorted({r.slot_no for r in rows}) == [10, 20, 25, 35, 45]
+
+
+def test_address_normalization_wire_forms():
+    """A real Ogmios endpoint serves bech32/base58 address TEXT; the
+    decoder normalizes every form to the reshuffled engine row (engine-hex
+    replay fixtures pass through untouched, and near-miss base58 text is
+    NOT munged into a fake Byron row)."""
+    import pandas as pd
+
+    from kupo_spark import cbor
+    from kupo_spark.codecs import base58_encode, bech32_encode
+    from kupo_spark.sources.ogmios import _normalize_address_batch
+
+    pay, delg = bytes([0x11]) * 28, bytes([0x22]) * 28
+    shelley = bech32_encode("addr", bytes([0x01]) + pay + delg)
+    byron_raw = cbor.encode(
+        cbor.mk_array(
+            [cbor.mk_tag(24, cbor.mk_bytes(b"\x83\x00\x01\x02")), cbor.mk_uint(123)]
+        )
+    )
+    byron = base58_encode(byron_raw)
+    engine = "01" + delg.hex() + "01" + pay.hex()
+    got = list(
+        _normalize_address_batch(
+            pd.Series([shelley, byron, engine, "addr1return", None])
+        )
+    )
+    assert got[0] == engine  # bech32 → reshuffled row
+    assert got[1] == "00" + byron_raw.hex()  # base58 Byron → tag-00 row
+    assert got[2] == engine  # already-normalized: untouched
+    assert got[3] == "addr1return"  # base58-alphabet text w/o CBOR shape
+    assert got[4] is None
