@@ -673,6 +673,7 @@ def cmd_run(args, serve_forever: bool = True):
         port=args.port,
         read_only=args.read_only,
         streaming=indexer if args.follow else None,
+        rendered_addresses=args.rendered_addresses,
     ).start()
     stop = threading.Event()
     server._stop_gc = stop  # KupoHttpServer.close() sets it (gardener dies with the server)
@@ -835,6 +836,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gc-interval", type=float, default=3600, metavar="SECONDS")
     p.add_argument("--defer-db-indexes", action="store_true")
     p.add_argument("--read-only", action="store_true")
+    p.add_argument(
+        "--rendered-addresses", action="store_true",
+        help="render /matches addresses as bech32/base58 wire text "
+        "(addressToJson — the upstream's always-on behavior); default "
+        "serves the stored row form",
+    )
     p.add_argument("--host", default="127.0.0.1", metavar="IPv4")
     p.add_argument("--port", type=int, default=1442, metavar="TCP/PORT")
 

@@ -201,9 +201,9 @@ def unshuffle_address(row_hex: str) -> tuple[int, bytes]:
 def address_to_text(address: str) -> str:
     """Rendered address for the JSON surface (``addressToJson``,
     ``Address.hs:25-34``): bech32 with hrp by the header's network nibble
-    for shelley-era rows, base58 for bootstrap rows.  Addresses that are
-    already rendered text (bech32/base58 pass-through sources like the
-    Ogmios/Hydra decoders keep the wire form) are returned verbatim."""
+    for shelley-era rows, base58 for bootstrap rows.  Text that is not a
+    reshuffled row (already-rendered wire text, or the synthetic corpus's
+    opaque hex) is returned verbatim."""
     if not (len(address) >= 4 and address[:2] in ("00", "01", "02", "03")):
         return address
     try:

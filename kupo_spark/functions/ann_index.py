@@ -1,0 +1,283 @@
+"""Persisted ANN index — the build / store / query / grow lifecycle for
+IVF and IVF-PQ over the ACID :class:`kupo_spark.table.Table`.
+
+The transient search paths (:func:`similarity.ivf_topk`,
+:func:`pq.ivf_pq_topk`) re-train and re-encode the corpus inside every
+call — right for one-shot analytics, wrong for a serving index: at
+100 TB the encode IS the expensive pass, and it must run once.  This
+module splits the lifecycle the way real vector stores (FAISS on-disk,
+SCaNN, Milvus) do:
+
+- **build** — train the coarse quantizer (and PQ codebooks) exactly as
+  the transient paths would, encode + cell-assign the corpus once, and
+  commit the codes to a Table **partitioned by centroid_id** with the
+  trained parameters in an atomically-written meta JSON.  Everything is
+  the repo's exact-integer arithmetic, so an index built twice from the
+  same corpus is byte-identical, and `topk` over the store equals the
+  transient function over the raw embeddings (pinned by test).
+- **query** — probes are assigned against the STORED centroids;  the
+  closure path prunes the snapshot to the probed cells' files via the
+  log's partitionValues (``Table.read(file_filter=...)``) — "a probe
+  reads nprobe partitions" is literal: unprobed cells are never listed,
+  opened, or scanned.  Scoring reuses the shared kernels
+  (:func:`similarity._keyed_vector_scores`, :func:`pq._adc_cell_scorer`)
+  and the same ``QUERY_COLLECT_LIMIT`` auto-gate switches to the
+  distributed equi-join shape for corpus-sized query sets.
+- **add** — new vectors are encoded with the STORED parameters and
+  appended in one atomic commit; an index grown in batches equals the
+  index built in one shot over the same corpus (tested), because no
+  training state depends on the later arrivals.  (Like every ANN system
+  with a frozen quantizer, recall degrades if the data distribution
+  drifts from the training sample — that is what ``refresh`` is for.)
+- **refresh** — retrain + re-encode over a new corpus in ONE overwrite
+  commit; concurrent readers keep their snapshot (Table MVCC), a crash
+  leaves the old index intact.
+
+Reference analog: none — kupo has no vector surface; this extends the
+LLM-data-pipeline family (SURVEY.md §2, similarity-search operators).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from kupo_spark.functions import pq as _pq
+from kupo_spark.functions.similarity import (
+    DIM,
+    QUERY_COLLECT_LIMIT,
+    _ivf_centroids,
+    _join_scored,
+    _keyed_vector_scores,
+    _probe_rows,
+    nearest_centroid_rows,
+    nearest_centroids_multi,
+    quantized,
+    topk_merge,
+)
+from kupo_spark.table import Table
+
+__all__ = ["VectorIndex"]
+
+META_FILE = "ann_meta.json"
+
+#: IVF-PQ layout: 4-bit codes, one row per vector, hive-partitioned by cell
+CODES_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("code", ArrayType(LongType())),
+        StructField("centroid_id", LongType()),
+    ]
+)
+
+#: IVF-flat layout: the quantized vector itself per cell (exact search
+#: within probed cells; ~8x the storage of PQ)
+FLAT_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("q", ArrayType(LongType())),
+        StructField("centroid_id", LongType()),
+    ]
+)
+
+
+def _write_meta(root: Path, meta: dict) -> None:
+    """Atomic meta publish: write-then-rename, same discipline as the
+    Table log (a crash mid-write never leaves a torn meta)."""
+    tmp = root / f".{META_FILE}.{uuid.uuid4().hex}"
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, root / META_FILE)
+
+
+class VectorIndex:
+    """A persisted IVF / IVF-PQ index rooted at a directory.
+
+    ``VectorIndex.build(root, emb, ...)`` to create;
+    ``VectorIndex(root)`` to open an existing one."""
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        meta_path = self.root / META_FILE
+        if not meta_path.exists():
+            raise FileNotFoundError(f"no ANN index meta at {meta_path}")
+        self.meta = json.loads(meta_path.read_text())
+        self.table = Table(str(self.root / "codes"))
+
+    # -- lifecycle --------------------------------------------------------
+
+    @staticmethod
+    def build(
+        root: str,
+        emb: DataFrame,
+        pq: bool = True,
+        n_centroids: int = 16,
+        kmeans_iters: int = 0,
+        m: int = _pq.M_SUB,
+        bits: int = _pq.BITS,
+        codebook_iters: int = 3,
+        codebook_sample: int = 4096,
+    ) -> "VectorIndex":
+        """Train, encode, and persist.  Training is identical to the
+        transient paths (same seeds, same exact-integer Lloyd), so the
+        stored index reproduces their results bit-for-bit."""
+        rootp = Path(root)
+        rootp.mkdir(parents=True, exist_ok=True)
+        if (rootp / META_FILE).exists():
+            raise FileExistsError(f"index already exists at {root}")
+        crows = _ivf_centroids(emb, n_centroids, kmeans_iters).collect()
+        centroids = sorted(
+            ([int(r.centroid_id), [int(x) for x in r.cv]] for r in crows),
+            key=lambda c: c[0],
+        )
+        meta = {
+            "mode": "ivf_pq" if pq else "ivf_flat",
+            "dim": DIM,
+            "n_centroids": n_centroids,
+            "kmeans_iters": kmeans_iters,
+            "centroids": centroids,
+        }
+        if pq:
+            meta["codebooks"] = _pq.train_codebooks(
+                emb, m=m, bits=bits, iters=codebook_iters, sample=codebook_sample
+            )
+            meta["m"], meta["bits"] = m, bits
+            meta["codebook_iters"] = codebook_iters
+            meta["codebook_sample"] = codebook_sample
+        table = Table.create(
+            str(rootp / "codes"),
+            CODES_SCHEMA if pq else FLAT_SCHEMA,
+            partition_by=["centroid_id"],
+        )
+        table.append(_encode_rows(emb, meta))
+        # meta publishes LAST: an opener never sees meta without codes
+        _write_meta(rootp, meta)
+        return VectorIndex(root)
+
+    def add(self, emb: DataFrame) -> int:
+        """Encode + assign ``emb`` with the STORED parameters and append
+        atomically.  Growing in batches ≡ one-shot build over the union
+        (no training state depends on later arrivals); vec_ids are the
+        caller's contract — append disjoint ids."""
+        return self.table.append(_encode_rows(emb, self.meta))
+
+    def refresh(self, emb: DataFrame) -> "VectorIndex":
+        """Retrain on (and re-encode) ``emb`` with the same
+        hyperparameters, replacing the stored index in one overwrite
+        commit.  The ANN answer to quantizer drift."""
+        meta = dict(self.meta)
+        crows = _ivf_centroids(
+            emb, meta["n_centroids"], meta["kmeans_iters"]
+        ).collect()
+        meta["centroids"] = sorted(
+            ([int(r.centroid_id), [int(x) for x in r.cv]] for r in crows),
+            key=lambda c: c[0],
+        )
+        if meta["mode"] == "ivf_pq":
+            meta["codebooks"] = _pq.train_codebooks(
+                emb,
+                m=meta["m"],
+                bits=meta["bits"],
+                iters=meta.get("codebook_iters", 3),
+                sample=meta.get("codebook_sample", 4096),
+            )
+        self.table.overwrite(_encode_rows(emb, meta))
+        _write_meta(self.root, meta)
+        self.meta = meta
+        return self
+
+    # -- introspection ----------------------------------------------------
+
+    def _centroid_rows(self) -> list:
+        return [
+            Row(centroid_id=cid, cv=cv) for cid, cv in self.meta["centroids"]
+        ]
+
+    def cells(self) -> dict[int, int]:
+        """Per-cell row counts from the log's per-file stats — no data
+        scan (the ops view: cell balance is THE health metric of an IVF
+        layout)."""
+        out: dict[int, int] = {}
+        for add in self.table.snapshot().files:
+            cell = int(add["partitionValues"]["centroid_id"])
+            stats = add.get("stats")
+            n = (json.loads(stats) if isinstance(stats, str) else stats or {}).get(
+                "numRecords", 0
+            )
+            out[cell] = out.get(cell, 0) + int(n)
+        return out
+
+    # -- query ------------------------------------------------------------
+
+    def topk(
+        self,
+        queries: DataFrame,
+        n_queries: int = 10,
+        k: int = 5,
+        nprobe: int = 1,
+        distributed: bool | None = None,
+    ) -> DataFrame:
+        """(query_id, neighbor_id, cosine, rank): top-k over the stored
+        codes for the first ``n_queries`` vec_ids of ``queries`` (an
+        embeddings frame — queries stay raw/exact, the asymmetric-search
+        contract).  The closure path reads ONLY the probed cells' files
+        (log-level partition pruning); the ``distributed`` gate (auto at
+        ``QUERY_COLLECT_LIMIT``) switches to the centroid_id equi-join
+        with no driver materialization."""
+        spark = queries.sparkSession
+        crows = self._centroid_rows()
+        q = quantized(queries).where(F.col("vec_id") < n_queries)
+        if distributed is None:
+            distributed = n_queries > QUERY_COLLECT_LIMIT
+        if distributed:
+            corpus = self.table.read(spark)
+            probes = nearest_centroids_multi(q, crows, max(1, nprobe))
+            if self.meta["mode"] == "ivf_pq":
+                qtab = _pq._query_tables(
+                    queries, self.meta["codebooks"], n_queries
+                ).join(probes.withColumnRenamed("vec_id", "query_id"), "query_id")
+                return _pq._adc_rank(_pq._adc_join_scored(corpus, qtab), k)
+            scored = _join_scored(corpus, q.join(probes, "vec_id"), ["centroid_id"])
+            return topk_merge(scored, k)
+        probe = _probe_rows(q.collect(), crows, max(1, nprobe))
+        probed_cells = {int(r.centroid_id) for r in probe}
+        corpus = self.table.read(
+            spark,
+            file_filter=lambda a: int(a["partitionValues"]["centroid_id"])
+            in probed_cells,
+        )
+        if self.meta["mode"] == "ivf_pq":
+            qids, tabs = _pq._adc_tables(probe, self.meta["codebooks"])
+            cells = np.array([r.centroid_id for r in probe], dtype=np.int64)
+            scored = corpus.mapInPandas(
+                _pq._adc_cell_scorer(qids, tabs, cells, len(self.meta["codebooks"])),
+                "query_id long, neighbor_id long, adist long",
+            )
+            return _pq._adc_rank(scored, k)
+        return topk_merge(_keyed_vector_scores(corpus, "centroid_id", probe), k)
+
+
+def _encode_rows(emb: DataFrame, meta: dict) -> DataFrame:
+    """The one corpus encode pass: cell assignment against the meta's
+    centroids (+ PQ codes in ivf_pq mode), shaped to the store schema."""
+    crows = [Row(centroid_id=cid, cv=cv) for cid, cv in meta["centroids"]]
+    q = quantized(emb)
+    assign = nearest_centroid_rows(q, crows)
+    if meta["mode"] == "ivf_pq":
+        return (
+            _pq.pq_encode(emb, meta["codebooks"])
+            .join(assign, "vec_id")
+            .select("vec_id", "code", F.col("centroid_id").cast("long"))
+        )
+    return (
+        q.where(F.col("q").isNotNull() & (F.size("q") == DIM))
+        .join(assign, "vec_id")
+        .select("vec_id", "q", F.col("centroid_id").cast("long"))
+    )

@@ -312,6 +312,53 @@ def pq_adc_topk(
     return _adc_rank(scored, k)
 
 
+def _adc_cell_scorer(qids, tabs, cells, m):
+    """mapInPandas kernel scoring stored (vec_id, code, centroid_id) rows
+    against closure-shipped per-probe ADC tables — each probe row only
+    scores codes of its own cell.  Shared by :func:`ivf_pq_topk` and the
+    persisted :class:`~kupo_spark.functions.ann_index.VectorIndex`."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                continue
+            for cell, grp in pdf.groupby("centroid_id", sort=False):
+                sel = cells == cell
+                if not sel.any() or not len(grp):
+                    continue
+                t = tabs[sel]
+                qi = qids[sel]
+                cmat = np.array(grp["code"].tolist(), dtype=np.int64)
+                n = len(grp)
+                dist = np.zeros((len(qi), n), dtype=np.int64)
+                for j in range(m):
+                    dist += t[:, j, :][:, cmat[:, j]]
+                out = pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qi, n),
+                        "neighbor_id": np.tile(grp["vec_id"].values, len(qi)),
+                        "adist": dist.reshape(-1),
+                    }
+                )
+                yield out[out.query_id != out.neighbor_id]
+
+    return score
+
+
+def _adc_join_scored(codes: DataFrame, qtab: DataFrame) -> DataFrame:
+    """Distributed ADC pairing: (vec_id, code, centroid_id) codes
+    equi-joined to (query_id, tab, centroid_id) probe tables, scored by
+    the codegen gather-sum — no Python, no driver collect."""
+    return (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "code", "centroid_id")
+        .join(qtab, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(_ADC_SUM).alias("adist"))
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     codebooks: list,
@@ -350,15 +397,7 @@ def ivf_pq_topk(
         qtab = _query_tables(emb, codebooks, n_queries).join(
             probes.withColumnRenamed("vec_id", "query_id"), "query_id"
         )
-        scored = (
-            codes.select(
-                F.col("vec_id").alias("neighbor_id"), "code", "centroid_id"
-            )
-            .join(qtab, "centroid_id")
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", F.expr(_ADC_SUM).alias("adist"))
-        )
-        return _adc_rank(scored, k)
+        return _adc_rank(_adc_join_scored(codes, qtab), k)
     probe = _probe_rows(queries.collect(), crows, max(1, nprobe))
     qids, tabs = _adc_tables(probe, codebooks)
     # cell each (replicated) probe row targets, aligned with qids
@@ -366,32 +405,8 @@ def ivf_pq_topk(
         [r.centroid_id for r in probe if r.q is not None and len(r.q) == DIM],
         dtype=np.int64,
     )
-    m = len(codebooks)
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf) or not len(qids):
-                continue
-            for cell, grp in pdf.groupby("centroid_id", sort=False):
-                sel = cells == cell
-                if not sel.any() or not len(grp):
-                    continue
-                t = tabs[sel]
-                qi = qids[sel]
-                cmat = np.array(grp["code"].tolist(), dtype=np.int64)
-                n = len(grp)
-                dist = np.zeros((len(qi), n), dtype=np.int64)
-                for j in range(m):
-                    dist += t[:, j, :][:, cmat[:, j]]
-                out = pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qi, n),
-                        "neighbor_id": np.tile(grp["vec_id"].values, len(qi)),
-                        "adist": dist.reshape(-1),
-                    }
-                )
-                yield out[out.query_id != out.neighbor_id]
-
-    scored = codes.mapInPandas(score, "query_id long, neighbor_id long, adist long")
-    scored = scored.withColumn("cosine", -F.col("adist").cast("double")).drop("adist")
-    return topk_merge(scored, k)
+    scored = codes.mapInPandas(
+        _adc_cell_scorer(qids, tabs, cells, len(codebooks)),
+        "query_id long, neighbor_id long, adist long",
+    )
+    return _adc_rank(scored, k)

@@ -116,6 +116,7 @@ class KupoHttpServer:
         read_only: bool = False,
         streaming=None,
         blocks_factory=None,
+        rendered_addresses: bool = False,
     ):
         from kupo_spark.chainspec import LONGEST_ROLLBACK
 
@@ -132,6 +133,10 @@ class KupoHttpServer:
         # Mutations must go through ITS log — an in-memory rewrite would be
         # silently reverted by the next micro-batch's index swap.
         self._streaming = streaming
+        # kupo's addressToJson always emits wire text; a chain-shaped
+        # deployment passes True.  Default False keeps the stored row form
+        # (the driver's synthetic corpus is opaque hex, not re-renderable)
+        self._rendered_addresses = rendered_addresses
         self._lock = threading.RLock()
         self._longest_rollback = (
             LONGEST_ROLLBACK if longest_rollback is None else longest_rollback
@@ -606,7 +611,7 @@ def _make_handler(srv: KupoHttpServer):
                 pattern,
                 resolve_hashes="resolve_hashes" in q,
                 quantity_as_string=as_string,
-                rendered_addresses=False,
+                rendered_addresses=srv._rendered_addresses,
                 **kwargs,
             )
             return self._stream_array(rows, ct, self._cache_headers())

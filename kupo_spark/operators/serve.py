@@ -123,8 +123,12 @@ def result_json(
     JSON payload for GET /matches — byte-exact to the reference encoder.
 
     ``rendered_addresses=True`` converts reshuffled-hex index rows back to
-    bech32/base58 wire text (``addressToJson``); pass-through sources
-    (Ogmios/Hydra) already store wire text and are returned verbatim.
+    bech32/base58 wire text (``addressToJson``) — the reference-faithful
+    mode for chain-shaped indexes, whose sources (Ogmios/Hydra/node)
+    normalize wire addresses into row form at decode.  The default keeps
+    the stored row form, which is what the driver's synthetic-corpus
+    oracle arms compare on (their addresses are opaque hex, not
+    re-renderable Cardano addresses).
     """
     # the chain-order sort (O1) must ride OVER the assets join below, or
     # the join would destroy it — so fold unsorted and sort the rendered

@@ -390,10 +390,15 @@ class Table:
         version: int | None = None,
         timestamp: float | None = None,
         stats_filter=None,
+        file_filter=None,
     ) -> DataFrame:
         """Snapshot read.  ``stats_filter(stats) -> bool`` prunes files from
         the plan using the log's per-file min/max — skipping happens BEFORE
-        any file is listed or opened (Delta data skipping)."""
+        any file is listed or opened (Delta data skipping).
+        ``file_filter(add) -> bool`` prunes on the whole add action —
+        notably ``add["partitionValues"]`` (partition pruning for
+        partitioned tables, where the partition column never appears in
+        the parquet footer stats)."""
         if timestamp is not None:
             version = self.version_at(timestamp)
         snap = self.snapshot(version)
@@ -401,6 +406,8 @@ class Table:
         files = snap.files
         if stats_filter is not None:
             files = [a for a in files if stats_filter(_stats_of(a))]
+        if file_filter is not None:
+            files = [a for a in files if file_filter(a)]
         if not files:
             return spark.createDataFrame([], schema)
         paths = [str(self.root / a["path"]) for a in files]

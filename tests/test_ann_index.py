@@ -1,0 +1,154 @@
+"""Persisted ANN index lifecycle: stored-index queries reproduce the
+transient search paths bit-for-bit, incremental growth equals a one-shot
+build, reopen-from-disk round-trips, refresh retrains atomically, and the
+closure query path provably reads only the probed cells' files."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kupo_spark.functions.ann_index import VectorIndex
+from kupo_spark.functions.pq import ivf_pq_topk, train_codebooks
+from kupo_spark.functions.similarity import ivf_topk
+from kupo_spark.table import Table
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _rows(df):
+    return sorted(df.collect())
+
+
+def test_pq_index_matches_transient_path(spark, tmp_path):
+    emb = spark.read.parquet(EMB)
+    idx = VectorIndex.build(str(tmp_path / "ix"), emb, pq=True, kmeans_iters=1)
+    got = _rows(idx.topk(emb, n_queries=10, k=5, nprobe=2))
+    books = train_codebooks(emb)
+    want = _rows(
+        ivf_pq_topk(emb, books, n_queries=10, k=5, kmeans_iters=1, nprobe=2)
+    )
+    assert got == want
+
+
+def test_flat_index_matches_transient_path(spark, tmp_path):
+    emb = spark.read.parquet(EMB)
+    idx = VectorIndex.build(str(tmp_path / "ix"), emb, pq=False, kmeans_iters=1)
+    got = _rows(idx.topk(emb, n_queries=10, k=5, nprobe=2))
+    want = _rows(ivf_topk(emb, n_queries=10, k=5, kmeans_iters=1, nprobe=2))
+    assert got == want
+
+
+def test_incremental_add_equals_one_shot(spark, tmp_path):
+    """Growing the index in id-ordered batches ≡ building once — valid
+    because the first batch contains the whole training prefix (seed
+    centroids + codebook sample), so training state is identical."""
+    emb = spark.read.parquet(EMB)
+    cut = 400
+    first = emb.where(F.col("vec_id") < cut)
+    rest = emb.where(F.col("vec_id") >= cut)
+    grown = VectorIndex.build(
+        str(tmp_path / "grown"), first, pq=True, codebook_sample=256
+    )
+    grown.add(rest)
+    oneshot = VectorIndex.build(
+        str(tmp_path / "oneshot"), emb, pq=True, codebook_sample=256
+    )
+    assert _rows(grown.table.read(spark)) == _rows(oneshot.table.read(spark))
+    assert _rows(grown.topk(emb, n_queries=8, k=4, nprobe=2)) == _rows(
+        oneshot.topk(emb, n_queries=8, k=4, nprobe=2)
+    )
+
+
+def test_reopen_from_disk(spark, tmp_path):
+    emb = spark.read.parquet(EMB)
+    built = VectorIndex.build(str(tmp_path / "ix"), emb, pq=True)
+    reopened = VectorIndex(str(tmp_path / "ix"))
+    assert reopened.meta == built.meta
+    assert _rows(reopened.topk(emb, n_queries=6, k=3)) == _rows(
+        built.topk(emb, n_queries=6, k=3)
+    )
+
+
+def test_closure_path_reads_only_probed_cells(spark, tmp_path):
+    """Log-level partition pruning: with nprobe=1 the snapshot handed to
+    the scan contains only files of the probed cells."""
+    emb = spark.read.parquet(EMB)
+    idx = VectorIndex.build(str(tmp_path / "ix"), emb, pq=True)
+    seen: list[dict] = []
+    orig = Table.read
+
+    def spy(self, spark_, **kw):
+        if "file_filter" in kw and kw["file_filter"] is not None:
+            ff = kw["file_filter"]
+            snap_files = self.snapshot().files
+            seen.append(
+                {
+                    "total": len(snap_files),
+                    "kept": sum(1 for a in snap_files if ff(a)),
+                    "cells": {
+                        a["partitionValues"]["centroid_id"]
+                        for a in snap_files
+                        if ff(a)
+                    },
+                }
+            )
+        return orig(self, spark_, **kw)
+
+    Table.read = spy
+    try:
+        out = idx.topk(emb, n_queries=3, k=2, nprobe=1).collect()
+    finally:
+        Table.read = orig
+    assert out  # the query itself worked
+    assert seen, "closure path did not use file_filter"
+    info = seen[0]
+    # 3 queries x nprobe=1 -> at most 3 distinct cells of 16 survive
+    assert len(info["cells"]) <= 3
+    assert info["kept"] < info["total"]
+
+
+def test_distributed_query_path_matches_closure(spark, tmp_path):
+    emb = spark.read.parquet(EMB)
+    idx = VectorIndex.build(str(tmp_path / "ix"), emb, pq=True)
+    a = _rows(idx.topk(emb, n_queries=6, k=4, nprobe=2, distributed=False))
+    b = _rows(idx.topk(emb, n_queries=6, k=4, nprobe=2, distributed=True))
+    assert a == b
+    idxf = VectorIndex.build(str(tmp_path / "ixf"), emb, pq=False)
+    af = _rows(idxf.topk(emb, n_queries=6, k=4, nprobe=2, distributed=False))
+    bf = _rows(idxf.topk(emb, n_queries=6, k=4, nprobe=2, distributed=True))
+    assert af == bf
+
+
+def test_refresh_retrains_and_replaces(spark, tmp_path):
+    emb = spark.read.parquet(EMB)
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    idx = VectorIndex.build(str(tmp_path / "ix"), half, pq=True, kmeans_iters=1)
+    v_before = idx.table.latest_version()
+    idx.refresh(emb)
+    assert idx.table.latest_version() > v_before
+    # the refreshed index equals a fresh build over the new corpus
+    fresh = VectorIndex.build(
+        str(tmp_path / "fresh"), emb, pq=True, kmeans_iters=1
+    )
+    assert idx.meta["centroids"] == fresh.meta["centroids"]
+    assert idx.meta["codebooks"] == fresh.meta["codebooks"]
+    assert _rows(idx.table.read(spark)) == _rows(fresh.table.read(spark))
+    # old snapshot still readable (MVCC)
+    assert idx.table.read(spark, version=v_before).count() == half.count()
+
+
+def test_cells_stats_no_scan(spark, tmp_path):
+    emb = spark.read.parquet(EMB)
+    idx = VectorIndex.build(str(tmp_path / "ix"), emb, pq=True)
+    cells = idx.cells()
+    assert sum(cells.values()) == emb.count()
+    assert set(cells) <= set(range(16))
+
+
+def test_build_refuses_overwrite(spark, tmp_path):
+    emb = spark.read.parquet(EMB)
+    VectorIndex.build(str(tmp_path / "ix"), emb, pq=True)
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        VectorIndex.build(str(tmp_path / "ix"), emb, pq=True)

@@ -128,9 +128,15 @@ def _golden_expectations(doc: dict, as_string: bool = False) -> dict[str, str]:
 
 
 def test_golden_vector_byte_exact(golden_index):
+    # rendered_addresses=True is the reference configuration: the sources
+    # normalize wire addresses into reshuffled rows at decode (as kupo's
+    # own decoders do) and resultToJson/addressToJson re-renders wire text
     doc, idx = golden_index
     expected = _golden_expectations(doc)
-    got = {r["output_reference"]: r["result"] for r in result_json(idx, "*").collect()}
+    got = {
+        r["output_reference"]: r["result"]
+        for r in result_json(idx, "*", rendered_addresses=True).collect()
+    }
     assert set(got) == set(expected)
     for ref in sorted(expected):
         assert got[ref] == expected[ref], f"mismatch at {ref}"
@@ -141,14 +147,17 @@ def test_golden_vector_quantity_as_string(golden_index):
     expected = _golden_expectations(doc, as_string=True)
     got = {
         r["output_reference"]: r["result"]
-        for r in result_json(idx, "*", quantity_as_string=True).collect()
+        for r in result_json(
+            idx, "*", quantity_as_string=True, rendered_addresses=True
+        ).collect()
     }
     assert got == expected
 
 
-def test_golden_vector_addresses_pass_through_render(golden_index):
-    """Wire-text addresses (bech32 + Byron base58) survive the render path
-    verbatim — addressToJson emits the original text."""
+def test_golden_vector_addresses_render_to_wire_text(golden_index):
+    """Normalized row-form addresses (bech32 + Byron base58 on the wire)
+    re-render to the original wire text — addressToJson is a bijection on
+    everything the decoder normalized."""
     doc, idx = golden_index
     rows = result_json(idx, "*", rendered_addresses=True).collect()
     wire = {

@@ -119,6 +119,30 @@ def test_matches_wildcard_streams_all_rows(server, index):
     assert slots == sorted(slots, reverse=True)
 
 
+def test_matches_rendered_addresses_flag(spark, index, blocks):
+    """A server built with rendered_addresses=True serves wire-text
+    addresses (addressToJson — kupo's always-on behavior); base-address
+    rows render to bech32 and roundtrip to the stored row."""
+    from kupo_spark.codecs import address_from_bech32
+
+    srv = KupoHttpServer(
+        spark, index, blocks=blocks, patterns=("*",), rendered_addresses=True
+    ).start()
+    try:
+        from kupo_spark.codecs import address_to_text
+
+        status, _, body = _get(f"{srv.url}/matches?unspent")
+        assert status == 200
+        served = {r["address"] for r in json.loads(body)}
+        raw = {r["address"] for r in fold_inputs(index, "*", status="unspent").collect()}
+        assert served == {address_to_text(a) for a in raw}
+        # base-address rows (the bijective family) roundtrip to the store
+        base = [a for a in served if a.startswith("addr") and address_from_bech32(a) in raw]
+        assert base, "no base addresses rendered to bech32"
+    finally:
+        srv.close()
+
+
 def test_matches_pattern_path_and_oldest_first(server, index):
     cred = cs.payment_credential_of(13)
     status, _, body = _get(f"{server.url}/matches/{cred}/*?order=oldest_first")
