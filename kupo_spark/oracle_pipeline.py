@@ -672,13 +672,23 @@ def ivf_topk_and_pq_sql(
 ) -> str:
     """Tagged union: the IVF cell-restricted top-k plus the PQ/ADC top-k —
     the two 100 TB ANN tiers (coarse partition, compressed scoring) under
-    one driver row."""
+    one driver row — plus the PERSISTED-index arms (`ann_index.VectorIndex`
+    built from scratch at query time): 'stored' is the IVF-flat index at
+    nprobe=1, whose ranking IS the ivf arm's; 'stored_pq' is the IVF-PQ
+    index probing every cell, which scores every neighbor with the same
+    per-query ADC tables and therefore IS the flat-ADC ranking.  Both
+    equalities are semantic (same candidates, same exact-integer scores),
+    so the oracle re-derivation checks the stored lifecycle end to end."""
     ivf = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters)
     adc = pq_adc_topk_sql(n_queries, k, iters=pq_iters)
     return f"""
 SELECT 'ivf' AS q, * FROM ({ivf})
 UNION ALL
 SELECT 'pq' AS q, * FROM ({adc})
+UNION ALL
+SELECT 'stored' AS q, * FROM ({ivf})
+UNION ALL
+SELECT 'stored_pq' AS q, * FROM ({adc})
 """
 
 

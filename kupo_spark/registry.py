@@ -510,7 +510,10 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 
 
 def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
     from kupo_spark.functions import pq
+    from kupo_spark.functions.ann_index import VectorIndex
 
     emb = _embs(spark, sf_dir)
     ivf = similarity.ivf_topk(emb, n_queries=10, k=5, kmeans_iters=2).select(
@@ -520,7 +523,28 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = pq.pq_adc_topk(emb, books, n_queries=10, k=5).select(
         F.lit("pq").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
     )
-    return ivf.unionByName(adc)
+    # the PERSISTED index (ann_index.VectorIndex): built from scratch under
+    # a scratch root, queried through the stored centroids/codebooks — the
+    # oracle checks the full build->store->query lifecycle, not the pinned
+    # stored==transient test.  'stored' = IVF-flat (nprobe=1, the ivf arm's
+    # cells); 'stored_pq' = IVF-PQ probing every cell, which is exactly the
+    # flat-ADC ranking (same ADC tables, all neighbors scored).
+    scratch = tempfile.mkdtemp(prefix="annix-")  # lives until process exit:
+    # the returned DataFrame lazily reads the stored parquet cells
+    flat = VectorIndex.build(
+        f"{scratch}/flat", emb, pq=False, n_centroids=16, kmeans_iters=2
+    )
+    stored = flat.topk(emb, n_queries=10, k=5, nprobe=1).select(
+        F.lit("stored").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    pqix = VectorIndex.build(
+        f"{scratch}/pq", emb, pq=True, n_centroids=16, kmeans_iters=2,
+        codebook_iters=2,
+    )
+    stored_pq = pqix.topk(emb, n_queries=10, k=5, nprobe=16).select(
+        F.lit("stored_pq").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return ivf.unionByName(adc).unionByName(stored).unionByName(stored_pq)
 
 
 #: render-mode arms shared by the Spark row and its oracle (C7)

@@ -60,6 +60,10 @@ def sf_dir(sf: str) -> str:
 
 def main() -> None:
     sf = sys.argv[1]
+    # `--only ann` re-measures just the persisted-ANN-index queries and
+    # MERGES them into the sf's existing section (adding a query family
+    # must not force a full re-run of the 3-point curve)
+    only = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv else None
     src = sf_dir(sf)
     from kupo_spark import chainspec as cs
     from kupo_spark.chaingen import load_blocks
@@ -75,6 +79,16 @@ def main() -> None:
     spark = get_spark(f"kupo-scaling-sf{sf}")
     q: dict[str, float] = {}
     rows: dict[str, int] = {}
+
+    if only == "ann":
+        heavy_runs = 1 if float(sf) >= 10 else RUNS
+        embs = spark.read.parquet(f"{src}/embeddings.parquet")
+        rows["embeddings"] = embs.count()
+        _ann_queries(spark, embs, sf, q, heavy_runs)
+        _merge(sf, q, rows, update=True)
+        return
+    elif only:
+        raise SystemExit(f"unknown --only selector: {only}")
 
     # ---- ingest (chain -> index -> partitioned parquet), phase split ----
     index_dir = str(REPO / ".bench" / f"scaling-index-sf{sf}")
@@ -200,7 +214,44 @@ def main() -> None:
     )
     sat.unpersist()
 
-    # ---- merge into SCALING.json ----------------------------------------
+    # ---- persisted ANN index (build once, probe-bounded queries) ---------
+    _ann_queries(spark, embs, sf, q, heavy_runs)
+
+    _merge(sf, q, rows)
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def _ann_queries(spark, embs, sf: str, q: dict, heavy_runs: int) -> None:
+    """functions/ann_index.py lifecycle at scale: build cost should grow
+    ~linearly (one encode pass); the probe-side query should grow ≪
+    linearly (nprobe cells read out of 16 — log-level partition pruning),
+    unlike brute_force_topk which rescans the corpus."""
+    import tempfile
+
+    from kupo_spark.functions.ann_index import VectorIndex
+
+    root = tempfile.mkdtemp(prefix=f"scaling-annix-sf{sf}-")
+    n = [0]
+
+    def build():
+        n[0] += 1
+        return VectorIndex.build(
+            f"{root}/pq{n[0]}", embs, pq=True, n_centroids=16,
+            kmeans_iters=2, codebook_iters=2,
+        )
+
+    q["q_ann_index_build"] = timed(build, heavy_runs)
+    ix = VectorIndex(f"{root}/pq{n[0]}")
+    q["q_ann_index_query"] = timed(
+        lambda: ix.topk(embs, n_queries=10, k=5, nprobe=2).collect(), heavy_runs
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _merge(sf: str, q: dict, rows: dict, update: bool = False) -> None:
+    """Merge this sf point into SCALING.json.  ``update=True`` folds new
+    query keys into an existing section (selective --only re-measures)
+    instead of replacing it."""
     doc = {}
     if OUT.exists():
         doc = json.loads(OUT.read_text())
@@ -216,11 +267,13 @@ def main() -> None:
         }
     )
     doc.setdefault("sfs", {})
-    doc["sfs"][sf] = {
-        "queries": {k: round(v, 4) for k, v in q.items()},
-        "rows": rows,
-        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-    }
+    section = doc["sfs"].get(sf) if update else None
+    if section is None:
+        section = {"queries": {}, "rows": {}}
+        doc["sfs"][sf] = section
+    section["queries"].update({k: round(v, 4) for k, v in q.items()})
+    section["rows"].update(rows)
+    section["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     # per-query ratio table vs the previous sf point, when present
     sfs = sorted(doc["sfs"], key=float)
     ratios = {}
@@ -238,8 +291,7 @@ def main() -> None:
         }
     doc["ratios"] = ratios
     OUT.write_text(json.dumps(doc, indent=1, sort_keys=True) + "\n")
-    shutil.rmtree(index_dir, ignore_errors=True)
-    print(json.dumps({"sf": sf, "queries": doc["sfs"][sf]["queries"], "rows": rows}))
+    print(json.dumps({"sf": sf, "queries": section["queries"], "rows": section["rows"]}))
 
 
 if __name__ == "__main__":
