@@ -24,6 +24,8 @@ def curate(
     lm_floor: float | None = None,
     quality_model=None,
     quality_threshold: float = 0.5,
+    max_df: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(doc_id, keep, drop_reason): keep a document iff it is the canonical
     representative of BOTH its exact-hash group and its near-dup cluster,
@@ -39,10 +41,17 @@ def curate(
       QualityModel`; drop documents the folded classifier scores below
       ``quality_threshold``.
 
+    ``max_df`` / ``max_bucket`` pass through to the near-dup clustering's
+    LSH saturation guards (:func:`dedup.minhash_near_dup_pairs`) — a
+    boilerplate-heavy corpus must be able to guard the SHIPPED curation
+    path, not just the standalone pair operator.
+
     Each enabled gate is one more per-doc signal joined on doc_id — the
     composition's scale behavior stays that of its parts."""
     exact = exact_duplicates(docs).select("doc_id", "canonical_doc_id")
-    clusters = near_dup_clusters(docs, threshold=near_dup_threshold)
+    clusters = near_dup_clusters(
+        docs, threshold=near_dup_threshold, max_df=max_df, max_bucket=max_bucket
+    )
     stats = token_stats(docs).select("doc_id", "n_tokens")
     joined = (
         docs.select("doc_id")

@@ -305,6 +305,8 @@ def minhash_near_dup_pairs(
 def near_dup_clusters(
     docs: DataFrame, threshold: float = 0.5, max_iters: int = 20,
     check_every: int = 2,
+    broadcast_id_limit: int = BROADCAST_ID_LIMIT,
+    max_df: int | None = None, max_bucket: int | None = None,
 ) -> DataFrame:
     """Duplicate clusters: connected components over the near-dup pair
     graph, by iterative min-label propagation (the standard large-graph CC
@@ -313,10 +315,18 @@ def near_dup_clusters(
     output is a total map doc_id → canonical cluster id, ready for the
     keep-one-per-cluster filter.
 
+    ``max_df`` / ``max_bucket`` / ``broadcast_id_limit`` pass through to
+    :func:`minhash_near_dup_pairs` — a dup-saturated corpus needs its
+    guards in the clustered path too (clustering a saturated pair list is
+    strictly worse than generating it).
+
     The driver-side convergence count is an extra job per probe, so it runs
     only every ``check_every`` rounds — a converged extra round is a cheap
     no-op join, while a skipped count at 100 TB is a whole scan saved."""
-    pairs = minhash_near_dup_pairs(docs, threshold).select("doc_a", "doc_b")
+    pairs = minhash_near_dup_pairs(
+        docs, threshold, broadcast_id_limit=broadcast_id_limit,
+        max_df=max_df, max_bucket=max_bucket,
+    ).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()

@@ -43,8 +43,14 @@ def prepare_training_data(
     quality_threshold: float = 0.5,
     sample_fraction: float | None = None,
     seed: str = "0",
+    max_df: int | None = None,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full preparation flow; returns (shard manifest, report).
+
+    ``max_df`` / ``max_bucket`` are the near-dup LSH saturation guards
+    (:func:`kupo_spark.functions.dedup.minhash_near_dup_pairs`), passed
+    through curation — set them for boilerplate-heavy crawls.
 
     The report counts documents entering/surviving each stage plus the
     curation drop-reason histogram — the numbers a dataset card needs."""
@@ -90,6 +96,8 @@ def prepare_training_data(
                 lm_floor=lm_floor,
                 quality_model=quality_model,
                 quality_threshold=quality_threshold,
+                max_df=max_df,
+                max_bucket=max_bucket,
             )
         )
         report["drop_reasons"] = {

@@ -383,7 +383,6 @@ def ivf_pq_topk(
     tables are a codegen projection, and candidates pair via a
     centroid_id equi-join — no per-query driver materialization."""
     import numpy as np
-    import pandas as pd
 
     q = quantized(emb)
     crows = _ivf_centroids(emb, n_centroids, kmeans_iters).collect()

@@ -167,20 +167,35 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def tfidf_top_terms(docs: DataFrame, top: int = 3) -> DataFrame:
+#: vocabulary-broadcast cutoff for tf-idf: a curated corpus's vocabulary
+#: grows sub-linearly, but a raw web crawl's does not (URLs, hashes,
+#: typos) — above this many distinct terms the df join falls back to a
+#: shuffle on the term key (uniform md5-ish distribution of real token
+#: strings; AQE splits any residual "the"-style head).  Same explicit-gate
+#: discipline as dedup.BROADCAST_ID_LIMIT / similarity.QUERY_COLLECT_LIMIT.
+BROADCAST_VOCAB_LIMIT = 2_000_000
+
+
+def tfidf_top_terms(
+    docs: DataFrame, top: int = 3, broadcast_vocab_limit: int = BROADCAST_VOCAB_LIMIT
+) -> DataFrame:
     """TF-IDF weighting with the top-`top` terms per document (tie-break on
     the term).  Classic pre-training-corpus featurization: two aggregations
-    (term frequency per doc, document frequency per term) + a window —
-    df(term) is a broadcast-sized dimension at any corpus size since the
-    vocabulary grows sub-linearly."""
+    (term frequency per doc, document frequency per term) + a window.
+
+    The df(term) dimension broadcasts while the vocabulary is under
+    ``broadcast_vocab_limit`` distinct terms (the aggregate is already
+    materialized for the join, so the count is one cheap extra job on the
+    persisted frame); above it the join shuffles on the term key."""
     tok = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tok.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df_t")
-    )
+    ).persist()
+    small_vocab = dfreq.count() <= broadcast_vocab_limit
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq) if small_vocab else dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf", F.expr("round(tf * ln(n_docs / df_t), 6)"))
     )

@@ -93,3 +93,22 @@ def test_boilerplate_saturation_guards(spark, docs):
     }
     assert len(planted & found) / len(planted) >= 0.95
     assert len(exact & found) / max(1, len(exact)) >= 0.95
+
+
+def test_cluster_guards_pass_through(docs):
+    """near_dup_clusters forwards the saturation guards: on a clean corpus
+    generous caps (and the shuffle id-join fallback) are semantics-neutral,
+    so the guarded fixpoint equals the unguarded one — the plumbing the
+    shipped curation path relies on."""
+    plain = sorted(
+        (r.doc_id, r.cluster)
+        for r in near_dup_clusters(docs, threshold=0.5).collect()
+    )
+    guarded = sorted(
+        (r.doc_id, r.cluster)
+        for r in near_dup_clusters(
+            docs, threshold=0.5, max_df=10_000, max_bucket=10_000,
+            broadcast_id_limit=0,
+        ).collect()
+    )
+    assert plain == guarded

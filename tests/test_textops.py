@@ -81,3 +81,17 @@ def test_empty_doc_stats_define_to_zero(spark):
     qs = {r.doc_id: r for r in quality_score(docs).collect()}
     assert qs[2].stopword_ratio == 0.0 and qs[2].quality_score == 0.0
     assert not qs[2].gopher_pass
+
+
+def test_tfidf_vocab_broadcast_gate(spark):
+    """tfidf_top_terms above the vocabulary-broadcast cutoff falls back to
+    a shuffled df join — same rows either way (the gate is a plan choice,
+    never a semantics choice)."""
+    from kupo_spark.functions.textops import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bcast = sorted(map(tuple, tfidf_top_terms(docs).collect()))
+    shuffled = sorted(
+        map(tuple, tfidf_top_terms(docs, broadcast_vocab_limit=0).collect())
+    )
+    assert bcast == shuffled and len(bcast) > 0
