@@ -214,6 +214,20 @@ class VectorIndex:
             out[cell] = out.get(cell, 0) + int(n)
         return out
 
+    def max_vec_id(self) -> int | None:
+        """Largest stored vec_id, from the log's per-file max stats — no
+        data scan.  None on an empty index.  The id-monotonicity /
+        replay-detection probe of the streaming growth path."""
+        mx = None
+        for add in self.table.snapshot().files:
+            stats = add.get("stats")
+            v = (json.loads(stats) if isinstance(stats, str) else stats or {}).get(
+                "maxValues", {}
+            ).get("vec_id")
+            if v is not None:
+                mx = int(v) if mx is None else max(mx, int(v))
+        return mx
+
     # -- query ------------------------------------------------------------
 
     def topk(

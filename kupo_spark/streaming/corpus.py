@@ -58,3 +58,50 @@ def streaming_near_dedup(
     if trigger_kwargs:
         writer = writer.trigger(**trigger_kwargs)
     return writer.start()
+
+
+def streaming_index_vectors(
+    stream_emb: DataFrame,
+    index_root: str,
+    checkpoint: str,
+    **trigger_kwargs,
+):
+    """Continuous growth of a persisted ANN index
+    (:class:`~kupo_spark.functions.ann_index.VectorIndex`): each
+    micro-batch of (vec_id, embedding) rows is encoded with the STORED
+    parameters and appended in one atomic commit — the live-frontier
+    analog of :func:`streaming_near_dedup` for the vector tier.  The
+    index must be BUILT first (training needs a seed corpus — the
+    frozen-quantizer contract; ``refresh`` handles drift out of band).
+
+    Exactly-once under id-monotone arrival: a replayed micro-batch
+    (Structured Streaming re-delivery after a failure) is detected from
+    the log's per-file max-vec_id stats — no data scan — and
+    short-circuits instead of double-appending; a genuinely non-monotone
+    batch fails loudly (it could not have been absorbed atomically).
+    Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from kupo_spark.functions.ann_index import VectorIndex
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ix = VectorIndex(index_root)
+        lo, hi = batch_df.agg(F.min("vec_id"), F.max("vec_id")).first()
+        stored_max = ix.max_vec_id()
+        if stored_max is not None and lo <= stored_max:
+            if hi <= stored_max:
+                return  # replay of a fully-absorbed batch
+            raise ValueError(
+                f"vector batch is not id-monotone: min vec_id {lo} <= "
+                f"stored max {stored_max} but max {hi} is new"
+            )
+        ix.add(batch_df)
+
+    writer = stream_emb.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_kwargs:
+        writer = writer.trigger(**trigger_kwargs)
+    return writer.start()

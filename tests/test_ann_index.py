@@ -152,3 +152,64 @@ def test_build_refuses_overwrite(spark, tmp_path):
 
     with pytest.raises(FileExistsError):
         VectorIndex.build(str(tmp_path / "ix"), emb, pq=True)
+
+
+def test_streaming_index_vectors_equals_one_shot(spark, tmp_path):
+    """Live-frontier growth: seed-built index + streamed id-monotone
+    batches == the one-shot build over the union (frozen quantizer), and
+    a second availableNow run over the same source (every batch a replay)
+    appends nothing."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from kupo_spark.streaming.corpus import streaming_index_vectors
+
+    emb = spark.read.parquet(EMB)
+    # the frozen-quantizer contract needs identical training state on both
+    # sides: seed centroids (kmeans_iters=0 -> first 16 vectors) and a
+    # codebook sample bounded INSIDE the seed prefix
+    seed = emb.where(F.col("vec_id") < 60)
+    built = VectorIndex.build(
+        str(tmp_path / "ix"), seed, pq=True, kmeans_iters=0, codebook_sample=60
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = emb.where(F.col("vec_id") >= 60).toPandas().sort_values("vec_id")
+    now = _t.time() - 3600
+    ids = sorted(pdf.vec_id)
+    cut = ids[len(ids) // 2] if ids else 60
+    for i, part in enumerate((pdf[pdf.vec_id < cut], pdf[pdf.vec_id >= cut])):
+        p = f"{src}/f{i}.parquet"
+        part.to_parquet(p)
+        os.utime(p, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def run(ckpt):
+        q = streaming_index_vectors(
+            stream, str(tmp_path / "ix"), str(tmp_path / ckpt), availableNow=True
+        )
+        q.awaitTermination(180)
+
+    run("ckpt")
+    oneshot = VectorIndex.build(
+        str(tmp_path / "one"), emb, pq=True, kmeans_iters=0, codebook_sample=60
+    )
+    grown = VectorIndex(str(tmp_path / "ix"))
+    # same params (trained on the same seed prefix) -> byte-equal stores...
+    assert grown.meta["codebooks"] == oneshot.meta["codebooks"]
+    assert _rows(grown.table.read(spark)) == _rows(oneshot.table.read(spark))
+    # ...and identical query answers
+    assert _rows(grown.topk(emb, n_queries=8, k=4, nprobe=2)) == _rows(
+        oneshot.topk(emb, n_queries=8, k=4, nprobe=2)
+    )
+    # replay: a fresh checkpoint re-delivers every file; nothing appends
+    v = grown.table.latest_version()
+    run("ckpt2")
+    assert VectorIndex(str(tmp_path / "ix")).table.latest_version() == v
