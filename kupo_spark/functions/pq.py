@@ -50,7 +50,10 @@ from kupo_spark.functions.similarity import (
     topk_merge,
 )
 
-__all__ = ["train_codebooks", "pq_encode", "pq_reconstruct", "pq_adc_topk", "ivf_pq_topk"]
+__all__ = [
+    "train_codebooks", "pq_encode", "pq_reconstruct", "pq_adc_topk",
+    "pq_refined_topk", "ivf_pq_topk",
+]
 
 M_SUB = 8  #: subspaces (64-dim -> 8 dims each)
 BITS = 4  #: 2^4 = 16 centroids per subspace -> 4 bits/code, 8 codes/vector
@@ -310,6 +313,55 @@ def pq_adc_topk(
 
     scored = codes.mapInPandas(score, "query_id long, neighbor_id long, adist long")
     return _adc_rank(scored, k)
+
+
+def pq_refined_topk(
+    emb: DataFrame,
+    codebooks: list,
+    n_queries: int = 10,
+    k: int = 5,
+    refine: int = 4,
+    distributed: bool | None = None,
+) -> DataFrame:
+    """Two-stage search with exact reranking — the FAISS ``RefineFlat``
+    stage every production PQ deployment runs: ADC ranks the WHOLE corpus
+    from 8-byte codes to a top-``k·refine`` candidate list per query, then
+    only those candidates' raw vectors are read back and reranked by the
+    exact integer cosine.  Recall approaches exact search as ``refine``
+    grows while the expensive exact arithmetic touches ``k·refine`` rows
+    per query instead of the corpus.
+
+    Scale shape: stage 1 is :func:`pq_adc_topk` (one code scan, no
+    reconstruction); stage 2 joins the tiny candidate list (broadcast —
+    ``n_queries·k·refine`` rows by construction) against the vector
+    table, so the corpus is scanned once per stage and never shuffled.
+    Ranking ties and rounding match :func:`similarity.brute_force_topk`
+    exactly, so a candidate set that contains the true top-k yields the
+    identical rows."""
+    from kupo_spark.functions.similarity import _COSINE, _DOT, _NORM
+
+    cand = pq_adc_topk(
+        emb, codebooks, n_queries, k * refine, distributed=distributed
+    ).select("query_id", "neighbor_id")
+    q = _valid(quantized(emb))
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.expr(_NORM.format(v="q")).alias("nq"),
+    )
+    cv = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("cv"),
+        F.expr(_NORM.format(v="q")).alias("nc"),
+    )
+    scored = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("cosine", F.expr(_COSINE))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return topk_merge(scored, k)
 
 
 def _adc_cell_scorer(qids, tabs, cells, m):

@@ -663,6 +663,40 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def pq_refined_topk_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    refine: int = 4,
+    m: int = 8,
+    bits: int = 4,
+    iters: int = 2,
+    sample: int = 4096,
+) -> str:
+    """Oracle for :func:`kupo_spark.functions.pq.pq_refined_topk`: the ADC
+    top-``k·refine`` candidate CTE (re-derived end to end) joined back to
+    the quantized vectors and reranked by the exact cosine — identical
+    rounding and tie-break to the brute-force oracle."""
+    adc = pq_adc_topk_sql(n_queries, k * refine, m, bits, iters, sample)
+    return f"""
+WITH cand AS ({adc}),
+qtab AS (SELECT vec_id, {QUANT} AS v FROM embeddings WHERE {_VALID_EMB}),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, qq.v AS qv, nn.v AS cv
+  FROM cand c
+  JOIN qtab qq ON qq.vec_id = c.query_id
+  JOIN qtab nn ON nn.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY {_COS} DESC, neighbor_id ASC)
+           AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def ivf_topk_and_pq_sql(
     n_queries: int = 10,
     k: int = 5,
@@ -681,6 +715,7 @@ def ivf_topk_and_pq_sql(
     so the oracle re-derivation checks the stored lifecycle end to end."""
     ivf = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters)
     adc = pq_adc_topk_sql(n_queries, k, iters=pq_iters)
+    refined = pq_refined_topk_sql(n_queries, k, iters=pq_iters)
     return f"""
 SELECT 'ivf' AS q, * FROM ({ivf})
 UNION ALL
@@ -689,6 +724,8 @@ UNION ALL
 SELECT 'stored' AS q, * FROM ({ivf})
 UNION ALL
 SELECT 'stored_pq' AS q, * FROM ({adc})
+UNION ALL
+SELECT 'pq_refined' AS q, * FROM ({refined})
 """
 
 

@@ -544,7 +544,17 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored_pq = pqix.topk(emb, n_queries=10, k=5, nprobe=16).select(
         F.lit("stored_pq").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
     )
-    return ivf.unionByName(adc).unionByName(stored).unionByName(stored_pq)
+    # two-stage ADC + exact rerank (the production refine stage): the
+    # oracle re-derives the full candidate CTE and the exact-cosine rerank
+    refined = pq.pq_refined_topk(emb, books, n_queries=10, k=5, refine=4).select(
+        F.lit("pq_refined").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return (
+        ivf.unionByName(adc)
+        .unionByName(stored)
+        .unionByName(stored_pq)
+        .unionByName(refined)
+    )
 
 
 #: render-mode arms shared by the Spark row and its oracle (C7)

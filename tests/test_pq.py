@@ -186,3 +186,48 @@ def test_codebooks_invariant_to_partitioning(spark):
     base = train_codebooks(emb, iters=2)
     assert train_codebooks(emb.repartition(7), iters=2) == base
     assert train_codebooks(emb.repartition(3, "vec_id"), iters=2) == base
+
+
+def test_refined_full_width_recovers_exact_search(spark):
+    """pq_refined_topk with a candidate list covering the whole corpus IS
+    brute-force exact search (same rows, cosines, ranks) — the refine
+    stage's rerank arithmetic matches the exact path bit-for-bit."""
+    from kupo_spark.functions.pq import pq_refined_topk
+
+    emb, books = _books(spark, iters=1)
+    n = emb.count()
+    refined = sorted(
+        map(tuple, pq_refined_topk(emb, books, 10, 5, refine=(n // 5) + 1).collect())
+    )
+    exact = sorted(map(tuple, brute_force_topk(emb, 10, 5).collect()))
+    assert refined == exact
+
+
+def test_refined_recall_non_decreasing_in_refine(spark):
+    """More refine width -> candidate superset -> recall vs exact search
+    can only improve; refine=1 reranks ADC's own top-k (same SET of
+    candidates, possibly reordered)."""
+    from kupo_spark.functions.pq import pq_refined_topk
+
+    emb, books = _books(spark)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, 10, 5).collect()}
+
+    def recall(refine):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_refined_topk(emb, books, 10, 5, refine=refine).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 <= r4 + 1e-9 and r4 <= r16 + 1e-9
+    # and refine=1's candidate SET is ADC's top-5 exactly
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(emb, books, 10, 5).collect()
+    }
+    from kupo_spark.functions.pq import pq_refined_topk as _prt
+    r1set = {
+        (r.query_id, r.neighbor_id) for r in _prt(emb, books, 10, 5, refine=1).collect()
+    }
+    assert r1set == adc
