@@ -237,6 +237,8 @@ class VectorIndex:
         k: int = 5,
         nprobe: int = 1,
         distributed: bool | None = None,
+        refine: int | None = None,
+        vectors: DataFrame | None = None,
     ) -> DataFrame:
         """(query_id, neighbor_id, cosine, rank): top-k over the stored
         codes for the first ``n_queries`` vec_ids of ``queries`` (an
@@ -244,7 +246,22 @@ class VectorIndex:
         contract).  The closure path reads ONLY the probed cells' files
         (log-level partition pruning); the ``distributed`` gate (auto at
         ``QUERY_COLLECT_LIMIT``) switches to the centroid_id equi-join
-        with no driver materialization."""
+        with no driver materialization.
+
+        ``refine`` (ivf_pq only) is the two-stage exact rerank: the ADC
+        ranking widens to top-``k·refine`` candidates and those rows'
+        RAW vectors — read from ``vectors``, the caller's embedding
+        table; the index stores codes only, the FAISS-style pairing of a
+        compact index with a flat store — rerank by exact cosine."""
+        if refine is not None:
+            if self.meta["mode"] != "ivf_pq":
+                raise ValueError("refine applies to ivf_pq (flat is already exact)")
+            if vectors is None:
+                raise ValueError("refine needs the raw vector table (vectors=)")
+            cand = self.topk(
+                queries, n_queries, k * refine, nprobe, distributed=distributed
+            )
+            return _pq.exact_rerank(cand, vectors, k)
         spark = queries.sparkSession
         crows = self._centroid_rows()
         q = quantized(queries).where(F.col("vec_id") < n_queries)

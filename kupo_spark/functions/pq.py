@@ -52,7 +52,7 @@ from kupo_spark.functions.similarity import (
 
 __all__ = [
     "train_codebooks", "pq_encode", "pq_reconstruct", "pq_adc_topk",
-    "pq_refined_topk", "ivf_pq_topk",
+    "pq_refined_topk", "exact_rerank", "ivf_pq_topk",
 ]
 
 M_SUB = 8  #: subspaces (64-dim -> 8 dims each)
@@ -343,6 +343,18 @@ def pq_refined_topk(
     cand = pq_adc_topk(
         emb, codebooks, n_queries, k * refine, distributed=distributed
     ).select("query_id", "neighbor_id")
+    return exact_rerank(cand, emb, k)
+
+
+def exact_rerank(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+    """Rerank a (query_id, neighbor_id) candidate list by the exact
+    integer cosine over ``emb``'s raw vectors — the refine stage, shared
+    by :func:`pq_refined_topk` and the persisted index.  The candidate
+    list is broadcast-small by construction (n_queries·k·refine rows), so
+    the vector table is scanned once and never shuffled; rounding and
+    tie-break match the brute-force path bit-for-bit."""
+    from kupo_spark.functions.similarity import _COSINE, _DOT, _NORM
+
     q = _valid(quantized(emb))
     qv = q.select(
         F.col("vec_id").alias("query_id"),
@@ -355,7 +367,7 @@ def pq_refined_topk(
         F.expr(_NORM.format(v="q")).alias("nc"),
     )
     scored = (
-        cv.join(F.broadcast(cand), "neighbor_id")
+        cv.join(F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .withColumn("dot", F.expr(_DOT))
         .withColumn("cosine", F.expr(_COSINE))

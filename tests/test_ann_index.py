@@ -213,3 +213,23 @@ def test_streaming_index_vectors_equals_one_shot(spark, tmp_path):
     v = grown.table.latest_version()
     run("ckpt2")
     assert VectorIndex(str(tmp_path / "ix")).table.latest_version() == v
+
+
+def test_stored_refine_matches_transient_refined(spark, tmp_path):
+    """Stored IVF-PQ + full-probe + refine == the transient two-stage
+    pq_refined_topk (same codebooks, same candidates, same exact rerank);
+    and with full-width refine the stored path recovers exact search."""
+    from kupo_spark.functions.pq import pq_refined_topk
+    from kupo_spark.functions.similarity import brute_force_topk
+
+    emb = spark.read.parquet(EMB)
+    idx = VectorIndex.build(str(tmp_path / "ix"), emb, pq=True, kmeans_iters=1)
+    got = _rows(idx.topk(emb, n_queries=8, k=4, nprobe=16, refine=3, vectors=emb))
+    books = train_codebooks(emb)
+    want = _rows(pq_refined_topk(emb, books, n_queries=8, k=4, refine=3))
+    assert got == want
+    n = emb.count()
+    full = _rows(
+        idx.topk(emb, n_queries=8, k=4, nprobe=16, refine=(n // 4) + 1, vectors=emb)
+    )
+    assert full == _rows(brute_force_topk(emb, n_queries=8, k=4))
