@@ -355,8 +355,17 @@ def exact_rerank(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
     tie-break match the brute-force path bit-for-bit."""
     from kupo_spark.functions.similarity import _COSINE, _DOT, _NORM
 
+    pairs = cand.select("query_id", "neighbor_id")
     q = _valid(quantized(emb))
-    qv = q.select(
+    # restrict the query side BEFORE broadcasting: qv built from the whole
+    # frame would broadcast the entire quantized corpus (measured 15x
+    # super-linear at the sf10 scaling point); the semi-join prunes it to
+    # the candidate list's few distinct query ids
+    qv = q.join(
+        F.broadcast(pairs.select(F.col("query_id").alias("vec_id")).distinct()),
+        "vec_id",
+        "left_semi",
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
         F.expr(_NORM.format(v="q")).alias("nq"),
@@ -367,7 +376,7 @@ def exact_rerank(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
         F.expr(_NORM.format(v="q")).alias("nc"),
     )
     scored = (
-        cv.join(F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id")
+        cv.join(F.broadcast(pairs), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .withColumn("dot", F.expr(_DOT))
         .withColumn("cosine", F.expr(_COSINE))
