@@ -229,12 +229,17 @@ def build_index(
     # W3 gate: dictionary rows are written only for blocks that produced at
     # least one matched result (App.hs:530-542).  With a wildcard pattern the
     # gate is a no-op — skip the extra semi-join shuffle in that case.
+    # No broadcast hint: matched_slots is bounded by the CHAIN length, not
+    # the pattern (a broad pattern like `*/*` matches nearly every slot —
+    # a forced broadcast would ship the whole slot set to every task);
+    # AQE converts the semi-join to a broadcast at runtime when the
+    # matched set is actually small.
     wildcard = any(isinstance(p, MatchAny) and p.include_bootstrap for p in pats)
     dict_src = outs
     if not wildcard:
         matched_slots = produced.select("created_at").dropDuplicates(["created_at"])
         dict_src = outs.join(
-            F.broadcast(matched_slots),
+            matched_slots,
             outs.created_at == matched_slots.created_at,
             "left_semi",
         )
@@ -260,25 +265,41 @@ def build_index(
     )
 
 
+#: checkpoints-broadcast cutoff for resolve_header_hashes: the dimension is
+#: one row per block (slot + 32-hex hash ≈ 50 B), so 2M rows ≈ 100 MB — a
+#: mainnet-scale chain (~11M blocks) must NOT be forced to every task;
+#: above the cutoff the joins shuffle (AQE still broadcasts at runtime if
+#: the actual bytes allow).  Same explicit-gate discipline as
+#: dedup.BROADCAST_ID_LIMIT.
+BROADCAST_CHECKPOINTS_LIMIT = 2_000_000
+
+
 #: Columns of the materialized ``inputs`` table, in storage order.
-def resolve_header_hashes(inputs: DataFrame, checkpoints: DataFrame) -> DataFrame:
+def resolve_header_hashes(
+    inputs: DataFrame, checkpoints: DataFrame, broadcast: bool = True
+) -> DataFrame:
     """J1/J2 (SQLite.hs:930-937): resolve created/spent slots to header
-    hashes against the broadcast checkpoints dimension — J1 inner (a match
-    without a known creation checkpoint never surfaces), J2 left (unspent
-    rows keep NULL).  Shared by fold_inputs, Serving, and write_index so
-    the inner/left asymmetry lives in exactly one place."""
-    created = F.broadcast(
-        checkpoints.select(
-            F.col("slot_no").alias("_c_slot"),
-            F.col("header_hash").alias("created_header_hash"),
-        )
+    hashes against the checkpoints dimension — J1 inner (a match without
+    a known creation checkpoint never surfaces), J2 left (unspent rows
+    keep NULL).  Shared by fold_inputs, Serving, and write_index so the
+    inner/left asymmetry lives in exactly one place.
+
+    ``broadcast`` defaults True (the in-memory/test-scale call sites; the
+    materialized index stores these columns denormalized, so per-query
+    folds never re-join).  One-shot writers that know the chain length
+    pass ``count <= BROADCAST_CHECKPOINTS_LIMIT`` — a mainnet-scale
+    checkpoint dimension is a shuffled (or AQE-decided) join, never a
+    forced 100 MB+ task closure."""
+    created = checkpoints.select(
+        F.col("slot_no").alias("_c_slot"),
+        F.col("header_hash").alias("created_header_hash"),
     )
-    spent = F.broadcast(
-        checkpoints.select(
-            F.col("slot_no").alias("_s_slot"),
-            F.col("header_hash").alias("spent_header_hash"),
-        )
+    spent = checkpoints.select(
+        F.col("slot_no").alias("_s_slot"),
+        F.col("header_hash").alias("spent_header_hash"),
     )
+    if broadcast:
+        created, spent = F.broadcast(created), F.broadcast(spent)
     inputs = inputs.join(created, inputs.created_at == created._c_slot, "inner").drop(
         "_c_slot"
     )
@@ -310,7 +331,12 @@ def write_index(
 
     inputs = index.inputs
     if "created_header_hash" not in inputs.columns:
-        inputs = resolve_header_hashes(inputs, index.checkpoints)
+        # one cheap narrow count per write decides the join strategy
+        n_cp = index.checkpoints.count()
+        inputs = resolve_header_hashes(
+            inputs, index.checkpoints,
+            broadcast=n_cp <= BROADCAST_CHECKPOINTS_LIMIT,
+        )
     inputs = inputs.withColumn(
         "created_bucket", (F.col("created_at") / slot_bucket).cast("long")
     )

@@ -128,9 +128,16 @@ class Serving:
         self._etag_memo: str | None = None
         inputs = index.inputs
         if "created_header_hash" not in inputs.columns:
-            from kupo_spark.operators.indexer import resolve_header_hashes
+            from kupo_spark.operators.indexer import (
+                BROADCAST_CHECKPOINTS_LIMIT,
+                resolve_header_hashes,
+            )
 
-            inputs = resolve_header_hashes(inputs, index.checkpoints)
+            # one count per Serving build (not per request) gates the join
+            inputs = resolve_header_hashes(
+                inputs, index.checkpoints,
+                broadcast=index.checkpoints.count() <= BROADCAST_CHECKPOINTS_LIMIT,
+            )
         order = [F.col(k).desc() for k in CHAIN_ORDER_KEYS]
         self._view = (
             inputs.repartitionByRange(partitions, *order)

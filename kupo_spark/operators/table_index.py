@@ -154,7 +154,12 @@ class IndexDB:
         address within partitions, header hashes denormalized."""
         inputs = index.inputs
         if "created_header_hash" not in inputs.columns:
-            inputs = resolve_header_hashes(inputs, index.checkpoints)
+            from kupo_spark.operators.indexer import BROADCAST_CHECKPOINTS_LIMIT
+
+            inputs = resolve_header_hashes(
+                inputs, index.checkpoints,
+                broadcast=index.checkpoints.count() <= BROADCAST_CHECKPOINTS_LIMIT,
+            )
         inputs = inputs.withColumn(
             "created_bucket", (F.col("created_at") / slot_bucket).cast("long")
         ).repartition("created_bucket").sortWithinPartitions("address", "created_at")

@@ -190,7 +190,9 @@ class StreamingIndexer:
         checkpoints = blocks.select("slot_no", "header_hash").dropDuplicates(
             ["slot_no"]
         )
-        # W3 dictionaries (gate: only blocks with >= 1 match, App.hs:530-542)
+        # W3 dictionaries (gate: only blocks with >= 1 match, App.hs:530-542).
+        # The broadcast is safe HERE (unlike the batch indexer's gate):
+        # matched_slots is bounded by one micro-batch's slots, not the chain.
         dict_src = outs
         if not any(getattr(p, "include_bootstrap", False) for p in self.patterns):
             matched_slots = produced.select("created_at").dropDuplicates(["created_at"])
