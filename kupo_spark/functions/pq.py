@@ -357,15 +357,7 @@ def exact_rerank(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
 
     pairs = cand.select("query_id", "neighbor_id")
     q = _valid(quantized(emb))
-    # restrict the query side BEFORE broadcasting: qv built from the whole
-    # frame would broadcast the entire quantized corpus (measured 15x
-    # super-linear at the sf10 scaling point); the semi-join prunes it to
-    # the candidate list's few distinct query ids
-    qv = q.join(
-        F.broadcast(pairs.select(F.col("query_id").alias("vec_id")).distinct()),
-        "vec_id",
-        "left_semi",
-    ).select(
+    qv = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
         F.expr(_NORM.format(v="q")).alias("nq"),
@@ -375,9 +367,17 @@ def exact_rerank(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
         F.col("q").alias("cv"),
         F.expr(_NORM.format(v="q")).alias("nc"),
     )
+    # join order matters twice over: (a) ONLY candidate-bounded frames may
+    # broadcast — a first cut broadcast corpus-wide qv and measured 15×
+    # super-linear at the sf10 scaling point; (b) the candidate lineage
+    # (a full corpus ADC scan) must evaluate ONCE — deriving a query-id
+    # semi-join from `pairs` re-ran it.  So: pairs broadcast into the
+    # neighbor-vector scan (candidate-bounded result), and THAT result
+    # broadcast into the query-vector scan.  The corpus streams through
+    # two scans, is never shuffled, and cand executes exactly once.
+    with_neighbor = cv.join(F.broadcast(pairs), "neighbor_id")
     scored = (
-        cv.join(F.broadcast(pairs), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        qv.join(F.broadcast(with_neighbor), "query_id")
         .withColumn("dot", F.expr(_DOT))
         .withColumn("cosine", F.expr(_COSINE))
         .select("query_id", "neighbor_id", "cosine")

@@ -203,3 +203,27 @@ def test_packed_reference_columns_match_codecs(index):
             seen_datum = True
             assert unpack_datum_info(want) == (r.datum_kind, r.datum_hash)
     assert seen_datum
+
+
+def test_refine_rerank_plan_is_broadcast_bounded(spark):
+    """The exact-rerank stage pairs candidates with vectors through
+    BROADCAST joins only (the candidate list is tiny by construction —
+    no shuffle of the vector table) and adds no Python beyond the
+    pq_encode scan."""
+    import re
+
+    from kupo_spark.functions.pq import pq_refined_topk, train_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_codebooks(emb, iters=1)
+    plan = formatted_plan(pq_refined_topk(emb, books, n_queries=5, k=3, refine=2))
+    assert "BatchEvalPython" not in plan
+    # pq_encode (stage 1 codes) + the ADC closure scorer are the only
+    # Arrow stages — and exactly once each: the candidate lineage (a full
+    # corpus scan) must not be re-evaluated by the rerank's join structure
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2
+    # every rerank join is a broadcast build — the quantized vector table
+    # is never exchanged by a join (the only Exchanges are the top-k
+    # window sorts)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
