@@ -415,6 +415,51 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def sq_topk_sql(n_queries: int = 10, k: int = 5, dim: int = DIM) -> str:
+    """Oracle for :func:`kupo_spark.functions.sq.sq_topk`: per-dimension
+    min/max training, the exact floor-arithmetic encode+dequantize
+    round-trip, and the asymmetric exact-cosine ranking over the
+    reconstructed corpus — all re-derived (non-negative operands make
+    DuckDB's ``//`` and Spark's ``DIV`` agree)."""
+    return f"""
+WITH qv AS (SELECT vec_id, {QUANT} AS q FROM embeddings WHERE {_VALID_EMB}),
+dims AS (
+  SELECT p.pos, min(q[p.pos + 1]) AS mn, max(q[p.pos + 1]) AS mx
+  FROM qv CROSS JOIN (SELECT unnest(range({dim})) AS pos) p
+  GROUP BY 1),
+recon AS (
+  SELECT v.vec_id,
+         list(d.mn + (CASE WHEN d.mx = d.mn THEN 0
+                      ELSE ((v.q[d.pos + 1] - d.mn) * 255) // (d.mx - d.mn) END)
+              * (d.mx - d.mn) // 255 ORDER BY d.pos) AS cv
+  FROM qv v CROSS JOIN dims d
+  GROUP BY 1),
+queries AS (SELECT vec_id AS query_id, q AS qv FROM qv WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id, {_COS} AS cosine
+  FROM recon, queries WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_topk_and_sq_sql(n_queries: int = 10, k: int = 5) -> str:
+    """Tagged union: exact brute-force top-k + the SQ8-reconstructed
+    top-k (the 4× compression tier) under one driver row."""
+    exact = embedding_topk_sql(n_queries, k)
+    sq = sq_topk_sql(n_queries, k)
+    return f"""
+SELECT 'exact' AS q, * FROM ({exact})
+UNION ALL
+SELECT 'sq8' AS q, * FROM ({sq})
+"""
+
+
 def _hyperplane_sql(j: int, dim: int = DIM) -> str:
     h = f"(md5('hp{j}') || md5('hp2{j}'))"
     return (

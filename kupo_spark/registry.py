@@ -454,9 +454,11 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda s, d: dedup.simhash(_docs(s, d)),
         oracle_pipeline.simhash_sql(),
     ),
+    # tagged union: exact brute force + the SQ8 scalar-quantized tier (the
+    # oracle re-derives min/max training + encode/dequantize + ranking)
     "q_embedding_topk": (
-        lambda s, d: similarity.brute_force_topk(_embs(s, d), n_queries=10, k=5),
-        oracle_pipeline.embedding_topk_sql(10, 5),
+        lambda s, d: _exact_and_sq_topk(s, d),
+        oracle_pipeline.embedding_topk_and_sq_sql(10, 5),
     ),
     # tagged union (50-row budget): the sign-LSH bucket index + the
     # embedding-cosine near-dup pairs derived from it (candidates share a
@@ -507,6 +509,19 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         oracle_pipeline.ivf_topk_and_pq_sql(10, 5, kmeans_iters=2, pq_iters=2),
     ),
 }
+
+
+def _exact_and_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kupo_spark.functions.sq import sq_topk
+
+    emb = _embs(spark, sf_dir)
+    exact = similarity.brute_force_topk(emb, n_queries=10, k=5).select(
+        F.lit("exact").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    sq8 = sq_topk(emb, n_queries=10, k=5).select(
+        F.lit("sq8").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+    )
+    return exact.unionByName(sq8)
 
 
 def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
