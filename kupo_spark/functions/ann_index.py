@@ -124,10 +124,20 @@ class VectorIndex:
         bits: int = _pq.BITS,
         codebook_iters: int = 3,
         codebook_sample: int = 4096,
+        mode: str | None = None,
     ) -> "VectorIndex":
         """Train, encode, and persist.  Training is identical to the
         transient paths (same seeds, same exact-integer Lloyd), so the
-        stored index reproduces their results bit-for-bit."""
+        stored index reproduces their results bit-for-bit.
+
+        ``mode`` overrides the ``pq`` flag: ``'ivf_pq'`` (codes + ADC),
+        ``'ivf_flat'`` (exact vectors per cell), or ``'ivf_sq8'`` (byte
+        codes per cell, exact search over the dequantized vectors — the
+        FAISS/Milvus IVF-SQ8 middle tier: 4× smaller than flat,
+        near-exact recall, no ADC approximation)."""
+        mode = mode or ("ivf_pq" if pq else "ivf_flat")
+        if mode not in ("ivf_pq", "ivf_flat", "ivf_sq8"):
+            raise ValueError(f"unknown index mode {mode!r}")
         rootp = Path(root)
         rootp.mkdir(parents=True, exist_ok=True)
         if (rootp / META_FILE).exists():
@@ -138,22 +148,27 @@ class VectorIndex:
             key=lambda c: c[0],
         )
         meta = {
-            "mode": "ivf_pq" if pq else "ivf_flat",
+            "mode": mode,
             "dim": DIM,
             "n_centroids": n_centroids,
             "kmeans_iters": kmeans_iters,
             "centroids": centroids,
         }
-        if pq:
+        if mode == "ivf_pq":
             meta["codebooks"] = _pq.train_codebooks(
                 emb, m=m, bits=bits, iters=codebook_iters, sample=codebook_sample
             )
             meta["m"], meta["bits"] = m, bits
             meta["codebook_iters"] = codebook_iters
             meta["codebook_sample"] = codebook_sample
+        elif mode == "ivf_sq8":
+            from kupo_spark.functions.sq import sq_train
+
+            mins, maxs = sq_train(emb)
+            meta["mins"], meta["maxs"] = mins, maxs
         table = Table.create(
             str(rootp / "codes"),
-            CODES_SCHEMA if pq else FLAT_SCHEMA,
+            FLAT_SCHEMA if mode == "ivf_flat" else CODES_SCHEMA,
             partition_by=["centroid_id"],
         )
         table.append(_encode_rows(emb, meta))
@@ -188,6 +203,10 @@ class VectorIndex:
                 iters=meta.get("codebook_iters", 3),
                 sample=meta.get("codebook_sample", 4096),
             )
+        elif meta["mode"] == "ivf_sq8":
+            from kupo_spark.functions.sq import sq_train
+
+            meta["mins"], meta["maxs"] = sq_train(emb)
         self.table.overwrite(_encode_rows(emb, meta))
         _write_meta(self.root, meta)
         self.meta = meta
@@ -255,7 +274,10 @@ class VectorIndex:
         compact index with a flat store — rerank by exact cosine."""
         if refine is not None:
             if self.meta["mode"] != "ivf_pq":
-                raise ValueError("refine applies to ivf_pq (flat is already exact)")
+                raise ValueError(
+                    "refine applies to ivf_pq (flat/sq8 search is already exact"
+                    " over its stored representation)"
+                )
             if vectors is None:
                 raise ValueError("refine needs the raw vector table (vectors=)")
             cand = self.topk(
@@ -268,7 +290,7 @@ class VectorIndex:
         if distributed is None:
             distributed = n_queries > QUERY_COLLECT_LIMIT
         if distributed:
-            corpus = self.table.read(spark)
+            corpus = self._search_view(self.table.read(spark))
             probes = nearest_centroids_multi(q, crows, max(1, nprobe))
             if self.meta["mode"] == "ivf_pq":
                 qtab = _pq._query_tables(
@@ -279,10 +301,12 @@ class VectorIndex:
             return topk_merge(scored, k)
         probe = _probe_rows(q.collect(), crows, max(1, nprobe))
         probed_cells = {int(r.centroid_id) for r in probe}
-        corpus = self.table.read(
-            spark,
-            file_filter=lambda a: int(a["partitionValues"]["centroid_id"])
-            in probed_cells,
+        corpus = self._search_view(
+            self.table.read(
+                spark,
+                file_filter=lambda a: int(a["partitionValues"]["centroid_id"])
+                in probed_cells,
+            )
         )
         if self.meta["mode"] == "ivf_pq":
             qids, tabs = _pq._adc_tables(probe, self.meta["codebooks"])
@@ -294,10 +318,26 @@ class VectorIndex:
             return _pq._adc_rank(scored, k)
         return topk_merge(_keyed_vector_scores(corpus, "centroid_id", probe), k)
 
+    def _search_view(self, stored: DataFrame) -> DataFrame:
+        """The stored frame as the scoring kernels expect it: ivf_sq8
+        dequantizes its byte codes to the flat (vec_id, q, centroid_id)
+        shape with one codegen projection (the exact-integer round trip),
+        so SQ8 search IS the flat path over reconstructed vectors; the
+        other modes pass through."""
+        if self.meta["mode"] != "ivf_sq8":
+            return stored
+        from kupo_spark.functions.sq import recon_expr
+
+        return stored.select(
+            "vec_id",
+            F.expr(recon_expr(self.meta["mins"], self.meta["maxs"])).alias("q"),
+            "centroid_id",
+        )
+
 
 def _encode_rows(emb: DataFrame, meta: dict) -> DataFrame:
     """The one corpus encode pass: cell assignment against the meta's
-    centroids (+ PQ codes in ivf_pq mode), shaped to the store schema."""
+    centroids (+ PQ or SQ8 codes by mode), shaped to the store schema."""
     crows = [Row(centroid_id=cid, cv=cv) for cid, cv in meta["centroids"]]
     q = quantized(emb)
     assign = nearest_centroid_rows(q, crows)
@@ -306,6 +346,18 @@ def _encode_rows(emb: DataFrame, meta: dict) -> DataFrame:
             _pq.pq_encode(emb, meta["codebooks"])
             .join(assign, "vec_id")
             .select("vec_id", "code", F.col("centroid_id").cast("long"))
+        )
+    if meta["mode"] == "ivf_sq8":
+        from kupo_spark.functions.sq import sq_encode
+
+        return (
+            sq_encode(emb, meta["mins"], meta["maxs"])
+            .join(assign, "vec_id")
+            .select(
+                "vec_id",
+                F.expr("transform(code, c -> cast(c as bigint))").alias("code"),
+                F.col("centroid_id").cast("long"),
+            )
         )
     return (
         q.where(F.col("q").isNotNull() & (F.size("q") == DIM))

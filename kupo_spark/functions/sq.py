@@ -40,7 +40,7 @@ from kupo_spark.functions.similarity import (
     topk_merge,
 )
 
-__all__ = ["sq_train", "sq_encode", "sq_reconstruct", "sq_topk"]
+__all__ = ["sq_train", "sq_encode", "sq_reconstruct", "recon_expr", "sq_topk"]
 
 
 def sq_train(emb: DataFrame, dim: int = DIM) -> tuple[list[int], list[int]]:
@@ -84,19 +84,25 @@ def sq_encode(
     )
 
 
-def sq_reconstruct(
-    codes: DataFrame, mins: list[int], maxs: list[int]
-) -> DataFrame:
-    """(vec_id, q): exact-integer dequantization — the search-side view of
-    the stored codes, again pure codegen."""
+def recon_expr(mins: list[int], maxs: list[int]) -> str:
+    """The dequantization as one SQL expression over a ``code`` column —
+    exposed so keyed layouts (the persisted IVF-SQ8 index) can project it
+    while keeping their partition columns."""
     mn, mx = _lit_arr(mins), _lit_arr(maxs)
-    expr = (
+    return (
         f"transform(sequence(0, {len(mins) - 1}), i -> "
         f"element_at({mn}, i + 1) + "
         f"(cast(code[i] as bigint) * (element_at({mx}, i + 1) - element_at({mn}, i + 1)))"
         f" DIV 255)"
     )
-    return codes.select("vec_id", F.expr(expr).alias("q"))
+
+
+def sq_reconstruct(
+    codes: DataFrame, mins: list[int], maxs: list[int]
+) -> DataFrame:
+    """(vec_id, q): exact-integer dequantization — the search-side view of
+    the stored codes, again pure codegen."""
+    return codes.select("vec_id", F.expr(recon_expr(mins, maxs)).alias("q"))
 
 
 def sq_topk(

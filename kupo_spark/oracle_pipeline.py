@@ -574,18 +574,42 @@ FROM pairs WHERE cosine >= {threshold}
 
 def ivf_topk_sql(
     n_queries: int = 10, k: int = 5, n_centroids: int = 16, kmeans_iters: int = 0,
-    nprobe: int = 1,
+    nprobe: int = 1, sq8: bool = False, dim: int = DIM,
 ) -> str:
     """Cell-restricted exact top-k: the IVF assignment CTE (oracle-checked
     by ivf_assign_sql) spliced into the brute-force ranking; with
     ``kmeans_iters`` the centroid CTEs re-derive the trained centroids
     first.  ``nprobe`` replicates each query under its nprobe nearest
     cells (the corpus side stays rn=1, so no neighbor double-counts),
-    mirroring ``similarity.ivf_topk``."""
+    mirroring ``similarity.ivf_topk``.
+
+    ``sq8=True`` is the IVF-SQ8 layout (``ann_index.VectorIndex`` mode
+    'ivf_sq8'): cells assigned on the EXACT vectors (the store's encode
+    pass), the corpus side replaced by the SQ8-dequantized vectors
+    (``sq_topk_sql``'s round trip), queries stay exact."""
     ctes, cent = _kmeans_ctes(n_centroids, kmeans_iters)
     chain = ",\n".join(ctes)
+    corpus = "corpus AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM qa)"
+    sq_ctes = ""
+    if sq8:
+        sq_ctes = f"""
+dims AS (
+  SELECT p.pos, min(q[p.pos + 1]) AS mn, max(q[p.pos + 1]) AS mx
+  FROM qv CROSS JOIN (SELECT unnest(range({dim})) AS pos) p
+  GROUP BY 1),
+recon AS (
+  SELECT v.vec_id,
+         list(d.mn + (CASE WHEN d.mx = d.mn THEN 0
+                      ELSE ((v.q[d.pos + 1] - d.mn) * 255) // (d.mx - d.mn) END)
+              * (d.mx - d.mn) // 255 ORDER BY d.pos) AS rv
+  FROM qv v CROSS JOIN dims d
+  GROUP BY 1),"""
+        corpus = (
+            "corpus AS (SELECT r.vec_id AS neighbor_id, r.rv AS cv, a.centroid_id "
+            "FROM recon r JOIN assigned a USING (vec_id))"
+        )
     return f"""
-WITH {chain},
+WITH {chain},{sq_ctes}
 assign_scored AS (
   SELECT vec_id, centroid_id, {_D2} AS dist2 FROM qv, {cent} c
 ),
@@ -603,7 +627,7 @@ queries AS (
   SELECT qv.vec_id AS query_id, qv.q AS qv, p.centroid_id
   FROM qv JOIN probes p USING (vec_id) WHERE qv.vec_id < {n_queries}
 ),
-corpus AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM qa),
+{corpus},
 scored AS (
   SELECT query_id, neighbor_id, {_COS} AS cosine
   FROM corpus JOIN queries USING (centroid_id)
@@ -761,6 +785,7 @@ def ivf_topk_and_pq_sql(
     ivf = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters)
     adc = pq_adc_topk_sql(n_queries, k, iters=pq_iters)
     refined = pq_refined_topk_sql(n_queries, k, iters=pq_iters)
+    sq8 = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters, sq8=True)
     return f"""
 SELECT 'ivf' AS q, * FROM ({ivf})
 UNION ALL
@@ -771,6 +796,8 @@ UNION ALL
 SELECT 'stored_pq' AS q, * FROM ({adc})
 UNION ALL
 SELECT 'pq_refined' AS q, * FROM ({refined})
+UNION ALL
+SELECT 'stored_sq8' AS q, * FROM ({sq8})
 """
 
 

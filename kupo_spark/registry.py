@@ -564,11 +564,21 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined = pq.pq_refined_topk(emb, books, n_queries=10, k=5, refine=4).select(
         F.lit("pq_refined").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
     )
+    # the IVF-SQ8 middle tier: byte codes per cell, exact search over the
+    # dequantized vectors — the oracle re-derives training + round trip +
+    # cell-restricted ranking
+    sqix = VectorIndex.build(
+        f"{scratch}/sq8", emb, mode="ivf_sq8", n_centroids=16, kmeans_iters=2
+    )
+    stored_sq8 = sqix.topk(emb, n_queries=10, k=5, nprobe=1).select(
+        F.lit("stored_sq8").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+    )
     return (
         ivf.unionByName(adc)
         .unionByName(stored)
         .unionByName(stored_pq)
         .unionByName(refined)
+        .unionByName(stored_sq8)
     )
 
 

@@ -233,3 +233,23 @@ def test_stored_refine_matches_transient_refined(spark, tmp_path):
         idx.topk(emb, n_queries=8, k=4, nprobe=16, refine=(n // 4) + 1, vectors=emb)
     )
     assert full == _rows(brute_force_topk(emb, n_queries=8, k=4))
+
+
+def test_sq8_index_full_probe_equals_transient_sq(spark, tmp_path):
+    """IVF-SQ8: probing every cell restores the full reconstructed corpus,
+    so the stored ranking IS the transient sq_topk ranking; reopen
+    round-trips the mins/maxs meta."""
+    from kupo_spark.functions.sq import sq_topk
+
+    emb = spark.read.parquet(EMB)
+    idx = VectorIndex.build(str(tmp_path / "ix"), emb, mode="ivf_sq8")
+    got = _rows(idx.topk(emb, n_queries=8, k=4, nprobe=16))
+    want = _rows(sq_topk(emb, n_queries=8, k=4))
+    assert got == want
+    reopened = VectorIndex(str(tmp_path / "ix"))
+    assert reopened.meta["mins"] == idx.meta["mins"]
+    assert _rows(reopened.topk(emb, n_queries=8, k=4, nprobe=16)) == got
+    # closure == distributed for the sq8 layout too
+    assert _rows(idx.topk(emb, n_queries=6, k=3, nprobe=2, distributed=True)) == _rows(
+        idx.topk(emb, n_queries=6, k=3, nprobe=2, distributed=False)
+    )
