@@ -71,13 +71,21 @@ def sq_encode(
     emb: DataFrame, mins: list[int], maxs: list[int]
 ) -> DataFrame:
     """(vec_id, code array<int> ∈ [0,255]^dim): one codegen projection —
-    the parameters are array literals, exact floor arithmetic."""
+    the parameters are array literals, exact floor arithmetic.
+
+    Codes are CLAMPED to [0, 255]: a frozen quantizer (the persisted
+    index's ``add`` path) must encode values outside its training range
+    to the nearest representable cell, exactly as FAISS's SQ does.  For
+    the corpus the parameters were trained on the clamp is a no-op (every
+    value is inside [mn, mx] by construction), which is why the DuckDB
+    oracle needs none."""
     mn, mx = _lit_arr(mins), _lit_arr(maxs)
     expr = (
         f"transform(sequence(0, {len(mins) - 1}), i -> CASE "
         f"WHEN element_at({mx}, i + 1) = element_at({mn}, i + 1) THEN 0 "
-        f"ELSE cast(((q[i] - element_at({mn}, i + 1)) * 255) DIV "
-        f"(element_at({mx}, i + 1) - element_at({mn}, i + 1)) as int) END)"
+        f"ELSE cast(greatest(0L, least(255L, "
+        f"((q[i] - element_at({mn}, i + 1)) * 255) DIV "
+        f"(element_at({mx}, i + 1) - element_at({mn}, i + 1)))) as int) END)"
     )
     return _valid(quantized(emb)).select(
         "vec_id", F.expr(expr).alias("code")

@@ -63,3 +63,28 @@ def test_constant_dimension_degenerates_to_zero_code(spark):
     assert recon.selectExpr("max(q[1]) AS m").first().m == mins[1]
     # and ranking still works end to end
     assert sq_topk(emb, 3, 2).count() == 6
+
+
+def test_frozen_quantizer_clamps_out_of_range_values(spark):
+    """Encoding with a frozen quantizer (the persisted index's add path)
+    must clamp values outside the training range to [0, 255] — never emit
+    out-of-range codes or reconstruct beyond [mn, mx]."""
+    base = spark.createDataFrame(
+        [(i, [float(i) / 100] * 64) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = sq_train(base)
+    wild = spark.createDataFrame(
+        [(100, [5.0] * 64), (101, [-5.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = sq_encode(wild, mins, maxs)
+    r = codes.selectExpr(
+        "min(array_min(code)) AS lo", "max(array_max(code)) AS hi"
+    ).first()
+    assert r.lo == 0 and r.hi == 255
+    recon = sq_reconstruct(codes, mins, maxs)
+    b = recon.selectExpr(
+        "min(array_min(q)) AS lo", "max(array_max(q)) AS hi"
+    ).first()
+    assert min(mins) <= b.lo and b.hi <= max(maxs)
