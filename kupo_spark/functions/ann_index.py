@@ -183,6 +183,21 @@ class VectorIndex:
         caller's contract — append disjoint ids."""
         return self.table.append(_encode_rows(emb, self.meta))
 
+    def delete(self, vec_ids, spark: SparkSession | None = None) -> int:
+        """Transactionally remove vectors by id (the CRUD face every
+        vector store exposes): one copy-on-write Table delete — only
+        files containing a hit are rewritten (log min/max prune the
+        candidate set), readers keep their MVCC snapshot, and the cell
+        partitioning survives the rewrite.  Returns the new log version."""
+        ids = sorted(int(v) for v in vec_ids)
+        if not ids:
+            return self.table.latest_version()
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("no active SparkSession; pass spark=")
+        cond = F.col("vec_id").isin(ids)
+        return self.table.delete_where(spark, cond)
+
     def refresh(self, emb: DataFrame) -> "VectorIndex":
         """Retrain on (and re-encode) ``emb`` with the same
         hyperparameters, replacing the stored index in one overwrite

@@ -253,3 +253,27 @@ def test_sq8_index_full_probe_equals_transient_sq(spark, tmp_path):
     assert _rows(idx.topk(emb, n_queries=6, k=3, nprobe=2, distributed=True)) == _rows(
         idx.topk(emb, n_queries=6, k=3, nprobe=2, distributed=False)
     )
+
+
+def test_delete_removes_from_results_and_keeps_mvcc(spark, tmp_path):
+    """Transactional delete: the removed vector disappears from the
+    search results and the store, the cell layout survives (copy-on-write
+    rewrite of hit files only), and the pre-delete snapshot still serves
+    it (MVCC)."""
+    emb = spark.read.parquet(EMB)
+    idx = VectorIndex.build(str(tmp_path / "ix"), emb, pq=False, kmeans_iters=1)
+    before = idx.topk(emb, n_queries=4, k=3, nprobe=16).collect()
+    victim = int(before[0].neighbor_id)
+    v0 = idx.table.latest_version()
+    v1 = idx.delete([victim], spark=spark)
+    assert v1 > v0
+    after = idx.topk(emb, n_queries=4, k=3, nprobe=16).collect()
+    assert victim not in {r.neighbor_id for r in after}
+    assert idx.table.read(spark).where(F.col("vec_id") == victim).count() == 0
+    # MVCC: the old snapshot still has the row
+    assert (
+        idx.table.read(spark, version=v0).where(F.col("vec_id") == victim).count()
+        == 1
+    )
+    # the rewrite preserved the hive cell partitioning (stats view intact)
+    assert sum(idx.cells().values()) == idx.table.read(spark).count()
