@@ -293,6 +293,16 @@ def main() -> None:
     queries["q_policy_resolve_hashes_warm"] = timed_warm(
         lambda: serving.fold_rows(f"{policy}.*", resolve_hashes=True)
     )
+    # bounded-memory wide path (VERDICT r5 #3): first-page latency (what a
+    # paging client waits for) and full-stream time with the driver holding
+    # at most the cap — the serving-tier contract for results too wide for
+    # fold_rows (kupo streams those responses, Http.hs:630-645)
+    queries["q_policy_warm_first_page"] = timed_warm(
+        lambda: serving.fold_page(f"{policy}.*", page_size=100)
+    )
+    queries["q_policy_warm_stream"] = timed_warm(
+        lambda: sum(1 for _ in serving.fold_rows_bounded(f"{policy}.*")), runs=3
+    )
     # first-sight latency (plan built per request: + ~60 ms Catalyst)
     queries["q_transaction_id_warm_fresh"] = timed_warm(
         lambda: serving.fold(f"*@{txid}", use_plan_cache=False).collect()
@@ -302,9 +312,13 @@ def main() -> None:
     # clients, 30 requests/shape, full bodies read) against KupoHttpServer
     # on a warm serving tier — avg/p50/p95 directly comparable to kupo's
     # oha tables (benchmarks/README.md:30-45)
-    from tools.bench_http import run_http_bench  # noqa: E402
+    from tools.bench_http import run_http_bench, write_report  # noqa: E402
 
     http_stats = run_http_bench(spark, index)
+    # committed evidence: the full oha table + kupo ratios land in
+    # HTTP_BENCH.json (the driver's BENCH capture truncates to a 2,000-char
+    # tail, which lost the r5 table; the committed file is the record)
+    write_report(http_stats, float(sf) if sf.replace(".", "").isdigit() else sf)
 
     # --- scaling section: the committed three-point curve (sf0.1/1/10,
     # tools/bench_scaling.py) so the per-round bench carries the measured

@@ -351,6 +351,9 @@ def cmd_run(args, serve_forever: bool = True):
         )
 
         indexer = StreamingIndexer(args.workdir, patterns=patterns)
+        # fail loudly at STARTUP if another live process writes this
+        # workdir (kupo's exclusive writer lock, SQLite.hs:355-384)
+        indexer._ensure_writer()
         start, inclusive = resume_bound(
             indexer, spark, None if since is None else since[0]
         )
@@ -624,6 +627,7 @@ def cmd_run(args, serve_forever: bool = True):
         from kupo_spark.streaming.indexer import StreamingIndexer, resume_bound
 
         indexer = StreamingIndexer(args.workdir, patterns=patterns)
+        indexer._ensure_writer()  # loud startup failure on a live second writer
         had_data = bool(indexer._committed())
         start, inclusive = resume_bound(
             indexer, spark, None if since is None else since[0]
@@ -713,6 +717,8 @@ def cmd_run(args, serve_forever: bool = True):
         pass
     finally:
         server.close()
+        if indexer is not None and not args.read_only:
+            indexer.release_writer()
     return None
 
 

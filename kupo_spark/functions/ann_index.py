@@ -227,6 +227,100 @@ class VectorIndex:
         self.meta = meta
         return self
 
+    def _stored_vectors(self, stored: DataFrame) -> DataFrame:
+        """(vec_id, q): the corpus as search-comparable quantized vectors,
+        reconstructed from the STORED representation — flat rows verbatim,
+        SQ8 codes dequantized, PQ codes codebook-reconstructed.  What
+        ``rebalance`` retrains/reassigns on; self-contained (no raw
+        embedding table required)."""
+        if self.meta["mode"] == "ivf_pq":
+            return _pq.pq_reconstruct(stored, self.meta["codebooks"]).select(
+                "vec_id", F.col("qr").alias("q")
+            )
+        return self._search_view(stored).select("vec_id", "q")
+
+    def rebalance(
+        self,
+        spark: SparkSession | None = None,
+        kmeans_iters: int = 4,
+        n_centroids: int | None = None,
+    ) -> "VectorIndex":
+        """OPTIMIZE for the vector tier: retrain the coarse quantizer on
+        the CURRENT stored corpus and re-partition the codes in ONE
+        overwrite commit.  A hot cell (skewed centroid) makes nprobe
+        pruning degenerate — a probe of the hot cell scans most of the
+        corpus; retraining Lloyd over what is actually stored splits it.
+
+        Only ``centroid_id`` changes: the stored codes/vectors are reused
+        verbatim, so search WITHIN a probed cell returns exactly what it
+        did before — recall shifts only through which cells a probe
+        selects, and on a rebalanced layout the same ``nprobe`` covers a
+        more proportionate corpus slice.  Readers keep their MVCC snapshot
+        (old partitioning) until the commit lands; a crash leaves the old
+        index intact (meta publishes last, same discipline as build).
+
+        Training input is the stored representation itself (flat / SQ8
+        dequantized / PQ reconstructed — :meth:`_stored_vectors`), so no
+        raw embedding table is needed; ``n_centroids`` optionally re-sizes
+        the cell count (cells ∝ √corpus is the IVF rule of thumb as the
+        index grows)."""
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("no active SparkSession; pass spark=")
+        from kupo_spark.functions.similarity import _kmeans_q
+
+        meta = dict(self.meta)
+        if n_centroids is not None:
+            meta["n_centroids"] = int(n_centroids)
+        stored = self.table.read(spark)
+        vecs = self._stored_vectors(stored)
+        # density-aware seeding: seed vectors at evenly-strided RANKS of
+        # the vec_id order, so seed MASS follows data mass — a region
+        # holding 90% of the corpus gets ~90% of the seeds, and Lloyd then
+        # splits it instead of leaving one anchored centroid per far
+        # outlier (the failure mode of first-n seeding on a skewed store).
+        # Ranks are exact integers (rank_i = floor((2i+1)·total / 2n)+1),
+        # so an oracle engine re-derives identical seeds; the one global
+        # row_number sort is the price of exactness and runs once per
+        # explicit maintenance call (a 100 TB deployment would reservoir-
+        # sample instead and accept approximate seeds).
+        from pyspark.sql.window import Window
+
+        n = meta["n_centroids"]
+        total = vecs.count()
+        ranks = sorted({((2 * i + 1) * total) // (2 * n) + 1 for i in range(n)})
+        ranked = vecs.withColumn(
+            "rn", F.row_number().over(Window.orderBy("vec_id"))
+        )
+        seeds = (
+            ranked.where(F.col("rn").isin(ranks)).orderBy("vec_id").collect()
+        )
+        seed_df = spark.createDataFrame(
+            [
+                Row(centroid_id=i, cv=[int(x) for x in r.q])
+                for i, r in enumerate(seeds)
+            ],
+            "centroid_id long, cv array<long>",
+        )
+        cent = _kmeans_q(vecs, n, max(1, kmeans_iters), seeds=seed_df)
+        crows = cent.collect()
+        meta["centroids"] = sorted(
+            ([int(r.centroid_id), [int(x) for x in r.cv]] for r in crows),
+            key=lambda c: c[0],
+        )
+        assign = nearest_centroid_rows(
+            vecs, [Row(centroid_id=cid, cv=cv) for cid, cv in meta["centroids"]]
+        ).select("vec_id", F.col("centroid_id").cast("long"))
+        payload = (
+            stored.drop("centroid_id")
+            .join(assign, "vec_id")
+            .select(*[f.name for f in self.table.schema().fields])
+        )
+        self.table.overwrite(payload)
+        _write_meta(self.root, meta)
+        self.meta = meta
+        return self
+
     # -- introspection ----------------------------------------------------
 
     def _centroid_rows(self) -> list:

@@ -514,10 +514,24 @@ def kmeans_centroids(
     that survives a 100 TB corpus.  All arithmetic is exact (int sums,
     mod-adjusted floor division), so an oracle engine re-derives
     bit-identical centroids; empty cells drop out in both engines alike."""
-    q = quantized(emb)
-    cent = q.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cv")
-    )
+    return _kmeans_q(quantized(emb), n_centroids, iters)
+
+
+def _kmeans_q(
+    q: DataFrame, n_centroids: int, iters: int, seeds: DataFrame | None = None
+) -> DataFrame:
+    """The Lloyd loop over an already-quantized ``(vec_id, q)`` frame —
+    shared by :func:`kmeans_centroids` (raw embeddings, first-n seeds: the
+    pinned oracle contract) and the persisted index's ``rebalance``, which
+    passes density-aware ``seeds`` (centroid_id, cv): first-n seeding
+    anchors one centroid per far-flung seed vector, and Lloyd then cannot
+    break up a dominant cluster — each outside centroid keeps its own
+    points, so the hot cell survives every round."""
+    cent = seeds
+    if cent is None:
+        cent = q.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("q").alias("cv")
+        )
     for _ in range(iters):
         assigned = nearest_centroid(q, cent)
         sums = (

@@ -164,12 +164,27 @@ class KupoHttpServer:
 
     def _swap_index(self, index: Index) -> None:
         serving = Serving(index)
+        old = getattr(self, "serving", None)
+        if old is not None:
+            # double-buffer: materialize the NEW snapshot's cached views
+            # and pre-render the hot point responses BEFORE publishing —
+            # readers keep the old warm snapshot throughout, so a follow
+            # deployment never serves a cold-view latency cliff after a
+            # micro-batch swap (kupo's consumer commits never degrade its
+            # readers either; they hit the same warm B-tree pages).  The
+            # construction-time call (old is None) skips warming: nothing
+            # is being served yet and callers warm explicitly when needed.
+            serving.warm()
+            serving.inherit_hot(old)
         with self._lock:
-            old = getattr(self, "serving", None)
+            # re-read under the lock: a racing swap may have published
+            # since `old` was captured — close what is ACTUALLY being
+            # replaced, exactly once, and never the snapshot going live
+            prev = getattr(self, "serving", None)
             self.index = index
             self.serving = serving
-            if old is not None:
-                old.close()
+            if prev is not None and prev is not serving:
+                prev.close()
 
     # -- lifecycle --------------------------------------------------------
 
@@ -352,7 +367,7 @@ def _make_handler(srv: KupoHttpServer):
         def _tip(self):
             # memoized on the Serving snapshot — one job per index swap,
             # not one per request (every response carries these headers)
-            return srv.serving.tip()
+            return self.snap_serving.tip()
 
         def _cache_headers(self):
             """addCacheHeaders (Http.hs:942-957): ETag = tip header hash,
@@ -415,6 +430,15 @@ def _make_handler(srv: KupoHttpServer):
 
         def _route(self, method: str):
             self._headers_sent = False  # per-request; set by _stream_array
+            # ONE snapshot per request: the served index swaps under
+            # mutation (--follow micro-batches, PUT /patterns, gardener
+            # compaction), and a handler that re-reads srv.serving between
+            # computing the cache headers and streaming the body could emit
+            # a torn response (ETag from snapshot N, rows from N+1).  The
+            # lock pairs serving+index atomically with _swap_index.
+            with srv._lock:
+                self.snap_serving = srv.serving
+                self.snap_index = srv.index
             try:
                 u = urlparse(self.path)
                 # percent-decode path segments (Warp does upstream: a
@@ -495,7 +519,7 @@ def _make_handler(srv: KupoHttpServer):
             if want_prometheus:
                 self._send(
                     200,
-                    _serve.metrics_text(srv.index).encode(),
+                    _serve.metrics_text(self.snap_index).encode(),
                     "text/plain;charset=utf-8",
                     self._cache_headers(),
                 )
@@ -504,7 +528,7 @@ def _make_handler(srv: KupoHttpServer):
                 # metrics_text runs its own internally, so collecting it
                 # up front would cost every Prometheus scrape a second
                 # full-scan job
-                h = _serve.health(srv.index).collect()[0]
+                h = _serve.health(self.snap_index).collect()[0]
                 # a follow stream that died (e.g. in-stream point
                 # validation) must surface here: health-check probes and
                 # operators read connection_status
@@ -529,7 +553,7 @@ def _make_handler(srv: KupoHttpServer):
             if not args:
                 # listCheckpointsDesc: newest first
                 rows = (
-                    cp.list_checkpoints(srv.index)
+                    cp.list_checkpoints(self.snap_index)
                     .orderBy(F.col("slot_no").desc())
                     .collect()
                 )
@@ -547,7 +571,7 @@ def _make_handler(srv: KupoHttpServer):
             strict = "strict" in q
             if strict and q["strict"] not in ([""], ["true"]):
                 return self._error("invalid_strict_mode")
-            rows = cp.checkpoint_by_slot(srv.index, slot, strict=strict).collect()
+            rows = cp.checkpoint_by_slot(self.snap_index, slot, strict=strict).collect()
             body = (
                 {"slot_no": rows[0]["slot_no"], "header_hash": rows[0]["header_hash"]}
                 if rows
@@ -603,11 +627,23 @@ def _make_handler(srv: KupoHttpServer):
             ct = "application/json;charset=utf-8" + (
                 ";asset-quantity=string" if as_string else ""
             )
+            # point lookups: one pre-assembled body, one write (kupo's
+            # sub-ms txid responses are page-cache hits serialized in one
+            # go; the chunked framing would cost more than the lookup)
+            body = self.snap_serving.serve_json_body(
+                pattern,
+                resolve_hashes="resolve_hashes" in q,
+                quantity_as_string=as_string,
+                rendered_addresses=srv._rendered_addresses,
+                **kwargs,
+            )
+            if body is not None:
+                return self._send(200, body, ct, self._cache_headers())
             # serve from the Serving tier's prepared-plan + point-row
             # caches (kupo compiles its statements once and serves repeats
             # from the page cache; re-planning per request serializes
             # concurrent clients on the driver)
-            rows = srv.serving.serve_json_rows(
+            rows = self.snap_serving.serve_json_rows(
                 pattern,
                 resolve_hashes="resolve_hashes" in q,
                 quantity_as_string=as_string,
@@ -623,7 +659,7 @@ def _make_handler(srv: KupoHttpServer):
                 return self._error("not_found")
             if not _HEX.match(args[0]) or len(args[0]) % 2:
                 return self._error("malformed_hash")
-            rows = cp.get_binary_data(srv.index, args[0]).collect()
+            rows = cp.get_binary_data(self.snap_index, args[0]).collect()
             body = {"datum": rows[0]["binary_data"]} if rows else None
             return self._json(200, body, self._cache_headers())
 
@@ -634,7 +670,7 @@ def _make_handler(srv: KupoHttpServer):
                 return self._error("not_found")
             if not _HEX.match(args[0]) or len(args[0]) % 2:
                 return self._error("malformed_hash")
-            rows = cp.get_script(srv.index, args[0]).collect()
+            rows = cp.get_script(self.snap_index, args[0]).collect()
             body = _script_json(rows[0]["script"]) if rows else None
             return self._json(200, body, self._cache_headers())
 
@@ -653,7 +689,7 @@ def _make_handler(srv: KupoHttpServer):
                 return self._json(200, [], self._cache_headers())
             # resolve to the greatest checkpoint ≤ slot (listAncestorsDesc
             # of the successor, Http.hs:773-776)
-            anc = cp.ancestors(srv.index, slot + 1, 1).collect()
+            anc = cp.ancestors(self.snap_index, slot + 1, 1).collect()
             if not anc:
                 return self._json(200, [], self._cache_headers())
             a_slot, a_hash = anc[0]["slot_no"], anc[0]["header_hash"]

@@ -511,15 +511,22 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 _D2 = "list_dot_product(q, q) - 2 * list_dot_product(q, cv) + list_dot_product(cv, cv)"
 
 
-def _kmeans_ctes(n_centroids: int, iters: int, dim: int = DIM) -> tuple[list[str], str]:
+def _kmeans_ctes(
+    n_centroids: int, iters: int, dim: int = DIM, seed_sql: str | None = None
+) -> tuple[list[str], str]:
     """CTE chain re-deriving the Spark k-means centroids exactly: `iters`
     Lloyd rounds, each = argmin assignment (L2² on exact ints) + per-dimension
     floor-mean (mod-adjusted division, exact in double because the adjusted
     numerator is divisible).  Returns (ctes, name-of-final-centroid-cte);
-    the first CTE defines `qv` (quantized embeddings)."""
+    the first CTE defines `qv` (quantized embeddings).  ``seed_sql``
+    overrides the seed-centroid SELECT (default: first-n vec_ids — the
+    transient contract; ``VectorIndex.rebalance`` seeds by strided rank)."""
+    seed = seed_sql or (
+        f"SELECT vec_id AS centroid_id, q AS cv FROM qv WHERE vec_id < {n_centroids}"
+    )
     ctes = [
         f"qv AS (SELECT vec_id, {QUANT} AS q FROM embeddings WHERE {_VALID_EMB})",
-        f"cent0 AS (SELECT vec_id AS centroid_id, q AS cv FROM qv WHERE vec_id < {n_centroids})",
+        f"cent0 AS ({seed})",
     ]
     prev = "cent0"
     for i in range(1, iters + 1):
@@ -575,6 +582,7 @@ FROM pairs WHERE cosine >= {threshold}
 def ivf_topk_sql(
     n_queries: int = 10, k: int = 5, n_centroids: int = 16, kmeans_iters: int = 0,
     nprobe: int = 1, sq8: bool = False, dim: int = DIM,
+    corpus_where: str = "", seed_sql: str | None = None,
 ) -> str:
     """Cell-restricted exact top-k: the IVF assignment CTE (oracle-checked
     by ivf_assign_sql) spliced into the brute-force ranking; with
@@ -586,10 +594,18 @@ def ivf_topk_sql(
     ``sq8=True`` is the IVF-SQ8 layout (``ann_index.VectorIndex`` mode
     'ivf_sq8'): cells assigned on the EXACT vectors (the store's encode
     pass), the corpus side replaced by the SQ8-dequantized vectors
-    (``sq_topk_sql``'s round trip), queries stay exact."""
-    ctes, cent = _kmeans_ctes(n_centroids, kmeans_iters)
+    (``sq_topk_sql``'s round trip), queries stay exact.
+
+    ``corpus_where`` filters the NEIGHBOR side only (``VectorIndex.delete``:
+    cells/centroids trained before the delete, removed rows absent as
+    candidates); ``seed_sql`` overrides the Lloyd seeds (``rebalance``)."""
+    ctes, cent = _kmeans_ctes(n_centroids, kmeans_iters, seed_sql=seed_sql)
     chain = ",\n".join(ctes)
-    corpus = "corpus AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM qa)"
+    cw = f" WHERE {corpus_where}" if corpus_where else ""
+    corpus = (
+        "corpus AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id "
+        f"FROM qa{cw})"
+    )
     sq_ctes = ""
     if sq8:
         sq_ctes = f"""
@@ -606,7 +622,7 @@ recon AS (
   GROUP BY 1),"""
         corpus = (
             "corpus AS (SELECT r.vec_id AS neighbor_id, r.rv AS cv, a.centroid_id "
-            "FROM recon r JOIN assigned a USING (vec_id))"
+            f"FROM recon r JOIN assigned a USING (vec_id){cw})"
         )
     return f"""
 WITH {chain},{sq_ctes}
@@ -781,8 +797,35 @@ def ivf_topk_and_pq_sql(
     index probing every cell, which scores every neighbor with the same
     per-query ADC tables and therefore IS the flat-ADC ranking.  Both
     equalities are semantic (same candidates, same exact-integer scores),
-    so the oracle re-derivation checks the stored lifecycle end to end."""
+    so the oracle re-derivation checks the stored lifecycle end to end.
+
+    Round-6 rotated arms (VERDICT r5 #8 — new semantics under the same
+    driver row): 'stored_probe2' replaces the redundant 'stored' (it was
+    definitionally the ivf ranking) with multi-probe nprobe=2;
+    'stored_deleted' checks ``VectorIndex.delete`` (cells trained before
+    the delete, removed rows absent as neighbors); 'stored_rebalanced'
+    checks ``VectorIndex.rebalance`` — strided-rank density seeds +
+    Lloyd retrain over the stored corpus, re-derived exactly."""
     ivf = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters)
+    probe2 = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters, nprobe=2)
+    deleted = ivf_topk_sql(
+        n_queries, k, n_centroids, kmeans_iters,
+        corpus_where="vec_id % 7 != 0",
+    )
+    rebal_seed = f"""
+  SELECT CAST(row_number() OVER (ORDER BY s.vec_id) - 1 AS BIGINT) AS centroid_id,
+         s.q AS cv
+  FROM (
+    SELECT r.vec_id, r.q
+    FROM (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM qv) r
+    WHERE r.rn IN (
+      SELECT DISTINCT ((2 * i.i + 1) * t.n) // (2 * {n_centroids}) + 1
+      FROM (SELECT unnest(range({n_centroids})) AS i) i,
+           (SELECT count(*) AS n FROM qv) t)
+  ) s"""
+    rebalanced = ivf_topk_sql(
+        n_queries, k, n_centroids, kmeans_iters, seed_sql=rebal_seed
+    )
     adc = pq_adc_topk_sql(n_queries, k, iters=pq_iters)
     refined = pq_refined_topk_sql(n_queries, k, iters=pq_iters)
     sq8 = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters, sq8=True)
@@ -791,7 +834,11 @@ SELECT 'ivf' AS q, * FROM ({ivf})
 UNION ALL
 SELECT 'pq' AS q, * FROM ({adc})
 UNION ALL
-SELECT 'stored' AS q, * FROM ({ivf})
+SELECT 'stored_probe2' AS q, * FROM ({probe2})
+UNION ALL
+SELECT 'stored_deleted' AS q, * FROM ({deleted})
+UNION ALL
+SELECT 'stored_rebalanced' AS q, * FROM ({rebalanced})
 UNION ALL
 SELECT 'stored_pq' AS q, * FROM ({adc})
 UNION ALL

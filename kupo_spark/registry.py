@@ -541,16 +541,42 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PERSISTED index (ann_index.VectorIndex): built from scratch under
     # a scratch root, queried through the stored centroids/codebooks — the
     # oracle checks the full build->store->query lifecycle, not the pinned
-    # stored==transient test.  'stored' = IVF-flat (nprobe=1, the ivf arm's
-    # cells); 'stored_pq' = IVF-PQ probing every cell, which is exactly the
-    # flat-ADC ranking (same ADC tables, all neighbors scored).
+    # stored==transient test.  Round-6 rotated arms (VERDICT r5 #8):
+    # 'stored_probe2' = IVF-flat multi-probe (nprobe=2; replaces 'stored',
+    # which was definitionally the ivf arm's ranking); 'stored_deleted' =
+    # the CRUD delete lifecycle (build, transactional delete of vec_id%7==0,
+    # query — removed rows absent as neighbors, cells from the pre-delete
+    # training); 'stored_rebalanced' = the OPTIMIZE lifecycle (strided-rank
+    # density seeds + Lloyd retrain over the stored corpus, one overwrite
+    # commit); 'stored_pq' = IVF-PQ probing every cell, which is exactly
+    # the flat-ADC ranking (same ADC tables, all neighbors scored).
     scratch = tempfile.mkdtemp(prefix="annix-")  # lives until process exit:
     # the returned DataFrame lazily reads the stored parquet cells
     flat = VectorIndex.build(
         f"{scratch}/flat", emb, pq=False, n_centroids=16, kmeans_iters=2
     )
-    stored = flat.topk(emb, n_queries=10, k=5, nprobe=1).select(
-        F.lit("stored").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+    stored = flat.topk(emb, n_queries=10, k=5, nprobe=2).select(
+        F.lit("stored_probe2").alias("q"),
+        "query_id", "neighbor_id", "cosine", "rank",
+    )
+    flat_del = VectorIndex.build(
+        f"{scratch}/flat_del", emb, pq=False, n_centroids=16, kmeans_iters=2
+    )
+    flat_del.delete(
+        [r.vec_id for r in emb.where("vec_id % 7 = 0").select("vec_id").collect()],
+        spark,
+    )
+    stored_deleted = flat_del.topk(emb, n_queries=10, k=5, nprobe=1).select(
+        F.lit("stored_deleted").alias("q"),
+        "query_id", "neighbor_id", "cosine", "rank",
+    )
+    flat_reb = VectorIndex.build(
+        f"{scratch}/flat_reb", emb, pq=False, n_centroids=16, kmeans_iters=0
+    )
+    flat_reb.rebalance(spark, kmeans_iters=2)
+    stored_rebalanced = flat_reb.topk(emb, n_queries=10, k=5, nprobe=1).select(
+        F.lit("stored_rebalanced").alias("q"),
+        "query_id", "neighbor_id", "cosine", "rank",
     )
     pqix = VectorIndex.build(
         f"{scratch}/pq", emb, pq=True, n_centroids=16, kmeans_iters=2,
@@ -576,6 +602,8 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ivf.unionByName(adc)
         .unionByName(stored)
+        .unionByName(stored_deleted)
+        .unionByName(stored_rebalanced)
         .unionByName(stored_pq)
         .unionByName(refined)
         .unionByName(stored_sq8)

@@ -57,7 +57,7 @@ from pyspark.sql.window import Window
 from kupo_spark.operators.indexer import Index, exploded_outputs, spent_refs
 from kupo_spark.operators.table_index import Catalog
 from kupo_spark.patterns import any_to_column, pattern_from_text
-from kupo_spark.table import Table
+from kupo_spark.table import Table, WriterLock
 
 LOG_TABLES = ("produced", "spends", "checkpoints", "binary_data", "scripts")
 
@@ -77,6 +77,12 @@ class StreamingIndexer:
         # so put_patterns' own process_batch nests under it.
         self.write_lock = threading.RLock()
         Path(out_dir).mkdir(parents=True, exist_ok=True)
+        # cross-PROCESS single-writer enforcement (kupo holds an exclusive
+        # SQLite writer lock for the process lifetime, SQLite.hs:355-384):
+        # acquired lazily at the first write so read-only constructions
+        # (--read-only, copy, resolved_index) never contend; its fencing
+        # token is re-checked before every catalog publish
+        self._writer_lock = WriterLock(Path(out_dir) / "_writer.lock")
         self._catalog = Catalog(Path(out_dir) / "_catalog")
         self._entries_cache: list[dict] | None = None
         # resume path: a persisted pattern store (written by put_patterns)
@@ -97,7 +103,29 @@ class StreamingIndexer:
             self._entries_cache = self._catalog.entries()
         return self._entries_cache
 
+    def _ensure_writer(self) -> None:
+        """Acquire (or re-validate) the cross-process writer lock.  A live
+        second writer on the same workdir fails HERE, loudly, before any
+        table or catalog mutation; a dead holder's lock is broken with a
+        bumped fencing token (its stale process, were it merely stalled,
+        halts at its next ``check``)."""
+        if self._writer_lock.nonce is None:
+            self._writer_lock.acquire()
+        else:
+            self._writer_lock.check()
+
+    def release_writer(self) -> None:
+        """Release the workdir writer lock (clean shutdown)."""
+        self._writer_lock.release()
+
     def _publish(self, entry: dict) -> None:
+        # acquire-or-fence: a first-time writer acquires here (compact /
+        # truncate_log publish without going through process_batch); a
+        # holder re-validates its fencing token — an expropriated writer
+        # (its lock was broken by a newer owner after a wrong liveness
+        # verdict) halts before interleaving a catalog entry with the new
+        # owner's
+        self._ensure_writer()
         self._catalog.publish(entry)
         self._entries().append(entry)
 
@@ -232,6 +260,7 @@ class StreamingIndexer:
         key = None if dedup_scope is None else f"{dedup_scope}:{batch_id}"
         if key is not None and any(m.get("key") == key for m in self._committed()):
             return
+        self._ensure_writer()
         self._repair_crash_residue()
         seq = self._next_seq()
         versions = self._append_batch_tables(blocks, seq)
@@ -244,6 +273,7 @@ class StreamingIndexer:
     def append_rollback(self, slot: int) -> None:
         import time
 
+        self._ensure_writer()
         seq = self._next_seq()
         self._publish(
             {"rollback": {"batch_seq": seq, "slot": slot, "ts": time.time()}}
@@ -263,6 +293,7 @@ class StreamingIndexer:
         from kupo_spark.patterns import pattern_to_text
 
         p = pattern_from_text(pattern) if isinstance(pattern, str) else pattern
+        self._ensure_writer()
         seq = self._next_seq()
         self._publish(
             {

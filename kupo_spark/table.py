@@ -76,6 +76,9 @@ __all__ = [
     "ConcurrentWriteError",
     "ConcurrentDeleteError",
     "TableNotFoundError",
+    "WriterLock",
+    "WriterLockError",
+    "WriterFencedError",
 ]
 
 LOG_DIR = "_delta_log"
@@ -111,6 +114,140 @@ class ConcurrentDeleteError(RuntimeError):
 
 class TableNotFoundError(FileNotFoundError):
     pass
+
+
+class WriterLockError(RuntimeError):
+    """Another live process holds the writer lock on this workdir."""
+
+
+class WriterFencedError(RuntimeError):
+    """This writer's lock was expropriated (its fencing token is no longer
+    current) — any further commit could interleave with the new owner's."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+class WriterLock:
+    """Cross-process single-writer enforcement for a workdir.
+
+    Kupo's model is one writer per database, and kupo *enforces* it — the
+    exclusive SQLite writer connection takes a RESERVED lock for the
+    process's lifetime (``src/Kupo/App/Database/SQLite.hs:355-384``), so a
+    second ``kupo`` against the same workdir fails loudly at startup.  The
+    streaming log's optimistic per-commit concurrency makes interleaved
+    commits *atomic*, but atomic interleaving of two full indexers is still
+    wrong (each would publish catalog entries the other never saw), so the
+    workdir needs the same loud exclusivity.
+
+    Mechanics (single-host; a cluster deployment would swap this file for a
+    lease in its coordination service, same token protocol):
+
+    * ``acquire`` creates ``<path>`` with ``O_EXCL`` containing
+      ``{"pid", "fence", "nonce", "acquired_at"}``.  Same-pid re-acquire
+      succeeds (threads within the process already serialize through the
+      indexer's ``write_lock``).
+    * A lock whose pid is dead is **broken**: the breaker atomically
+      replaces the file with a bumped ``fence`` and its own ``nonce``,
+      then re-reads to confirm it won (two racing breakers both replace;
+      the nonce says which one owns the lock).  A live foreign pid raises
+      :class:`WriterLockError` — the "second run fails loudly" path.
+    * ``check`` re-reads the file and raises :class:`WriterFencedError`
+      unless it still carries this holder's nonce — called before every
+      catalog publish, so an expropriated (wrongly-presumed-dead) writer
+      halts before it can interleave a commit (the fencing-token pattern).
+    """
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.nonce: str | None = None
+        self.fence: int | None = None
+
+    def _read(self) -> dict | None:
+        try:
+            return json.loads(self.path.read_text())
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _payload(self, fence: int) -> dict:
+        return {
+            "pid": os.getpid(),
+            "fence": fence,
+            "nonce": uuid.uuid4().hex,
+            "acquired_at": time.time(),
+        }
+
+    def acquire(self) -> "WriterLock":
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        for _ in range(100):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                cur = self._read()
+                if cur is None:
+                    # torn write or holder released between our open and
+                    # read — retry the exclusive create
+                    time.sleep(0.01)
+                    continue
+                if cur.get("pid") == os.getpid():
+                    self.nonce, self.fence = cur["nonce"], cur["fence"]
+                    return self
+                if _pid_alive(int(cur.get("pid", -1))):
+                    raise WriterLockError(
+                        f"workdir writer lock {self.path} is held by live "
+                        f"pid {cur['pid']} (fence {cur.get('fence')}); "
+                        "refusing to run a second writer against the same "
+                        "workdir"
+                    )
+                # crashed holder: break the lock with a bumped fence
+                payload = self._payload(int(cur.get("fence", 0)) + 1)
+                tmp = self.path.with_name(f".lk-{payload['nonce']}")
+                tmp.write_text(json.dumps(payload))
+                os.replace(tmp, self.path)
+                now = self._read()
+                if now is not None and now.get("nonce") == payload["nonce"]:
+                    self.nonce, self.fence = payload["nonce"], payload["fence"]
+                    return self
+                continue  # another breaker won; re-evaluate its claim
+            else:
+                payload = self._payload(1)
+                with os.fdopen(fd, "w") as f:
+                    f.write(json.dumps(payload))
+                    f.flush()
+                    os.fsync(f.fileno())
+                self.nonce, self.fence = payload["nonce"], payload["fence"]
+                return self
+        raise WriterLockError(f"could not settle writer lock {self.path}")
+
+    def check(self) -> None:
+        """Raise unless this holder's token is still current."""
+        if self.nonce is None:
+            raise WriterFencedError(f"writer lock {self.path} was never acquired")
+        cur = self._read()
+        if cur is None or cur.get("nonce") != self.nonce:
+            raise WriterFencedError(
+                f"writer lock {self.path} was expropriated (fence "
+                f"{cur.get('fence') if cur else '?'} > {self.fence}); "
+                "halting before interleaving commits with the new owner"
+            )
+
+    def release(self) -> None:
+        if self.nonce is None:
+            return
+        cur = self._read()
+        if cur is not None and cur.get("nonce") == self.nonce:
+            try:
+                self.path.unlink()
+            except FileNotFoundError:
+                pass
+        self.nonce = self.fence = None
 
 
 @dataclass

@@ -277,3 +277,89 @@ def test_delete_removes_from_results_and_keeps_mvcc(spark, tmp_path):
     )
     # the rewrite preserved the hive cell partitioning (stats view intact)
     assert sum(idx.cells().values()) == idx.table.read(spark).count()
+
+
+# ---- rebalance (OPTIMIZE for the vector tier) ----------------------------
+
+
+def _skewed_emb(spark, n=600, n_hot=540, seed_cells=8):
+    """Adversarially skewed corpus: the first `seed_cells` vectors (the
+    kmeans_iters=0 seed centroids) are far apart, then ~90% of the corpus
+    lands in a band around seed 0 — one hot cell."""
+    import math
+
+    rows = []
+    for i in range(seed_cells):
+        base = float(10 * (i + 1))
+        rows.append((i, [base + 0.001 * d for d in range(64)]))
+    for i in range(seed_cells, n):
+        if i < seed_cells + n_hot:
+            # spread WITHIN the hot region so Lloyd has variance to split
+            off = 0.5 * math.sin(i) + 0.001 * (i % 97)
+            rows.append((i, [10.0 + off + 0.001 * d for d in range(64)]))
+        else:
+            far = float(10 * ((i % seed_cells) + 1)) + 0.01 * (i % 13)
+            rows.append((i, [far + 0.001 * d for d in range(64)]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _recall(idx, emb, n_queries=12, k=5, nprobe=2):
+    from kupo_spark.functions.similarity import brute_force_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, n_queries=n_queries, k=k).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in idx.topk(emb, n_queries=n_queries, k=k, nprobe=nprobe).collect()
+    }
+    return len(got & exact) / len(exact)
+
+
+def test_rebalance_splits_hot_cell(spark, tmp_path):
+    """90%-one-cell corpus: rebalance retrains Lloyd on the STORED vectors
+    and re-partitions in one overwrite commit — cell spread becomes
+    bounded, recall (same nprobe) does not regress, stored vec_ids are
+    untouched, and the old snapshot stays time-travelable."""
+    emb = _skewed_emb(spark)
+    idx = VectorIndex.build(
+        str(tmp_path / "ix"), emb, pq=False, n_centroids=8, kmeans_iters=0
+    )
+    cells_before = idx.cells()
+    total = sum(cells_before.values())
+    assert max(cells_before.values()) / total > 0.8  # genuinely degenerate
+    recall_before = _recall(idx, emb)
+    v_before = idx.table.latest_version()
+    ids_before = sorted(r.vec_id for r in idx.table.read(spark).collect())
+
+    idx.rebalance(spark, kmeans_iters=4)
+
+    cells_after = idx.cells()
+    assert sum(cells_after.values()) == total  # no vector lost
+    # bounded spread: hot cell broken up
+    assert max(cells_after.values()) / total < 0.5
+    assert max(cells_after.values()) <= 4 * (total / len(cells_after))
+    # stored vectors are reused verbatim — only centroid_id moved
+    assert sorted(r.vec_id for r in idx.table.read(spark).collect()) == ids_before
+    # recall at the same nprobe does not regress
+    assert _recall(idx, emb) >= recall_before
+    # one commit; the pre-rebalance snapshot is still readable (MVCC)
+    assert idx.table.read(spark, version=v_before).count() == total
+
+
+def test_rebalance_reopen_consistency(spark, tmp_path):
+    """A reopened index sees the rebalanced meta + layout (meta published
+    after the commit, same build discipline)."""
+    emb = _skewed_emb(spark, n=300, n_hot=260)
+    idx = VectorIndex.build(
+        str(tmp_path / "ix"), emb, mode="ivf_sq8", n_centroids=8, kmeans_iters=0
+    )
+    idx.rebalance(spark, kmeans_iters=3)
+    reopened = VectorIndex(str(tmp_path / "ix"))
+    assert reopened.meta["centroids"] == idx.meta["centroids"]
+    assert _rows(reopened.topk(emb, n_queries=6, k=3, nprobe=2)) == _rows(
+        idx.topk(emb, n_queries=6, k=3, nprobe=2)
+    )
