@@ -167,7 +167,10 @@ def _gardener(server, interval: float, prune_utxo: bool, stop: threading.Event):
     from kupo_spark.operators.maintenance import prune_binary_data
 
     while not stop.wait(interval):
-        with server._lock:
+        # mutation lock, not the snapshot lock: the GC rebuild + the
+        # swap's warm-before-publish take seconds, and readers must keep
+        # serving the old snapshot throughout (they only touch _lock)
+        with server._mutation_lock:
             nxt = run_gc(server.index) if prune_utxo else prune_binary_data(server.index)
             server._swap_index(nxt)
 

@@ -138,6 +138,14 @@ class KupoHttpServer:
         # (the driver's synthetic corpus is opaque hex, not re-renderable)
         self._rendered_addresses = rendered_addresses
         self._lock = threading.RLock()
+        # serializes MUTATIONS (DELETE /matches, PUT /patterns, gardener
+        # cycles) against each other.  Distinct from ``_lock``, which only
+        # guards the brief snapshot publish/capture: a mutation's index
+        # rebuild + the swap's warm-before-publish take seconds, and
+        # readers must keep serving the old snapshot throughout instead of
+        # blocking on the writer (the reference's readers never wait on
+        # its writer either — WAL snapshot isolation).
+        self._mutation_lock = threading.RLock()
         self._longest_rollback = (
             LONGEST_ROLLBACK if longest_rollback is None else longest_rollback
         )
@@ -238,12 +246,12 @@ class KupoHttpServer:
             # restarts.  Serialized with the stream body via the writer lock
             # (reference behavior: deleteMatchesQry during live operation,
             # Http.hs:686-704).
-            with self._streaming.write_lock, self._lock:
+            with self._streaming.write_lock, self._mutation_lock:
                 n = self.index.inputs.where(to_column(p)).count()
                 self._streaming.append_delete(p)
                 self._swap_index(self._streaming.resolved_index(self._spark))
             return n
-        with self._lock:
+        with self._mutation_lock:
             n = self.index.inputs.where(to_column(p)).count()
             self._swap_index(mt.delete_by_pattern(self.index, p))
         return n
@@ -284,7 +292,7 @@ class KupoHttpServer:
             # resolve + swap under the WRITER lock too: otherwise a
             # concurrent micro-batch's swap could land first and this
             # older-resolved snapshot would overwrite it
-            with self._streaming.write_lock, self._lock:
+            with self._streaming.write_lock, self._mutation_lock:
                 # self.store IS the indexer's pattern store (same
                 # patterns.txt) — put_patterns already installed the set
                 self._swap_index(self._streaming.resolved_index(self._spark))
@@ -297,7 +305,7 @@ class KupoHttpServer:
             raise _Unavailable("unknown_point")
         if row["tip"] - rollback_slot > self._longest_rollback:
             raise _Unavailable("unsafe_rollback")
-        with self._lock:
+        with self._mutation_lock:
             old = self.store.list()
             for p in new_patterns:
                 self.store.add(p)

@@ -461,6 +461,17 @@ class Serving:
                 self.serve_json_body(pattern, **dict(kw))
             except Exception:  # noqa: BLE001 — a vanished pattern is fine
                 pass
+        # exact-address pages too (the reference's highest-QPS shape):
+        # draining the streaming path populates the new snapshot's row
+        # cache; each is one batch-skipping job on the address-clustered
+        # view, bounded by `limit`
+        hot_rows = [k for k in old._row_cache.keys() if k[0] == "json_rows"][-limit:]
+        for _, pattern, kw in hot_rows:
+            try:
+                for _row in self.serve_json_rows(pattern, **dict(kw)):
+                    pass
+            except Exception:  # noqa: BLE001
+                pass
 
     def _assert_point_cached(self, slot_no: int, header_hash: str) -> None:
         """:func:`assert_point` through a driver-side memo: the index

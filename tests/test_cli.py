@@ -817,6 +817,7 @@ def test_gardener_loop_prunes(index, monkeypatch):
         def __init__(self):
             self.index = index
             self._lock = threading.RLock()
+            self._mutation_lock = threading.RLock()
             self.swapped = None
 
         def _swap_index(self, nxt):

@@ -170,7 +170,7 @@ def test_oha_protocol_across_swaps(tmp_path, event_parts):
         # into the base and swap, exactly what --gc-interval does on its
         # timer (driven directly so the test is deterministic)
         indexer = server._streaming
-        with indexer.write_lock, server._lock:
+        with indexer.write_lock, server._mutation_lock:
             server._swap_index(indexer.compact(server._spark))
 
         time.sleep(2)  # a little steady-state traffic on the final snapshot
@@ -204,6 +204,41 @@ def test_oha_protocol_across_swaps(tmp_path, event_parts):
     lats = sorted(lat for _, _, lat in all_results)
     p95 = lats[int(len(lats) * 0.95)]
     assert p95 < 30.0, f"p95 {p95:.2f}s under mutation"
+
+
+def test_inherited_hot_point_serves_new_snapshot(spark, index):
+    """Serving.inherit_hot pre-renders the predecessor's hot point keys —
+    from the NEW snapshot.  After a mutation that removes the row, the
+    inherited cache entry must serve the post-mutation answer (an empty
+    array), never the stale pre-swap body."""
+    import urllib.request
+
+    from kupo_spark.operators.http_server import KupoHttpServer
+
+    txid = cs.transaction_id_of(3)
+    with KupoHttpServer(spark, index, patterns=("*",)) as srv:
+        with urllib.request.urlopen(
+            f"{srv.url}/matches/*@{txid}", timeout=60
+        ) as r:
+            before = json.loads(r.read())
+        assert before, "fixture txid should match rows"
+        # make the key hot, then delete every row it matches; the follow-up
+        # swap inherits the hot key and must re-render it from the mutated
+        # snapshot
+        req = urllib.request.Request(
+            f"{srv.url}/patterns/%2A", method="DELETE"
+        )  # drop '*' so the txid delete is not overlap-guarded
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+        req = urllib.request.Request(
+            f"{srv.url}/matches/*@{txid}", method="DELETE"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert json.loads(r.read())["deleted"] == len(before)
+        with urllib.request.urlopen(
+            f"{srv.url}/matches/*@{txid}", timeout=60
+        ) as r:
+            assert json.loads(r.read()) == []
 
 
 def test_swap_closes_old_serving_without_breaking_inflight(spark, index):
