@@ -334,3 +334,47 @@ def test_policy_fold_hot_path_is_order_safe(serving, index, spark):
         assert a == b and a
     finally:
         Serving.POLICY_BROADCAST_LIMIT = old
+
+
+def test_fold_rows_bounded_small_is_list_big_is_stream(serving):
+    """The driver-memory guard is structural: under the cap the bounded
+    path returns a list equal to fold_rows; past the cap it returns an
+    ITERATOR whose rows equal fold_rows without the driver ever holding
+    more than cap+1 of them."""
+    addr = cs.address_of(42)
+    small = serving.fold_rows_bounded(addr)
+    assert isinstance(small, list)
+    assert [tuple(r) for r in small] == [
+        tuple(r) for r in serving.fold_rows(addr)
+    ]
+    # wildcard at sf0.001 (12k rows) with a tiny cap: streamed
+    big = serving.fold_rows_bounded("*", max_rows=50)
+    assert not isinstance(big, list)
+    rows = [tuple(r) for r in big]
+    assert rows == [tuple(r) for r in serving.fold_rows("*")]
+    # point shapes delegate to the page-sized fold_rows path
+    pt = serving.fold_rows_bounded(f"*@{cs.transaction_id_of(123)}", max_rows=1)
+    assert isinstance(pt, list)
+
+
+def test_inherit_hot_carries_point_and_exact(index):
+    """A successor Serving pre-renders its predecessor's hot point bodies
+    AND exact-address pages — and computes them from its own snapshot."""
+    old = Serving(index, partitions=2)
+    txid = cs.transaction_id_of(123)
+    addr = cs.address_of(42)
+    body = old.serve_json_body(f"*@{txid}", sorted_result=True)
+    list(old.serve_json_rows(addr, sorted_result=True))
+    assert body is not None
+    new = Serving(index, partitions=2)
+    new.inherit_hot(old)
+    # both caches primed: serving again launches no recompute (compare by
+    # cache probe — the keys must be present with identical content)
+    k_body = ("json_body", f"*@{txid}", (("sorted_result", True),))
+    k_rows = ("json_rows", f"*@{txid}", (("sorted_result", True),))  # not cached — point went to json_body
+    assert new._row_cache.get(k_body) == body
+    k_exact = ("json_rows", addr, (("sorted_result", True),))
+    assert new._row_cache.get(k_exact) is not None
+    assert new._row_cache.get(k_rows) is None
+    old.close()
+    new.close()

@@ -148,3 +148,37 @@ def test_lock_never_blocks_readers(spark, tmp_path):
     assert idx.inputs.count() > 0
     assert replica._writer_lock.nonce is None  # never acquired
     assert json.loads((out / "_writer.lock").read_text())["pid"] == os.getpid()
+
+
+def test_racing_breakers_exactly_one_wins(tmp_path):
+    """N separate PROCESSES race to break the same dead-holder lock: the
+    nonce-verified replace admits exactly one; every loser sees the
+    winner's live pid and raises WriterLockError.  This is the actual
+    crash-recovery race (two supervisors restarting the writer at once)."""
+    path = tmp_path / "w.lock"
+    path.write_text(json.dumps({"pid": _dead_pid(), "fence": 3, "nonce": "stale"}))
+    script = (
+        "import sys, time, json\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from kupo_spark.table import WriterLock, WriterLockError\n"
+        "try:\n"
+        f"    lk = WriterLock({str(path)!r}).acquire()\n"
+        "    print('WON', lk.fence)\n"
+        "    time.sleep(2)\n"  # hold while the others decide
+        "    lk.check()\n"     # still ours at the end
+        "    print('STILL_HELD')\n"
+        "except WriterLockError:\n"
+        "    print('LOST')\n"
+    )
+    procs = [
+        subprocess.Popen(
+            ["python", "-c", script], stdout=subprocess.PIPE, text=True
+        )
+        for _ in range(6)
+    ]
+    outs = [p.communicate(timeout=60)[0].split() for p in procs]
+    winners = [o for o in outs if o and o[0] == "WON"]
+    losers = [o for o in outs if o == ["LOST"]]
+    assert len(winners) == 1 and len(losers) == 5, outs
+    assert winners[0][-1] == "STILL_HELD"  # fencing token stayed current
+    assert int(winners[0][1]) == 4  # fence bumped past the dead holder's
