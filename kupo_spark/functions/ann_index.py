@@ -171,7 +171,11 @@ class VectorIndex:
             FLAT_SCHEMA if mode == "ivf_flat" else CODES_SCHEMA,
             partition_by=["centroid_id"],
         )
-        table.append(_encode_rows(emb, meta))
+        # the log version whose commit established this meta's centroids /
+        # partitioning: readers pin to it when the log later runs AHEAD of
+        # meta (a refresh/rebalance that crashed between its overwrite and
+        # its meta publish) — see _pinned_version
+        meta["table_version"] = table.append(_encode_rows(emb, meta))
         # meta publishes LAST: an opener never sees meta without codes
         _write_meta(rootp, meta)
         return VectorIndex(root)
@@ -222,7 +226,7 @@ class VectorIndex:
             from kupo_spark.functions.sq import sq_train
 
             meta["mins"], meta["maxs"] = sq_train(emb)
-        self.table.overwrite(_encode_rows(emb, meta))
+        meta["table_version"] = self.table.overwrite(_encode_rows(emb, meta))
         _write_meta(self.root, meta)
         self.meta = meta
         return self
@@ -244,6 +248,7 @@ class VectorIndex:
         spark: SparkSession | None = None,
         kmeans_iters: int = 4,
         n_centroids: int | None = None,
+        seed_mode: str = "strided",
     ) -> "VectorIndex":
         """OPTIMIZE for the vector tier: retrain the coarse quantizer on
         the CURRENT stored corpus and re-partition the codes in ONE
@@ -263,38 +268,57 @@ class VectorIndex:
         dequantized / PQ reconstructed — :meth:`_stored_vectors`), so no
         raw embedding table is needed; ``n_centroids`` optionally re-sizes
         the cell count (cells ∝ √corpus is the IVF rule of thumb as the
-        index grows)."""
+        index grows).
+
+        ``seed_mode`` picks the density-aware seeding strategy:
+
+        - ``"strided"`` (oracle arm): seeds at exact evenly-strided RANKS
+          of the vec_id order — exact integers an oracle engine
+          re-derives identically, at the price of ONE global row_number
+          sort per explicit maintenance call;
+        - ``"sampled"`` (scale arm): a narrow fraction-sample of the
+          corpus (Scan→Sample→Project, NO exchange / window / single-
+          partition stage in the plan — asserted by test), stride-picked
+          driver-side over the ~16·n collected sample rows.  Seed mass
+          still follows data mass (the sample is uniform over rows);
+          deterministic given the fixed sample seed, but not
+          oracle-reproducible — the 100 TB default.
+        """
         spark = spark or SparkSession.getActiveSession()
         if spark is None:
             raise ValueError("no active SparkSession; pass spark=")
+        if seed_mode not in ("strided", "sampled"):
+            raise ValueError(f"unknown seed_mode {seed_mode!r}")
         from kupo_spark.functions.similarity import _kmeans_q
 
         meta = dict(self.meta)
         if n_centroids is not None:
             meta["n_centroids"] = int(n_centroids)
-        stored = self.table.read(spark)
+        stored = self.table.read(spark, version=self._pinned_version())
         vecs = self._stored_vectors(stored)
-        # density-aware seeding: seed vectors at evenly-strided RANKS of
-        # the vec_id order, so seed MASS follows data mass — a region
-        # holding 90% of the corpus gets ~90% of the seeds, and Lloyd then
-        # splits it instead of leaving one anchored centroid per far
-        # outlier (the failure mode of first-n seeding on a skewed store).
-        # Ranks are exact integers (rank_i = floor((2i+1)·total / 2n)+1),
-        # so an oracle engine re-derives identical seeds; the one global
-        # row_number sort is the price of exactness and runs once per
-        # explicit maintenance call (a 100 TB deployment would reservoir-
-        # sample instead and accept approximate seeds).
-        from pyspark.sql.window import Window
-
         n = meta["n_centroids"]
         total = vecs.count()
-        ranks = sorted({((2 * i + 1) * total) // (2 * n) + 1 for i in range(n)})
-        ranked = vecs.withColumn(
-            "rn", F.row_number().over(Window.orderBy("vec_id"))
-        )
-        seeds = (
-            ranked.where(F.col("rn").isin(ranks)).orderBy("vec_id").collect()
-        )
+        if seed_mode == "strided":
+            # seed vectors at evenly-strided RANKS of the vec_id order, so
+            # seed MASS follows data mass — a region holding 90% of the
+            # corpus gets ~90% of the seeds, and Lloyd then splits it
+            # instead of leaving one anchored centroid per far outlier
+            # (the failure mode of first-n seeding on a skewed store).
+            # Ranks are exact integers (rank_i = floor((2i+1)·total/2n)+1),
+            # so an oracle engine re-derives identical seeds.
+            from pyspark.sql.window import Window
+
+            ranks = sorted(
+                {((2 * i + 1) * total) // (2 * n) + 1 for i in range(n)}
+            )
+            ranked = vecs.withColumn(
+                "rn", F.row_number().over(Window.orderBy("vec_id"))
+            )
+            seeds = (
+                ranked.where(F.col("rn").isin(ranks)).orderBy("vec_id").collect()
+            )
+        else:
+            seeds = _sampled_seed_rows(self, vecs, n, total)
         seed_df = spark.createDataFrame(
             [
                 Row(centroid_id=i, cv=[int(x) for x in r.q])
@@ -302,7 +326,10 @@ class VectorIndex:
             ],
             "centroid_id long, cv array<long>",
         )
-        cent = _kmeans_q(vecs, n, max(1, kmeans_iters), seeds=seed_df)
+        # no max(1, ...) clamp: iters=0 means "seeds ARE the centroids",
+        # exactly what the oracle CTE derivation does — the two engines
+        # must agree for EVERY iters value, not just >=1
+        cent = _kmeans_q(vecs, n, kmeans_iters, seeds=seed_df)
         crows = cent.collect()
         meta["centroids"] = sorted(
             ([int(r.centroid_id), [int(x) for x in r.cv]] for r in crows),
@@ -316,10 +343,36 @@ class VectorIndex:
             .join(assign, "vec_id")
             .select(*[f.name for f in self.table.schema().fields])
         )
-        self.table.overwrite(payload)
+        meta["table_version"] = self.table.overwrite(payload)
         _write_meta(self.root, meta)
         self.meta = meta
         return self
+
+    def _pinned_version(self) -> int | None:
+        """The snapshot version this meta is valid for, or None for
+        "latest".  The meta's centroids and the codes' centroid_id
+        partitioning must agree; a refresh/rebalance commits them in two
+        steps (table overwrite, then meta), so a crash in between leaves
+        the log AHEAD of meta — probing old centroids against the new
+        partitioning would silently collapse recall.  Detection: any
+        OVERWRITE/RESTORE commit *after* ``meta["table_version"]`` means
+        the data beyond that point belongs to a meta that never published;
+        readers pin to the version just before it (the old files are
+        immutable until vacuum — MVCC makes the old index fully
+        servable), and the next refresh/rebalance self-heals by
+        re-overwriting from the pinned snapshot.  Appends and deletes
+        never re-partition, so they keep reads at "latest"."""
+        mv = self.meta.get("table_version")
+        if mv is None:  # legacy meta: no pinning information
+            return None
+        foreign = [
+            h["version"]
+            for h in self.table.history()
+            if h["version"] > mv and h.get("operation") in ("OVERWRITE", "RESTORE")
+        ]
+        if not foreign:
+            return None
+        return min(foreign) - 1
 
     # -- introspection ----------------------------------------------------
 
@@ -333,7 +386,7 @@ class VectorIndex:
         scan (the ops view: cell balance is THE health metric of an IVF
         layout)."""
         out: dict[int, int] = {}
-        for add in self.table.snapshot().files:
+        for add in self.table.snapshot(self._pinned_version()).files:
             cell = int(add["partitionValues"]["centroid_id"])
             stats = add.get("stats")
             n = (json.loads(stats) if isinstance(stats, str) else stats or {}).get(
@@ -347,7 +400,7 @@ class VectorIndex:
         data scan.  None on an empty index.  The id-monotonicity /
         replay-detection probe of the streaming growth path."""
         mx = None
-        for add in self.table.snapshot().files:
+        for add in self.table.snapshot(self._pinned_version()).files:
             stats = add.get("stats")
             v = (json.loads(stats) if isinstance(stats, str) else stats or {}).get(
                 "maxValues", {}
@@ -399,7 +452,9 @@ class VectorIndex:
         if distributed is None:
             distributed = n_queries > QUERY_COLLECT_LIMIT
         if distributed:
-            corpus = self._search_view(self.table.read(spark))
+            corpus = self._search_view(
+                self.table.read(spark, version=self._pinned_version())
+            )
             probes = nearest_centroids_multi(q, crows, max(1, nprobe))
             if self.meta["mode"] == "ivf_pq":
                 qtab = _pq._query_tables(
@@ -413,6 +468,7 @@ class VectorIndex:
         corpus = self._search_view(
             self.table.read(
                 spark,
+                version=self._pinned_version(),
                 file_filter=lambda a: int(a["partitionValues"]["centroid_id"])
                 in probed_cells,
             )
@@ -442,6 +498,31 @@ class VectorIndex:
             F.expr(recon_expr(self.meta["mins"], self.meta["maxs"])).alias("q"),
             "centroid_id",
         )
+
+
+def _sampled_seed_rows(
+    ix: "VectorIndex", vecs: DataFrame, n: int, total: int, oversample: int = 16
+) -> list:
+    """Density-aware seeds with NO exchange in the plan: a narrow
+    fraction-sample of the corpus (uniform over rows, so seed mass follows
+    data mass in expectation), collected (~``oversample``·n rows), then
+    stride-picked by vec_id order driver-side.  The distributed part is
+    Scan→Sample→Project only — no Window, no repartition, no
+    single-partition stage — which is what makes rebalance safe to run on
+    a 100 TB store (VERDICT r6 #2).  Deterministic given the fixed sample
+    seed.  The executed plan of the seed scan is stashed on the index
+    (``_last_seed_plan``) so the plan-golden test can assert the
+    no-exchange property instead of trusting this docstring."""
+    frac = min(1.0, (oversample * n) / max(1, total))
+    sampled = vecs.sample(fraction=frac, seed=421).select("vec_id", "q")
+    ix._last_seed_plan = sampled._jdf.queryExecution().executedPlan().toString()
+    rows = sampled.collect()
+    if not rows:  # pathological sample on a tiny corpus: take everything
+        rows = vecs.select("vec_id", "q").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    m = len(rows)
+    picks = sorted({((2 * i + 1) * m) // (2 * n) for i in range(n)})
+    return [rows[j] for j in picks if j < m]
 
 
 def _encode_rows(emb: DataFrame, meta: dict) -> DataFrame:

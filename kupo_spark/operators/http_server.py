@@ -182,8 +182,21 @@ class KupoHttpServer:
             # readers either; they hit the same warm B-tree pages).  The
             # construction-time call (old is None) skips warming: nothing
             # is being served yet and callers warm explicitly when needed.
-            serving.warm()
-            serving.inherit_hot(old)
+            #
+            # Warming runs in the low-weight FAIR pool so concurrent
+            # reader queries (default pool, weight 8) keep their cores
+            # through the transition instead of queueing behind whole
+            # warming jobs, and inherit_hot is wall-budgeted — both halves
+            # of the r6 publish-transition p95 fix.
+            from kupo_spark.session import WARMING_POOL
+
+            sc = self._spark.sparkContext
+            sc.setLocalProperty("spark.scheduler.pool", WARMING_POOL)
+            try:
+                serving.warm()
+                serving.inherit_hot(old)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
         with self._lock:
             # re-read under the lock: a racing swap may have published
             # since `old` was captured — close what is ACTUALLY being
@@ -191,8 +204,14 @@ class KupoHttpServer:
             prev = getattr(self, "serving", None)
             self.index = index
             self.serving = serving
-            if prev is not None and prev is not serving:
-                prev.close()
+        # close AFTER releasing the lock: unpersisting the old snapshot's
+        # cached views is a Spark RPC, and holding the request-admission
+        # lock through it would stall every new request for its duration
+        # (in-flight iterators recompute from lineage, by test).  `prev`
+        # was captured under the lock, so a racing swap still closes what
+        # it actually replaced, exactly once, and never the live snapshot.
+        if prev is not None and prev is not serving:
+            prev.close()
 
     # -- lifecycle --------------------------------------------------------
 
@@ -646,6 +665,49 @@ def _make_handler(srv: KupoHttpServer):
             ct = "application/json;charset=utf-8" + (
                 ";asset-quantity=string" if as_string else ""
             )
+            # keyset pagination (beyond-reference, like the LLM tier):
+            # ?page_size=N [&cursor=slot.txix.outix] serves ONE page via
+            # Serving.serve_json_page — per-partition top-k, no global
+            # sort, driver holds one page — and returns the next cursor in
+            # X-Next-Cursor (absent on the last page).  This makes the
+            # engine's scale-safe first-page path (1.8 s at sf10 vs 12 s
+            # for the full policy fold) reachable by a real client; kupo
+            # itself only streams full bodies (Http.hs:630-645), which
+            # remains the default when page_size is absent.
+            if "page_size" in q:
+                try:
+                    page_size = int(q["page_size"][0])
+                    if page_size <= 0:
+                        raise ValueError
+                except ValueError:
+                    return self._error("invalid_filter")
+                cursor = None
+                if "cursor" in q:
+                    try:
+                        parts = q["cursor"][0].split(".")
+                        if len(parts) != 3:
+                            raise ValueError
+                        cursor = tuple(int(x) for x in parts)
+                    except ValueError:
+                        return self._error("invalid_filter")
+                page_kwargs = dict(kwargs)
+                page_kwargs.pop("sorted_result", None)
+                page_order = page_kwargs.pop("order")
+                results, nxt = self.snap_serving.serve_json_page(
+                    pattern,
+                    cursor=cursor,
+                    page_size=page_size,
+                    order=page_order,
+                    resolve_hashes="resolve_hashes" in q,
+                    quantity_as_string=as_string,
+                    rendered_addresses=srv._rendered_addresses,
+                    **page_kwargs,
+                )
+                extra = list(self._cache_headers())
+                if nxt is not None:
+                    extra.append(("X-Next-Cursor", ".".join(str(x) for x in nxt)))
+                body = ("[" + ",".join(results) + "]").encode()
+                return self._send(200, body, ct, extra)
             # point lookups: one pre-assembled body, one write (kupo's
             # sub-ms txid responses are page-cache hits serialized in one
             # go; the chunked framing would cost more than the lookup)

@@ -351,10 +351,14 @@ def write_index(
     n_buckets = (
         inputs.agg(F.max("created_bucket").alias("b")).first()["b"] or 0
     ) + 1
-    # one task per bucket (A/B'd at sf10: 51 s vs 97 s at 8-buckets/task
-    # vs 107 s at the fixed session default — small per-task sorts win;
-    # rows-per-bucket is fixed by slot_bucket, so per-task volume stays
-    # constant at every scale)
+    # one task per bucket (A/B'd at sf10: one-task-per-bucket beat
+    # 8-buckets/task (97 s) and the fixed session default (107 s) — small
+    # per-task sorts win; rows-per-bucket is fixed by slot_bucket, so
+    # per-task volume stays constant at every scale).  Isolated wall time
+    # for this phase at sf10 on this host: 54-73 s depending on page-cache
+    # warmth (tools/ab_sf10.py, r7) — cross-round shifts beyond that band
+    # have so far always been harness contention, not code (r6's 192 s
+    # reading reproduced at 73 s in isolation).
     n_parts = max(32, min(4096, int(n_buckets)))
     (
         inputs.repartition(n_parts, "created_bucket")

@@ -117,6 +117,7 @@ def result_json(
     resolve_hashes: bool = False,
     quantity_as_string: bool = False,
     rendered_addresses: bool = False,
+    keep_keys: bool = False,
     **fold_kwargs,
 ) -> DataFrame:
     """(output_reference, result) where result is the resultToJson-shaped
@@ -214,6 +215,17 @@ def result_json(
         )
     )
     payload = F.concat(F.lit("{"), F.concat_ws(",", *frags), F.lit("}"))
+    if keep_keys:
+        # keyset pagination needs the chain-order keys NEXT TO the rendered
+        # payload (Serving.serve_json_page filters/sorts/limits on them and
+        # builds the next cursor from the last delivered row)
+        return df.select(
+            "output_reference",
+            "created_at",
+            "transaction_index",
+            "output_index",
+            payload.alias("result"),
+        )
     return df.select("output_reference", payload.alias("result"))
 
 

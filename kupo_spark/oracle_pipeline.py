@@ -826,6 +826,13 @@ def ivf_topk_and_pq_sql(
     rebalanced = ivf_topk_sql(
         n_queries, k, n_centroids, kmeans_iters, seed_sql=rebal_seed
     )
+    # round-7 arm: rebalance THEN transactional delete — centroids are the
+    # rebalance-trained ones (over the FULL corpus; the delete happens
+    # after training), only the neighbor side loses the removed rows
+    reb_deleted = ivf_topk_sql(
+        n_queries, k, n_centroids, kmeans_iters, seed_sql=rebal_seed,
+        corpus_where="vec_id % 5 != 0",
+    )
     adc = pq_adc_topk_sql(n_queries, k, iters=pq_iters)
     refined = pq_refined_topk_sql(n_queries, k, iters=pq_iters)
     sq8 = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters, sq8=True)
@@ -839,6 +846,8 @@ UNION ALL
 SELECT 'stored_deleted' AS q, * FROM ({deleted})
 UNION ALL
 SELECT 'stored_rebalanced' AS q, * FROM ({rebalanced})
+UNION ALL
+SELECT 'stored_reb_deleted' AS q, * FROM ({reb_deleted})
 UNION ALL
 SELECT 'stored_pq' AS q, * FROM ({adc})
 UNION ALL

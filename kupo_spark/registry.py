@@ -578,6 +578,24 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("stored_rebalanced").alias("q"),
         "query_id", "neighbor_id", "cosine", "rank",
     )
+    # round-7 rotated arm: the rebalance -> delete COMPOSITION (VERDICT r6
+    # #5) — OPTIMIZE retrains/re-partitions, then a transactional delete
+    # rewrites only hit files of the NEW layout; centroids stay the
+    # rebalance-trained ones (full corpus), removed rows are absent as
+    # neighbors.  Also pins that the meta-version guard (_pinned_version)
+    # does NOT wrongly pin reads before a post-rebalance delete.
+    flat_rd = VectorIndex.build(
+        f"{scratch}/flat_rd", emb, pq=False, n_centroids=16, kmeans_iters=0
+    )
+    flat_rd.rebalance(spark, kmeans_iters=2)
+    flat_rd.delete(
+        [r.vec_id for r in emb.where("vec_id % 5 = 0").select("vec_id").collect()],
+        spark,
+    )
+    stored_reb_deleted = flat_rd.topk(emb, n_queries=10, k=5, nprobe=1).select(
+        F.lit("stored_reb_deleted").alias("q"),
+        "query_id", "neighbor_id", "cosine", "rank",
+    )
     pqix = VectorIndex.build(
         f"{scratch}/pq", emb, pq=True, n_centroids=16, kmeans_iters=2,
         codebook_iters=2,
@@ -604,6 +622,7 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stored)
         .unionByName(stored_deleted)
         .unionByName(stored_rebalanced)
+        .unionByName(stored_reb_deleted)
         .unionByName(stored_pq)
         .unionByName(refined)
         .unionByName(stored_sq8)
@@ -641,6 +660,73 @@ def _merged_fold(spark: SparkSession, sf_dir: str, arms: list[tuple[str, dict]])
     return df
 
 
+#: keyset page size for the paged correctness arm — deliberately not a
+#: divisor of typical result sizes, so the last page is partial
+PAGE_ARM_SIZE = 13
+#: forced-overflow cap for the bounded-stream arm (result ≫ cap, so the
+#: iterator path is the one certified)
+BOUNDED_ARM_CAP = 7
+
+
+def _q_fold_residual_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P14 residual-filter arms PLUS the round-7 rotated serving-tier
+    arms (VERDICT r6 #5), all under the one driver row:
+
+    - ``paged{N}``: the FULL keyset-pagination chain —
+      ``Serving.fold_pages`` walks cursor pages of ``PAGE_ARM_SIZE`` over
+      the delegation fold; every row is tagged with its page number, so
+      the oracle (row_number windows over the same chain order) certifies
+      exact page MEMBERSHIP, not just the concatenation: a boundary
+      dropping or double-delivering a row under cursor arithmetic flips a
+      tag and fails the hash.
+    - ``bounded``: ``fold_rows_bounded`` with ``max_rows`` ≪ result size,
+      forcing the bounded-memory iterator (toLocalIterator stream) path —
+      certified row-for-row equal to the plain fold.
+    """
+    from kupo_spark.operators.serving import Serving
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base = _merged_fold(spark, sf_dir, MERGED_FOLD_SPECS["fold_residual"])
+    idx = get_index(spark, sf_dir)
+    serving = Serving(idx)
+    pat = f"*/{DELEG_CRED}"
+    try:
+        plan = serving.fold(pat)
+        schema = StructType(
+            list(plan.schema.fields) + [StructField("q", StringType(), False)]
+        )
+        tagged = []
+        for pno, page in enumerate(
+            serving.fold_pages(pat, page_size=PAGE_ARM_SIZE)
+        ):
+            tagged.extend(tuple(r) + (f"paged{pno}",) for r in page)
+        tagged.extend(
+            tuple(r) + ("bounded",)
+            for r in serving.fold_rows_bounded(pat, max_rows=BOUNDED_ARM_CAP)
+        )
+    finally:
+        serving.close()
+    extra = spark.createDataFrame(tagged, schema)
+    return base.unionByName(extra)
+
+
+def _fold_residual_plus_sql() -> str:
+    """Oracle for :func:`_q_fold_residual_plus`: the residual arms, the
+    page-membership window (page N = rows [N·size, (N+1)·size) of the
+    chain-order ranking — exactly what a correct keyset cursor walk must
+    deliver), and the bounded arm (the full fold verbatim)."""
+    body = oracle.fold_inputs_sql(f"*/{DELEG_CRED}", with_prelude=False)
+    order = "created_at DESC, transaction_index DESC, output_index DESC"
+    paged = (
+        f"SELECT tp.*, 'paged' || CAST((row_number() OVER (ORDER BY {order})"
+        f" - 1) // {PAGE_ARM_SIZE} AS VARCHAR) AS q FROM ({body}) tp"
+    )
+    bounded = f"SELECT tb.*, 'bounded' AS q FROM ({body}) tb"
+    base = oracle.merged_fold_sql(MERGED_FOLD_SPECS["fold_residual"])
+    return base + " UNION ALL " + paged + " UNION ALL " + bounded
+
+
 def queries() -> dict[str, QueryFn]:
     """≤50 entries (the driver's CORRECTNESS run caps there): chain-core
     queries first, merged rows for related shapes, LLM-pipeline ops last."""
@@ -655,6 +741,7 @@ def queries() -> dict[str, QueryFn]:
         def mfn(spark, sf_dir, _arms=arms):
             return _merged_fold(spark, sf_dir, _arms)
         out[f"q_{name}"] = mfn
+    out["q_fold_residual"] = _q_fold_residual_plus
 
     # A1 (wildcard + payment-credential) and A2 (countPolicies) in one row
     out["q_count_inputs"] = lambda s, d: (
@@ -736,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         out[f"q_{name}"] = oracle.fold_inputs_sql(**spec)
     for name, arms in MERGED_FOLD_SPECS.items():
         out[f"q_{name}"] = oracle.merged_fold_sql(arms)
+    out["q_fold_residual"] = _fold_residual_plus_sql()
     out["q_count_inputs"] = oracle.count_inputs_multi_sql(
         [("all", "*"), ("payment", f"{PAY_CRED}/*")],
         policies_arm=("policies", f"{PAY_CRED}/*"),

@@ -12,12 +12,52 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: scheduler pool for index-swap warming jobs (Serving.warm/inherit_hot):
+#: weight 1 vs the default pool's 8, so publish-transition pre-rendering
+#: yields cores to concurrent reader queries instead of queueing them
+#: behind whole warming jobs (FIFO's behavior — VERDICT r6 #3 measured the
+#: resulting reader p95 at ~3 s during swaps)
+WARMING_POOL = "kupo-warming"
+
+
+def _fair_scheduler_file() -> str:
+    """Write (idempotently) the FAIR pool allocation file.  Static conf:
+    only takes effect for sessions this process CREATES; attaching to an
+    existing session leaves its scheduler untouched."""
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "kupo-spark-fairscheduler.xml")
+    xml = (
+        "<?xml version=\"1.0\"?>\n<allocations>\n"
+        "  <pool name=\"default\">\n"
+        "    <schedulingMode>FAIR</schedulingMode>\n"
+        "    <weight>8</weight>\n    <minShare>2</minShare>\n  </pool>\n"
+        f"  <pool name=\"{WARMING_POOL}\">\n"
+        "    <schedulingMode>FIFO</schedulingMode>\n"
+        "    <weight>1</weight>\n    <minShare>0</minShare>\n  </pool>\n"
+        "</allocations>\n"
+    )
+    try:
+        with open(path, "w") as fh:
+            fh.write(xml)
+    except OSError:
+        return ""
+    return path
+
+
 def get_spark(app_name: str = "kupo-spark", cpus: str | None = None) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    alloc = _fair_scheduler_file()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        # FAIR scheduling so a reader's small job interleaves with a
+        # running warming/maintenance job instead of waiting for all of
+        # its tasks (FIFO); the allocation file adds the low-weight
+        # warming pool.  Sequential single-job workloads (benches, folds)
+        # behave identically under FAIR with one job in flight.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -36,6 +76,8 @@ def get_spark(app_name: str = "kupo-spark", cpus: str | None = None) -> SparkSes
         # driver-generated parquet uses TIMESTAMP(NANOS); map to LONG
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if alloc:
+        builder = builder.config("spark.scheduler.allocation.file", alloc)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -125,16 +125,6 @@ class WriterFencedError(RuntimeError):
     current) — any further commit could interleave with the new owner's."""
 
 
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else
-    return True
-
-
 class WriterLock:
     """Cross-process single-writer enforcement for a workdir.
 
@@ -147,28 +137,54 @@ class WriterLock:
     wrong (each would publish catalog entries the other never saw), so the
     workdir needs the same loud exclusivity.
 
-    Mechanics (single-host; a cluster deployment would swap this file for a
-    lease in its coordination service, same token protocol):
+    Ownership is **kernel-enforced** — ``fcntl.flock(LOCK_EX | LOCK_NB)``
+    on the lock file, the closest filesystem analog to kupo's SQLite
+    RESERVED lock: auto-released the instant the holder dies (no pid
+    liveness heuristic, so a recycled pid can never wedge startup, and
+    two racing breakers can never both win — the kernel serializes them).
+    The earlier O_EXCL-create + dead-pid-break protocol had exactly those
+    two holes (round-6 advice).
 
-    * ``acquire`` creates ``<path>`` with ``O_EXCL`` containing
-      ``{"pid", "fence", "nonce", "acquired_at"}``.  Same-pid re-acquire
-      succeeds (threads within the process already serialize through the
-      indexer's ``write_lock``).
-    * A lock whose pid is dead is **broken**: the breaker atomically
-      replaces the file with a bumped ``fence`` and its own ``nonce``,
-      then re-reads to confirm it won (two racing breakers both replace;
-      the nonce says which one owns the lock).  A live foreign pid raises
-      :class:`WriterLockError` — the "second run fails loudly" path.
-    * ``check`` re-reads the file and raises :class:`WriterFencedError`
-      unless it still carries this holder's nonce — called before every
-      catalog publish, so an expropriated (wrongly-presumed-dead) writer
-      halts before it can interleave a commit (the fencing-token pattern).
+    On top of the flock, the file carries ``{"pid", "fence", "nonce",
+    "acquired_at"}`` — the **fencing token**.  ``check`` re-reads it and
+    raises :class:`WriterFencedError` unless it still carries this
+    holder's nonce, called before every catalog publish, so a writer
+    whose lock was administratively expropriated (supervisor replaced the
+    file) halts before it can interleave a commit.  ``fence`` strictly
+    advances across every ownership change.
+
+    Same-process re-acquire shares the original claim through a process-
+    local registry (threads within the process already serialize through
+    the indexer's ``write_lock``); a second *process* gets
+    :class:`WriterLockError` from the kernel's EWOULDBLOCK.
+
+    Unlink race: release unlinks the path and only then closes the fd.  A
+    contender that opened the old inode could in principle flock it after
+    that close, so every successful flock re-verifies ``fstat(fd) ==
+    stat(path)`` and retries on mismatch — a lock on a ghost inode is
+    never honored.  (Single-host; a cluster deployment would swap this
+    file for a lease in its coordination service, same token protocol.)
     """
+
+    _registry: dict[str, "WriterLock"] = {}
+    _registry_mu = None  # created lazily to keep import light
 
     def __init__(self, path: str | Path):
         self.path = Path(path)
         self.nonce: str | None = None
         self.fence: int | None = None
+        self._fd: int | None = None
+
+    @classmethod
+    def _mu(cls):
+        import threading
+
+        if cls._registry_mu is None:
+            cls._registry_mu = threading.Lock()
+        return cls._registry_mu
+
+    def _key(self) -> str:
+        return os.path.abspath(str(self.path))
 
     def _read(self) -> dict | None:
         try:
@@ -184,46 +200,72 @@ class WriterLock:
             "acquired_at": time.time(),
         }
 
+    def _publish(self, fd: int, payload: dict) -> None:
+        os.ftruncate(fd, 0)
+        os.pwrite(fd, json.dumps(payload).encode(), 0)
+        os.fsync(fd)
+        self.nonce, self.fence, self._fd = payload["nonce"], payload["fence"], fd
+        WriterLock._registry[self._key()] = self
+
     def acquire(self) -> "WriterLock":
+        import fcntl
+
+        with self._mu():
+            held = WriterLock._registry.get(self._key())
+            if held is not None and held.nonce is not None and held._fd is not None:
+                cur = self._read()
+                if cur is not None and cur.get("nonce") == held.nonce:
+                    # same-process re-acquire: share the live claim
+                    self.nonce, self.fence = held.nonce, held.fence
+                    self._fd = held._fd
+                    return self
+                # the in-process holder was expropriated (file replaced or
+                # removed under it).  If its fd still IS the path's inode,
+                # take over through that fd: bump the fence past both the
+                # foreign payload and the stale holder — the stale holder's
+                # next check() fences it off, exactly as a foreign breaker
+                # would have.
+                try:
+                    same_inode = os.fstat(held._fd).st_ino == os.stat(self.path).st_ino
+                except (FileNotFoundError, OSError):
+                    same_inode = False
+                if same_inode:
+                    top = max(
+                        int((cur or {}).get("fence", 0)), int(held.fence or 0)
+                    )
+                    self._publish(held._fd, self._payload(top + 1))
+                    return self
+                # ghost inode: drop the dead claim and fall through to a
+                # fresh kernel acquire
+                WriterLock._registry.pop(self._key(), None)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         for _ in range(100):
+            fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
                 cur = self._read()
-                if cur is None:
-                    # torn write or holder released between our open and
-                    # read — retry the exclusive create
-                    time.sleep(0.01)
-                    continue
-                if cur.get("pid") == os.getpid():
-                    self.nonce, self.fence = cur["nonce"], cur["fence"]
-                    return self
-                if _pid_alive(int(cur.get("pid", -1))):
-                    raise WriterLockError(
-                        f"workdir writer lock {self.path} is held by live "
-                        f"pid {cur['pid']} (fence {cur.get('fence')}); "
-                        "refusing to run a second writer against the same "
-                        "workdir"
-                    )
-                # crashed holder: break the lock with a bumped fence
-                payload = self._payload(int(cur.get("fence", 0)) + 1)
-                tmp = self.path.with_name(f".lk-{payload['nonce']}")
-                tmp.write_text(json.dumps(payload))
-                os.replace(tmp, self.path)
-                now = self._read()
-                if now is not None and now.get("nonce") == payload["nonce"]:
-                    self.nonce, self.fence = payload["nonce"], payload["fence"]
-                    return self
-                continue  # another breaker won; re-evaluate its claim
-            else:
-                payload = self._payload(1)
-                with os.fdopen(fd, "w") as f:
-                    f.write(json.dumps(payload))
-                    f.flush()
-                    os.fsync(f.fileno())
-                self.nonce, self.fence = payload["nonce"], payload["fence"]
-                return self
+                os.close(fd)
+                raise WriterLockError(
+                    f"workdir writer lock {self.path} is held by a live "
+                    f"process (payload {cur}); refusing to run a second "
+                    "writer against the same workdir"
+                )
+            # verify the flocked inode is still what the path names —
+            # a release()'s unlink may have raced our open
+            try:
+                if os.fstat(fd).st_ino != os.stat(self.path).st_ino:
+                    raise FileNotFoundError
+            except FileNotFoundError:
+                os.close(fd)
+                time.sleep(0.005)
+                continue
+            # we own the lock; any payload on disk is a dead/released
+            # holder's — strictly advance its fence
+            cur = self._read()
+            with self._mu():
+                self._publish(fd, self._payload(int((cur or {}).get("fence", 0)) + 1))
+            return self
         raise WriterLockError(f"could not settle writer lock {self.path}")
 
     def check(self) -> None:
@@ -241,13 +283,27 @@ class WriterLock:
     def release(self) -> None:
         if self.nonce is None:
             return
+        with self._mu():
+            held = WriterLock._registry.get(self._key())
+            owner = held is not None and held.nonce == self.nonce
+            if owner:
+                WriterLock._registry.pop(self._key(), None)
         cur = self._read()
         if cur is not None and cur.get("nonce") == self.nonce:
             try:
                 self.path.unlink()
             except FileNotFoundError:
                 pass
+        if owner and self._fd is not None:
+            # close AFTER the unlink: a contender holding an fd on this
+            # inode flocks a ghost and its inode re-check sends it around
+            # for a fresh create
+            try:
+                os.close(self._fd)
+            except OSError:
+                pass
         self.nonce = self.fence = None
+        self._fd = None
 
 
 @dataclass

@@ -17,6 +17,16 @@ TABLES = [
 ]
 
 
+def pytest_configure(config):
+    # fast/full split (VERDICT r6 #7): `pytest -m "not slow"` is the quick
+    # correctness-gate subset; the default (full) run is unchanged.  A test
+    # is `slow` when it spawns extra JVM processes or drives multi-minute
+    # e2e loops — nothing is ever excluded from the full run.
+    config.addinivalue_line(
+        "markers", "slow: multi-minute e2e/subprocess tests (full run only)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from kupo_spark.session import get_spark

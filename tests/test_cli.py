@@ -837,3 +837,96 @@ def test_gardener_loop_prunes(index, monkeypatch):
         t.join(timeout=30)
     assert srv.swapped is not None
     assert srv.swapped.inputs.count() == run_gc(index).inputs.count()
+
+
+# ---- writer-lock lifecycle end-to-end (VERDICT r6 #6) ---------------------
+
+
+def _spawn_cli(workdir: str) -> "subprocess.Popen":
+    """A REAL `kupo run` process: syncs the sf0.001 events dir into the
+    workdir (acquiring the writer flock), serves, and loops until
+    signalled.  Returns once the server is listening."""
+    import subprocess
+    import sys
+    import threading
+
+    script = (
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from kupo_spark.cli import main\n"
+        f"main(['run', '--events', {SF_DIR!r}, '--workdir', {workdir!r},"
+        " '--since', 'origin', '--match', '*', '--port', '0',"
+        " '--gc-interval', '0'], serve_forever=True)\n"
+    )
+    p = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    up = threading.Event()
+
+    def scan():
+        for line in p.stderr:
+            if "listening on" in line:
+                up.set()
+
+    threading.Thread(target=scan, daemon=True).start()
+    assert up.wait(timeout=180), "CLI subprocess never came up"
+    return p
+
+
+@pytest.mark.slow
+def test_cli_writer_lock_crash_restart_and_clean_exit(tmp_path, spark):
+    """run → kill -9 → rerun: the crashed holder's kernel flock is
+    auto-released, so the successor acquires through the dead-holder path
+    with the fence advanced — no manual lock removal, no pid heuristic.
+    Then: SIGINT'd clean shutdown releases and leaves NO lockfile."""
+    import os
+    import signal
+    import time
+
+    wd = tmp_path / "db"
+    lock = wd / "_writer.lock"
+
+    # ---- crash: SIGKILL while holding -------------------------------------
+    p = _spawn_cli(str(wd))
+    assert lock.exists()
+    crashed = json.loads(lock.read_text())
+    assert crashed["pid"] == p.pid
+    p.send_signal(signal.SIGKILL)
+    p.wait(timeout=30)
+    assert lock.exists()  # the payload file survives the crash ...
+
+    # ---- restart: acquires via the released flock, fence advances ---------
+    server = main(
+        [
+            "run", "--events", SF_DIR, "--workdir", str(wd),
+            "--since", "origin", "--match", "*", "--port", "0",
+            "--gc-interval", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        taken = json.loads(lock.read_text())
+        assert taken["pid"] == os.getpid()
+        assert taken["fence"] > crashed["fence"]
+        status, rows = _get(f"{server.url}/matches")
+        assert status == 200 and len(rows) > 0
+    finally:
+        server.close()
+        # release what THIS process took (the serve_forever finally does
+        # this on the real path, exercised below by the SIGINT subprocess)
+        from kupo_spark.table import WriterLock
+
+        WriterLock(lock).acquire().release()
+
+    # ---- clean exit: SIGINT → shutdown path → no lockfile -----------------
+    p2 = _spawn_cli(str(wd))
+    assert lock.exists()
+    p2.send_signal(signal.SIGINT)
+    assert p2.wait(timeout=60) == 0
+    deadline = time.time() + 5
+    while lock.exists() and time.time() < deadline:
+        time.sleep(0.1)
+    assert not lock.exists(), "clean exit must remove the writer lock"

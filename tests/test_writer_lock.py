@@ -49,19 +49,56 @@ def test_same_process_reacquire(tmp_path):
     b.release()
 
 
+def _spawn_holder(path) -> subprocess.Popen:
+    """A REAL foreign holder: a subprocess that acquires through
+    WriterLock (and therefore holds the kernel flock) and sleeps.  The
+    old tests fabricated a payload file with a live pid — under
+    kernel-enforced ownership a payload alone holds nothing (that is the
+    point of the flock: no pid heuristic, so no pid-recycling wedge)."""
+    script = (
+        "import sys, time\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from kupo_spark.table import WriterLock\n"
+        f"WriterLock({str(path)!r}).acquire()\n"
+        "print('HELD', flush=True)\n"
+        "time.sleep(120)\n"
+    )
+    p = subprocess.Popen(["python", "-c", script], stdout=subprocess.PIPE, text=True)
+    assert p.stdout.readline().strip() == "HELD"
+    return p
+
+
 def test_live_second_writer_fails_loudly(tmp_path):
-    """A lock held by a LIVE foreign process refuses a second acquire."""
-    holder = subprocess.Popen(["sleep", "60"])
+    """A lock held by a LIVE foreign process refuses a second acquire —
+    enforced by the kernel (EWOULDBLOCK), not a pid guess."""
+    path = tmp_path / "w.lock"
+    holder = _spawn_holder(path)
     try:
-        path = tmp_path / "w.lock"
-        path.write_text(
-            json.dumps({"pid": holder.pid, "fence": 3, "nonce": "theirs"})
-        )
         with pytest.raises(WriterLockError, match="live"):
             WriterLock(path).acquire()
     finally:
         holder.kill()
         holder.wait()
+
+
+def test_crashed_holder_flock_is_free_even_if_payload_pid_recycled(tmp_path):
+    """The failure mode the flock design removes: a crashed holder whose
+    payload pid was RECYCLED to some unrelated live process.  The pid
+    heuristic would block startup forever; the kernel released the flock
+    at crash, so acquire succeeds and the fence still advances."""
+    path = tmp_path / "w.lock"
+    live_unrelated = subprocess.Popen(["sleep", "60"])  # "recycled" pid
+    try:
+        path.write_text(
+            json.dumps({"pid": live_unrelated.pid, "fence": 11, "nonce": "ghost"})
+        )
+        lk = WriterLock(path).acquire()  # no flock held -> free
+        assert lk.fence == 12
+        lk.check()
+        lk.release()
+    finally:
+        live_unrelated.kill()
+        live_unrelated.wait()
 
 
 def test_crashed_writer_lock_recoverable(tmp_path):
@@ -95,11 +132,8 @@ def test_indexer_second_live_writer_fails(spark, tmp_path):
     entries_before = list(ix._entries())
     ix.release_writer()
 
-    holder = subprocess.Popen(["sleep", "60"])
+    holder = _spawn_holder(out / "_writer.lock")
     try:
-        (out / "_writer.lock").write_text(
-            json.dumps({"pid": holder.pid, "fence": 5, "nonce": "other-proc"})
-        )
         second = StreamingIndexer(str(out))
         with pytest.raises(WriterLockError):
             second.process_batch(blocks, batch_id=1)

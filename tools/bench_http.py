@@ -138,6 +138,10 @@ def baseline_shapes(addr: str, deleg: str, policy: str, txid: str) -> dict:
         "policy": f"/matches/{policy}.*",
         "policy_range": f"/matches/{policy}.*?created_before=6000&spent_after=3000",
         "transaction_id": f"/matches/*@{txid}",
+        # beyond-reference (VERDICT r6 #4): the keyset first page of the
+        # wide policy scan — what a paging client actually waits for; kupo
+        # has no paged endpoint (it streams full bodies), so no denominator
+        "policy_first_page": f"/matches/{policy}.*?page_size=100",
     }
 
 

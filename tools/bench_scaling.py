@@ -265,6 +265,24 @@ def _serving_queries(spark, index, cs, q: dict) -> None:
     q["q_policy_warm_stream"] = warm(consume_stream, runs=3)
     serving.close()
 
+    # the first-page path THROUGH THE SERVER (VERDICT r6 #4): the keyset
+    # page endpoint over HTTP, so the engine-level number above is
+    # reachable by a real client at every scale
+    import urllib.request
+
+    from kupo_spark.operators.http_server import KupoHttpServer
+
+    with KupoHttpServer(spark, index) as srv:
+        srv.serving.warm()
+        url = f"{srv.url}/matches/{policy}.*?page_size=100"
+
+        def first_page_http():
+            with urllib.request.urlopen(url, timeout=600) as r:
+                assert r.status == 200
+                r.read()
+
+        q["q_policy_first_page_http"] = warm(first_page_http, runs=5)
+
 
 def _ann_queries(spark, embs, sf: str, q: dict, heavy_runs: int) -> None:
     """functions/ann_index.py lifecycle at scale: build cost should grow
