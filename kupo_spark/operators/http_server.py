@@ -199,18 +199,24 @@ class KupoHttpServer:
                 sc.setLocalProperty("spark.scheduler.pool", None)
         with self._lock:
             # re-read under the lock: a racing swap may have published
-            # since `old` was captured — close what is ACTUALLY being
+            # since `old` was captured — retire what is ACTUALLY being
             # replaced, exactly once, and never the snapshot going live
             prev = getattr(self, "serving", None)
             self.index = index
             self.serving = serving
+            drain = False
+            if prev is not None and prev is not serving:
+                prev._retired = True
+                drain = prev._refs == 0
         # close AFTER releasing the lock: unpersisting the old snapshot's
         # cached views is a Spark RPC, and holding the request-admission
-        # lock through it would stall every new request for its duration
-        # (in-flight iterators recompute from lineage, by test).  `prev`
-        # was captured under the lock, so a racing swap still closes what
-        # it actually replaced, exactly once, and never the live snapshot.
-        if prev is not None and prev is not serving:
+        # lock through it would stall every new request for its duration.
+        # Reader-pinned drain: if requests are still in flight on the old
+        # snapshot, the LAST one to release (in _route's finally) closes
+        # it — unpersisting under a live reader would silently downgrade
+        # that reader to an uncached full recompute (the old multi-second
+        # under-swap p95 tail).
+        if prev is not None and prev is not serving and drain:
             prev.close()
 
     # -- lifecycle --------------------------------------------------------
@@ -477,6 +483,10 @@ def _make_handler(srv: KupoHttpServer):
             with srv._lock:
                 self.snap_serving = srv.serving
                 self.snap_index = srv.index
+                # pin the snapshot: a swap retires-but-never-closes a
+                # Serving while any request still reads it (see
+                # _swap_index's drain note)
+                self.snap_serving._refs += 1
             try:
                 u = urlparse(self.path)
                 # percent-decode path segments (Warp does upstream: a
@@ -529,6 +539,13 @@ def _make_handler(srv: KupoHttpServer):
                     self._send(500, body, "application/json;charset=utf-8")
                 except Exception:
                     pass
+            finally:
+                with srv._lock:
+                    snap = self.snap_serving
+                    snap._refs -= 1
+                    close_now = snap._retired and snap._refs == 0
+                if close_now:
+                    snap.close()  # last reader drains the retired snapshot
 
         def _guarded(self, method: str, fn):
             if method == "GET":

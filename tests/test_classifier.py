@@ -28,6 +28,7 @@ def model(docs):
     return train_quality_classifier(docs)
 
 
+@pytest.mark.slow
 def test_folded_scorer_matches_mllib_transform(docs, model):
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler

@@ -396,6 +396,7 @@ def _ogmios_bwd(slot: int) -> str:
     )
 
 
+@pytest.mark.slow
 def test_follow_ogmios_applies_rollbacks(tmp_path):
     """--follow over Ogmios NDJSON segments: a RollBackward retracts the
     rolled-back suffix from the SERVED index and the replayed forwards
@@ -496,6 +497,7 @@ def test_follow_ogmios_applies_rollbacks(tmp_path):
         server.close()
 
 
+@pytest.mark.slow
 def test_follow_hydra_segments(tmp_path, spark):
     """--follow over Hydra ServerOutput segments: the committed fixture
     delivered one message per segment must converge to the same served
@@ -545,6 +547,7 @@ def test_follow_hydra_segments(tmp_path, spark):
         server.close()
 
 
+@pytest.mark.slow
 def test_follow_compacts_and_truncates(tmp_path):
     """--follow --gc-interval N: the in-body compaction folds the log into
     the base AND truncates the folded partitions — storage bounded by the

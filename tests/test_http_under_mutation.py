@@ -100,6 +100,7 @@ def event_parts(tmp_path_factory):
     return parts
 
 
+@pytest.mark.slow
 def test_oha_protocol_across_swaps(tmp_path, event_parts):
     import shutil
 

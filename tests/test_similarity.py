@@ -4,6 +4,8 @@ rank a whole corpus's scores for one query in a single reducer."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -233,6 +235,7 @@ def _rows(df):
     return {tuple(r) for r in df.select("query_id", "neighbor_id", "cosine", "rank").collect()}
 
 
+@pytest.mark.slow
 def test_distributed_paths_match_closure_paths(spark):
     """The join path must be bit-identical to the closure path: same exact
     integer dots, same cosine rounding, same tie-breaks — at the oracle's

@@ -5,6 +5,8 @@ closure/distributed path equality.  The oracle parity test
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kupo_spark.functions.similarity import brute_force_topk, quantized
@@ -37,6 +39,7 @@ def test_codes_in_byte_range_and_error_bounded(spark):
     assert err <= bound
 
 
+@pytest.mark.slow
 def test_sq_recall_near_exact_and_paths_agree(spark):
     emb = spark.read.parquet(EMB)
     exact = {

@@ -131,6 +131,7 @@ def _multi_block_df(spark, slot, txid, addrs):
     )
 
 
+@pytest.mark.slow
 def test_put_patterns_interleaved_matches_from_scratch(spark, tmp_path):
     """Two put_patterns installs interleaved with roll-forwards: the final
     index equals a from-scratch build over the same chain with the final

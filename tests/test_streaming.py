@@ -237,6 +237,7 @@ def test_gc_compact_prunes_binary_data_in_resolved_view(spark, blocks, tmp_path)
     assert again >= len(got)
 
 
+@pytest.mark.slow
 def test_truncate_log_after_compact_preserves_state(spark, blocks, tmp_path):
     """compact + truncate_log: folded log partitions are dropped, the
     resolved state is unchanged (it layers the base), later batches and
