@@ -7,7 +7,11 @@ linearly, scans grow ~linearly" becomes a measured table instead of an
 argument.
 
 Usage (one sf per process — a fresh JVM per point keeps cache state and GC
-pressure from bleeding between measurements)::
+pressure from bleeding between measurements; leave a few idle minutes
+between points — measured on this host, sustained JVM load degrades the
+memory subsystem ~2x for several minutes after it ends, and the
+``host_calibration`` block recorded beside each point exists to catch
+exactly that)::
 
     SPARK_DRIVER_MEMORY=48g python tools/bench_scaling.py 0.1
     SPARK_DRIVER_MEMORY=48g python tools/bench_scaling.py 1
@@ -44,6 +48,32 @@ def timed(fn, runs: int = RUNS) -> float:
         fn()
         times.append(time.time() - t0)
     return sum(times) / len(times)
+
+
+def host_calibration() -> dict:
+    """Fixed-work microbenchmarks recorded beside every sf point, so a
+    cross-point or cross-round shift can be attributed: if the calibration
+    moved with the query numbers, the HOST moved (shared-VM neighbors,
+    thermal), not the code.  Round 7's A/B found exactly this — the same
+    isolated sf10 write measured 72.8 s at 13:35 and 106 s at 16:18 on
+    identical code, with the pure cached re-count 4× slower too."""
+    import hashlib
+
+    buf = b"\xab" * (1 << 20)
+    t0 = time.time()
+    h = hashlib.sha256()
+    for _ in range(256):  # 256 MB of fixed CPU-bound work, single thread
+        h.update(buf)
+    cpu_s = time.time() - t0
+    big = bytearray(256 << 20)
+    t0 = time.time()
+    for _ in range(4):  # ~2 GB of memory traffic (copy = read + write)
+        bytes(big)
+    mem_s = time.time() - t0
+    return {
+        "calib_sha256_256mb_s": round(cpu_s, 3),
+        "calib_memcopy_2gb_s": round(mem_s, 3),
+    }
 
 
 def sf_dir(sf: str) -> str:
@@ -110,6 +140,16 @@ def main() -> None:
     idx = build_index(blocks, patterns=("*",), cache=True)
     rows["inputs"] = idx.inputs.count()
     q["ingest_phase_build"] = time.time() - t0
+    # honesty barrier (same instrument as tools/ab_sf10.py): a second count
+    # of the cached inputs.  Cheap iff the cache materialized and held —
+    # when this is slow, cached-lineage work is ABOUT to be re-paid inside
+    # the write phase, i.e. the build/write split is trading work and the
+    # per-phase numbers should be read through ingest_total instead.
+    # (ingest_total keeps timing from the ORIGINAL t0, so the barrier's
+    # own cost is included there, not hidden.)
+    tb = time.time()
+    idx.inputs.count()
+    q["ingest_phase_cache_recount"] = time.time() - tb
     shutil.rmtree(index_dir, ignore_errors=True)
     phases: dict[str, float] = {}
     write_index(idx, index_dir, timings=phases)
@@ -345,6 +385,7 @@ def _merge(sf: str, q: dict, rows: dict, update: bool = False) -> None:
     section["queries"].update({k: round(v, 4) for k, v in q.items()})
     section["rows"].update(rows)
     section["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    section["host_calibration"] = host_calibration()
     # per-query ratio table vs the previous sf point, when present
     sfs = sorted(doc["sfs"], key=float)
     ratios = {}
