@@ -338,6 +338,29 @@ def main() -> None:
         and not k.endswith("_diag")
         and k != "spark_job_floor"
     )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full diagnostic (SCALING embed + complete oha table) goes on an
+    # EARLIER line: the driver's BENCH capture keeps only a short tail of
+    # stdout and parses the LAST line, so embedding SCALING.json in the
+    # final line left BENCH_r06/r07 with "parsed": null. The committed
+    # SCALING.json / HTTP_BENCH.json files remain the full record.
+    print(
+        json.dumps(
+            {
+                "metric": "kupo_spark_query_suite_full",
+                "http": http_stats,
+                "scaling": scaling,
+                "sf": sf_val,
+            }
+        )
+    )
+    # Compact parseable headline — MUST stay the final line and fit well
+    # inside the driver's 2,000-char tail.
+    http_compact = {
+        name: round(st["avg"], 4)
+        for name, st in (http_stats or {}).items()
+        if isinstance(st, dict) and "avg" in st
+    }
     print(
         json.dumps(
             {
@@ -345,9 +368,8 @@ def main() -> None:
                 "value": round(value, 4),
                 "unit": "sec",
                 "queries": {k: round(v, 4) for k, v in queries.items()},
-                "http": http_stats,
-                "scaling": scaling,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "http": http_compact,
+                "sf": sf_val,
             }
         )
     )

@@ -184,15 +184,42 @@ class VectorIndex:
         """Encode + assign ``emb`` with the STORED parameters and append
         atomically.  Growing in batches ≡ one-shot build over the union
         (no training state depends on later arrivals); vec_ids are the
-        caller's contract — append disjoint ids."""
+        caller's contract — append disjoint ids.
+
+        Refuses while the index is PINNED (a prior refresh/rebalance
+        crashed between its overwrite and its meta publish): rows appended
+        beyond the pin are invisible to every read, and the healing
+        rebalance rebuilds from the pinned snapshot — without this guard
+        such rows would be silently discarded at heal time.  (Legacy
+        states where adds already landed in the crash window are still
+        recovered: rebalance unions orphan APPEND commits back into the
+        rebuilt payload — see :meth:`_orphan_appends`.)"""
+        self._require_unpinned("add")
         return self.table.append(_encode_rows(emb, self.meta))
+
+    def _require_unpinned(self, op: str) -> None:
+        pinned = self._pinned_version()
+        if pinned is not None:
+            raise RuntimeError(
+                f"VectorIndex.{op}() refused: index is pinned to version "
+                f"{pinned} (a refresh/rebalance crashed between its "
+                "overwrite and its meta publish, so the log is ahead of "
+                "meta). Run rebalance() first — it self-heals from the "
+                "pinned snapshot and recovers any orphan appends."
+            )
 
     def delete(self, vec_ids, spark: SparkSession | None = None) -> int:
         """Transactionally remove vectors by id (the CRUD face every
         vector store exposes): one copy-on-write Table delete — only
         files containing a hit are rewritten (log min/max prune the
         candidate set), readers keep their MVCC snapshot, and the cell
-        partitioning survives the rewrite.  Returns the new log version."""
+        partitioning survives the rewrite.  Returns the new log version.
+
+        Refuses while pinned for the same reason as :meth:`add`: a delete
+        applied beyond the pin is invisible to readers AND undone by the
+        healing rebalance (which overwrites from the pinned snapshot) —
+        the deleted rows would silently resurrect."""
+        self._require_unpinned("delete")
         ids = sorted(int(v) for v in vec_ids)
         if not ids:
             return self.table.latest_version()
@@ -294,7 +321,20 @@ class VectorIndex:
         meta = dict(self.meta)
         if n_centroids is not None:
             meta["n_centroids"] = int(n_centroids)
-        stored = self.table.read(spark, version=self._pinned_version())
+        pinned = self._pinned_version()
+        stored = self.table.read(spark, version=pinned)
+        if pinned is not None:
+            # self-heal recovery: rows committed via APPEND *after* the
+            # foreign overwrite (legacy crash-window adds, before add()
+            # learned to refuse while pinned) are invisible to pinned
+            # readers; fold them back into the rebuilt payload instead of
+            # discarding them with the foreign overwrite's content.
+            # Their codes were produced by add() against the PUBLISHED
+            # meta (self.meta), so they are valid under the codebooks this
+            # rebalance reuses; centroid_id is reassigned below anyway.
+            orphans = self._orphan_appends(spark, pinned)
+            if orphans is not None:
+                stored = stored.unionByName(orphans)
         vecs = self._stored_vectors(stored)
         n = meta["n_centroids"]
         total = vecs.count()
@@ -373,6 +413,51 @@ class VectorIndex:
         if not foreign:
             return None
         return min(foreign) - 1
+
+    def _orphan_appends(self, spark: SparkSession, pinned: int):
+        """Rows committed via APPEND after the foreign overwrite that
+        established the pin — user writes landed in the crash window that
+        pinned readers cannot see and a heal-by-overwrite would discard.
+        Returns a DataFrame (table schema) or None when there are none.
+        Raises if any orphan file was since rewritten by a non-append
+        commit (its surviving rows cannot be told apart from the foreign
+        overwrite's content — manual intervention beats silent loss)."""
+        first_foreign = pinned + 1
+        latest = self.table.latest_version()
+        orphan_paths: list[str] = []
+        rewritten: list[str] = []
+        live = {a["path"] for a in self.table.snapshot(latest).files}
+        for v in range(first_foreign + 1, latest + 1):
+            actions = self.table._read_actions(v)
+            op = next(
+                (
+                    a["commitInfo"].get("operation")
+                    for a in actions
+                    if "commitInfo" in a
+                ),
+                None,
+            )
+            if op != "APPEND":
+                continue
+            for a in actions:
+                if "add" in a and a["add"].get("dataChange", True):
+                    p = a["add"]["path"]
+                    (orphan_paths if p in live else rewritten).append(p)
+        if rewritten:
+            raise RuntimeError(
+                "cannot self-heal: orphan append files were rewritten by a "
+                f"later commit ({rewritten[:3]}...); restore the table to a "
+                "consistent version manually before rebalancing"
+            )
+        if not orphan_paths:
+            return None
+        schema = self.table.schema()
+        df = spark.read.option("basePath", str(self.table.root)).parquet(
+            *[str(self.table.root / p) for p in orphan_paths]
+        )
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
 
     # -- introspection ----------------------------------------------------
 

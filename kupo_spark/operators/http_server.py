@@ -68,6 +68,12 @@ from kupo_spark.patterns import PatternError, pattern_from_text, pattern_to_text
 
 _HEX = re.compile(r"^[0-9a-f]+$")
 
+#: Keyset-pagination ceiling: requests asking for more rows per page are
+#: clamped here (the walk continues via X-Next-Cursor), keeping the
+#: per-page top-k small enough that no global sort or unbounded driver
+#: materialization is reachable from the network.
+MAX_PAGE_SIZE = 5000
+
 #: Error hints (Error.hs) — kupo's wording is long-form; the hint text here
 #: is ours, the (status, shape) contract is the reference's.
 _ERRORS = {
@@ -83,6 +89,7 @@ _ERRORS = {
     "unknown_point": (400, "Rollback point is not a known checkpoint."),
     "unsafe_rollback": (400, "Rollback point is beyond the safe zone (longest_rollback)."),
     "not_found": (404, "Route not found."),
+    "stale_cursor": (412, "Cursor was minted against a different index snapshot (a rollback or re-index happened between pages); restart the walk from the first page."),
     "method_not_allowed": (405, "Method not allowed on this route."),
     "no_replay_source": (503, "No replay source configured; PUT /patterns unavailable."),
     "read_only": (503, "This is a read-only replica; mutations are unavailable."),
@@ -698,15 +705,48 @@ def _make_handler(srv: KupoHttpServer):
                         raise ValueError
                 except ValueError:
                     return self._error("invalid_filter")
+                # server-side ceiling: an unbounded page_size would drive
+                # serve_json_page's orderBy().limit(N) toward a global
+                # sort + full driver materialization — the scale cliff the
+                # paged path exists to avoid.  Clamping (not rejecting) is
+                # sound under keyset pagination: the client just walks
+                # more pages via X-Next-Cursor.
+                page_size = min(page_size, MAX_PAGE_SIZE)
+                # cursor↔snapshot consistency (VERDICT r7 #4): a cursor
+                # minted on snapshot A and replayed after a rollback/swap
+                # to snapshot B could silently skip or double-deliver rows
+                # (the walk's sort keys only certify a single-snapshot
+                # traversal).  Kupo side-steps this by streaming one body
+                # per request under one ETag (Http.hs:457-471); the keyset
+                # analog is to mint the ETag INTO the cursor — the 4th
+                # dot-segment is a prefix of the tip header hash — and
+                # answer 412 when the snapshot has moved, so a client
+                # restarts the walk instead of reading a torn result.
+                _, snap_tag = self._tip()
+                snap_tag = (snap_tag or "")[:16]
                 cursor = None
                 if "cursor" in q:
                     try:
                         parts = q["cursor"][0].split(".")
-                        if len(parts) != 3:
+                        if len(parts) not in (3, 4):
                             raise ValueError
-                        cursor = tuple(int(x) for x in parts)
+                        cursor = tuple(int(x) for x in parts[:3])
+                        if len(parts) == 4:
+                            if not _HEX.match(parts[3] or "x"):
+                                raise ValueError
+                            if parts[3] != snap_tag:
+                                return self._error("stale_cursor")
                     except ValueError:
                         return self._error("invalid_filter")
+                # the explicit precondition arm: If-Match pins the walk to
+                # the ETag of the first page, even with a bare 3-part
+                # (legacy) cursor
+                im = self.headers.get("If-Match")
+                if im is not None and im.strip('"') not in (
+                    snap_tag,
+                    self._tip()[1] or "",
+                ):
+                    return self._error("stale_cursor")
                 page_kwargs = dict(kwargs)
                 page_kwargs.pop("sorted_result", None)
                 page_order = page_kwargs.pop("order")
@@ -722,7 +762,10 @@ def _make_handler(srv: KupoHttpServer):
                 )
                 extra = list(self._cache_headers())
                 if nxt is not None:
-                    extra.append(("X-Next-Cursor", ".".join(str(x) for x in nxt)))
+                    nxt_text = ".".join(str(x) for x in nxt)
+                    if snap_tag:
+                        nxt_text += f".{snap_tag}"
+                    extra.append(("X-Next-Cursor", nxt_text))
                 body = ("[" + ",".join(results) + "]").encode()
                 return self._send(200, body, ct, extra)
             # point lookups: one pre-assembled body, one write (kupo's

@@ -21,12 +21,16 @@ WARMING_POOL = "kupo-warming"
 
 
 def _fair_scheduler_file() -> str:
-    """Write (idempotently) the FAIR pool allocation file.  Static conf:
-    only takes effect for sessions this process CREATES; attaching to an
-    existing session leaves its scheduler untouched."""
+    """Write the FAIR pool allocation file at a per-process unique path.
+    Static conf: only takes effect for sessions this process CREATES;
+    attaching to an existing session leaves its scheduler untouched.
+
+    mkstemp (0600, unique name) rather than a fixed /tmp path: a shared
+    predictable file would let another local user pre-create it (or a
+    symlink) to control the scheduler XML Spark reads, and concurrent
+    versions of this package would silently clobber each other."""
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "kupo-spark-fairscheduler.xml")
     xml = (
         "<?xml version=\"1.0\"?>\n<allocations>\n"
         "  <pool name=\"default\">\n"
@@ -38,7 +42,10 @@ def _fair_scheduler_file() -> str:
         "</allocations>\n"
     )
     try:
-        with open(path, "w") as fh:
+        fd, path = tempfile.mkstemp(
+            prefix="kupo-spark-fairscheduler-", suffix=".xml"
+        )
+        with os.fdopen(fd, "w") as fh:
             fh.write(xml)
     except OSError:
         return ""

@@ -239,6 +239,7 @@ class WriterLock:
                 # fresh kernel acquire
                 WriterLock._registry.pop(self._key(), None)
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        blocked = 0
         for _ in range(100):
             fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
             try:
@@ -246,6 +247,17 @@ class WriterLock:
             except BlockingIOError:
                 cur = self._read()
                 os.close(fd)
+                # a legitimate release() holds the flock through its
+                # read/unlink until the fd close — a contender racing that
+                # microsecond window would misreport a mid-release holder
+                # as a live second writer.  Retry briefly (the path
+                # vanishing or its inode changing is the release in
+                # flight); only a holder still blocking after the window
+                # is a real live writer.
+                blocked += 1
+                if blocked <= 10:
+                    time.sleep(0.002)
+                    continue
                 raise WriterLockError(
                     f"workdir writer lock {self.path} is held by a live "
                     f"process (payload {cur}); refusing to run a second "

@@ -491,3 +491,87 @@ def test_delete_after_rebalance_is_not_pinned_away(spark, tmp_path):
         for r in idx.topk(emb, n_queries=8, k=3, nprobe=8).collect()
     }
     assert not (got & set(gone))
+
+
+def _crash_into_pinned_state(spark, tmp_path, monkeypatch):
+    """Build, then crash a rebalance between its overwrite and its meta
+    publish — the reopened index is pinned (log ahead of meta)."""
+    import kupo_spark.functions.ann_index as ai
+
+    emb = _skewed_emb(spark, n=300, n_hot=260)
+    idx = VectorIndex.build(
+        str(tmp_path / "ix"), emb, pq=False, n_centroids=8, kmeans_iters=0
+    )
+    real_write = ai._write_meta
+    monkeypatch.setattr(
+        ai, "_write_meta",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    try:
+        idx.rebalance(spark, kmeans_iters=2)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(ai, "_write_meta", real_write)
+    reopened = VectorIndex(str(tmp_path / "ix"))
+    assert reopened._pinned_version() is not None
+    return emb, reopened
+
+
+def test_add_and_delete_refuse_while_pinned(spark, tmp_path, monkeypatch):
+    """ADVICE r7 (medium): add() during a pinned state appends rows beyond
+    the pin — invisible to every read, and a heal-by-overwrite would
+    silently discard them.  Both mutators refuse until a rebalance heals;
+    afterwards the same calls succeed."""
+    import pytest
+
+    emb, idx = _crash_into_pinned_state(spark, tmp_path, monkeypatch)
+    new = spark.createDataFrame(
+        [(1000 + i, [50.0 + 0.001 * d for d in range(64)]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(RuntimeError, match="pinned"):
+        idx.add(new)
+    with pytest.raises(RuntimeError, match="pinned"):
+        idx.delete([0, 1], spark)
+    idx.rebalance(spark, kmeans_iters=2)  # heal
+    assert idx._pinned_version() is None
+    idx.add(new)
+    idx.delete([0], spark)
+
+
+def test_rebalance_heals_orphan_appends(spark, tmp_path, monkeypatch):
+    """Legacy crash-window adds (rows already appended beyond the pin
+    before add() learned to refuse) are RECOVERED by the healing
+    rebalance: it unions the orphan APPEND commits back into the rebuilt
+    payload instead of discarding them with the foreign overwrite."""
+    from kupo_spark.functions.ann_index import _encode_rows
+
+    emb, idx = _crash_into_pinned_state(spark, tmp_path, monkeypatch)
+    new = spark.createDataFrame(
+        [(2000 + i, [50.0 + 0.001 * d for d in range(64)]) for i in range(7)],
+        "vec_id long, embedding array<float>",
+    )
+    # simulate the legacy add(): a raw table append while pinned (codes
+    # encoded with the PUBLISHED meta, exactly what old add() produced)
+    idx.table.append(_encode_rows(new, idx.meta))
+    assert idx._pinned_version() is not None  # appends don't clear the pin
+
+    idx.rebalance(spark, kmeans_iters=2)  # heal + recover
+    assert idx._pinned_version() is None
+    stored_ids = {r.vec_id for r in idx.table.read(spark).select("vec_id").collect()}
+    assert {2000 + i for i in range(7)} <= stored_ids
+    assert stored_ids == {r.vec_id for r in emb.select("vec_id").collect()} | {
+        2000 + i for i in range(7)
+    }
+    # and the recovered vectors are searchable: a full probe over every
+    # cell returns them among the neighbors (topk scopes queries to
+    # vec_id < n_queries, so re-key the probe vector at vec_id 0)
+    probe = spark.createDataFrame(
+        [(0, [50.0 + 0.001 * d for d in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.neighbor_id
+        for r in idx.topk(probe, n_queries=1, k=320, nprobe=8).collect()
+    }
+    assert {2000 + i for i in range(7)} <= got

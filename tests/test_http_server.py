@@ -454,3 +454,34 @@ def test_matches_paged_rejects_bad_params(server):
                 "page_size=5&cursor=a.b.c"):
         status, _, body = _get(f"{server.url}/matches/*?{bad}")
         assert status == 400, (bad, body)
+
+
+def test_matches_page_size_clamped(server, monkeypatch):
+    """ADVICE r7 (medium): ?page_size=1000000000 must not drive the paged
+    path into a near-global sort + full-result driver materialization.
+    Oversized requests are clamped to MAX_PAGE_SIZE; the walk still
+    reaches every row via X-Next-Cursor."""
+    import kupo_spark.operators.http_server as hs
+
+    deleg = cs.delegation_credential_of(5)
+    _, _, body = _get(f"{server.url}/matches/*/{deleg}")
+    full = json.loads(body)
+    assert len(full) > 8
+
+    # shrink the ceiling so the clamp is observable on test-sized data
+    monkeypatch.setattr(hs, "MAX_PAGE_SIZE", 5)
+    s, h, b = _get(f"{server.url}/matches/*/{deleg}?page_size=1000000000")
+    assert s == 200
+    assert len(json.loads(b)) == 5  # clamped, not the asked-for billion
+    walked, cursor = [], None
+    while True:
+        url = f"{server.url}/matches/*/{deleg}?page_size=1000000000"
+        if cursor:
+            url += f"&cursor={cursor}"
+        s, h, b = _get(url)
+        assert s == 200
+        walked.extend(json.loads(b))
+        cursor = h.get("X-Next-Cursor")
+        if cursor is None:
+            break
+    assert walked == full

@@ -266,3 +266,87 @@ def test_swap_closes_old_serving_without_breaking_inflight(spark, index):
     results = [r for h in hammers for r in h.results]
     assert not errors, errors[:5]
     assert results and all(s == 200 for s, _, _ in results)
+
+
+@pytest.mark.slow
+def test_paged_walk_across_rollback_gets_412(tmp_path, event_parts):
+    """VERDICT r7 #4: a keyset cursor minted on snapshot A and replayed
+    after a rollback to snapshot B must never serve a silently-wrong page
+    (skipped or double-delivered rows).  The cursor carries the minting
+    snapshot's ETag prefix; replay against a moved snapshot answers 412
+    and the client restarts the walk — the keyset analog of kupo's
+    one-body-one-ETag streaming contract (Http.hs:457-471)."""
+    import shutil
+    import urllib.error
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(event_parts[0], events_dir / "drop0.parquet")
+    shutil.copy(event_parts[1], events_dir / "drop1.parquet")
+    server = main(
+        [
+            "--events", str(events_dir), "--workdir", str(tmp_path / "db"),
+            "--follow", "--since", "origin", "--match", "*",
+            "--gc-interval", "0", "--port", "0",
+        ],
+        serve_forever=False,
+    )
+    try:
+        def get(path):
+            req = urllib.request.Request(server.url + path)
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+
+        # page 1: the next-cursor is 4-part — slot.txix.outix.snaptag
+        s, h, b = get("/matches/*?page_size=5")
+        assert s == 200
+        cursor = h.get("X-Next-Cursor")
+        assert cursor is not None and len(cursor.split(".")) == 4
+        page1 = json.loads(b)
+        assert len(page1) == 5
+
+        # force a rollback mid-walk: retract the suffix and swap, exactly
+        # what a chain fork shrink does before the new branch arrives (a
+        # PUT /patterns rollback+backfill replays the SAME deterministic
+        # events, so its final tip hash legitimately matches the minted
+        # cursor — the dangerous case is the tip actually moving)
+        from kupo_spark.operators import maintenance as mt
+
+        s2, cps = _get(f"{server.url}/checkpoints")
+        target = cps[min(3, len(cps) - 1)]["slot_no"]
+        with server._mutation_lock:
+            server._swap_index(mt.rollback_to(server.index, target))
+
+        # the replayed cursor is refused — 412, never a wrong page
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            get(f"/matches/*?page_size=5&cursor={cursor}")
+        assert exc.value.code == 412
+
+        # If-Match pins the same way for a legacy 3-part cursor
+        bare = ".".join(cursor.split(".")[:3])
+        req = urllib.request.Request(
+            f"{server.url}/matches/*?page_size=5&cursor={bare}",
+            headers={"If-Match": cursor.split(".")[3]},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=120)
+        assert exc.value.code == 412
+
+        # a fresh walk on the post-rollback snapshot completes and equals
+        # the full body served under the same snapshot
+        s, _, full_body = get("/matches/*?order=most_recent_first")
+        full = json.loads(full_body)
+        walked, cur = [], None
+        while True:
+            path = "/matches/*?page_size=7"
+            if cur:
+                path += f"&cursor={cur}"
+            s, h, b = get(path)
+            assert s == 200
+            walked.extend(json.loads(b))
+            cur = h.get("X-Next-Cursor")
+            if cur is None:
+                break
+        assert walked == full
+    finally:
+        server.close()
