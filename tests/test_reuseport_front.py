@@ -1,0 +1,122 @@
+"""SO_REUSEPORT point-lookup front: kernel-balanced multi-process serving
+of pre-rendered bodies, proxy passthrough for everything else.  No Spark —
+the front's whole point is that workers never touch the driver."""
+
+from __future__ import annotations
+
+import http.client
+import http.server
+import json
+import os
+import threading
+
+from kupo_spark.operators.reuseport_front import ReusePortFront
+
+
+class _Primary(http.server.ThreadingHTTPServer):
+    """Stub for the KupoHttpServer the front proxies misses to."""
+
+
+def _start_primary():
+    class H(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = json.dumps({"proxied": self.path}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Origin", "primary")
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = _Primary(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def _get(url_base: str, path: str):
+    conn = http.client.HTTPConnection(
+        url_base.split("//")[1].split(":")[0],
+        int(url_base.rsplit(":", 1)[1]),
+        timeout=30,
+    )
+    try:
+        conn.request("GET", path)
+        r = conn.getresponse()
+        return r.status, dict(r.getheaders()), r.read()
+    finally:
+        conn.close()
+
+
+def test_front_serves_cached_points_from_multiple_processes():
+    primary, purl = _start_primary()
+    body = b'[{"transaction_id":"ab"}]'
+    routes = {
+        "/matches/*@ab": (
+            "application/json;charset=utf-8",
+            body,
+            [("ETag", "deadbeef"), ("X-Most-Recent-Checkpoint", "42")],
+        )
+    }
+    front = ReusePortFront(purl, routes, workers=4).start()
+    try:
+        pids = set()
+        for _ in range(60):  # fresh connection each time -> kernel re-hashes
+            s, h, b = _get(front.url, "/matches/*@ab")
+            assert s == 200 and b == body
+            assert h["ETag"] == "deadbeef"
+            assert h["X-Most-Recent-Checkpoint"] == "42"
+            pid = int(h["X-Worker-Pid"])
+            assert pid != os.getpid()  # served by a forked worker
+            pids.add(pid)
+        # the kernel spread fresh connections across >1 accept queue
+        assert len(pids) > 1, f"all 60 connections landed on one worker: {pids}"
+        assert pids <= set(front._pids)
+    finally:
+        front.close()
+        primary.shutdown()
+
+
+def test_front_proxies_uncached_paths_to_primary():
+    primary, purl = _start_primary()
+    front = ReusePortFront(purl, {"/hot": ("text/plain", b"hot", [])}, workers=2).start()
+    try:
+        s, h, b = _get(front.url, "/matches/some_address?unspent")
+        assert s == 200
+        assert h.get("X-Origin") == "primary"
+        assert json.loads(b) == {"proxied": "/matches/some_address?unspent"}
+        # keep-alive through the SAME front connection: hit, miss, hit
+        conn = http.client.HTTPConnection("127.0.0.1", front.port, timeout=30)
+        try:
+            for path, want in (("/hot", b"hot"), ("/other", None), ("/hot", b"hot")):
+                conn.request("GET", path)
+                r = conn.getresponse()
+                got = r.read()
+                assert r.status == 200
+                if want is not None:
+                    assert got == want
+        finally:
+            conn.close()
+    finally:
+        front.close()
+        primary.shutdown()
+
+
+def test_front_close_reaps_workers():
+    primary, purl = _start_primary()
+    front = ReusePortFront(purl, {}, workers=3).start()
+    pids = list(front._pids)
+    front.close()
+    for pid in pids:
+        # reaped: waitpid in close() collected them; a second wait errors
+        try:
+            os.kill(pid, 0)
+            alive = True
+        except ProcessLookupError:
+            alive = False
+        assert not alive
+    primary.shutdown()

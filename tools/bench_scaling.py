@@ -39,6 +39,42 @@ sys.path.insert(0, str(REPO))
 OUT = REPO / "SCALING.json"
 RUNS = 2  # per-query timed runs after 1 warmup (cold-ish but stable)
 
+#: Good-host band (VERDICT r7 #1): this VM's memory subsystem degrades
+#: 2-5x for minutes after sustained JVM load, and r7 committed an sf10
+#: section whose own calibration (memcopy 2.128 s) sat outside the <1.2 s
+#: band the builder trusts.  The curve is now GATED on the calibration:
+#: a run refuses to start on a degraded host (idle-wait + re-probe), and
+#: a section whose post-run probe is out of band is quarantined to
+#: .bench/ instead of merged into the committed SCALING.json.
+GOOD_MEMCOPY_S = 1.2
+CALIB_RETRIES = 12  # idle-wait up to ~12 min for the host to recover
+CALIB_WAIT_S = 60.0
+
+
+def require_good_host(stage: str) -> dict:
+    """Probe until the host is in band (or KUPO_SCALING_FORCE=1).  Returns
+    the passing calibration block."""
+    force = os.environ.get("KUPO_SCALING_FORCE") == "1"
+    calib = host_calibration()
+    for i in range(CALIB_RETRIES):
+        if calib["calib_memcopy_2gb_s"] <= GOOD_MEMCOPY_S or force:
+            return calib
+        print(
+            f"[calibration-gate] {stage}: memcopy "
+            f"{calib['calib_memcopy_2gb_s']} s > {GOOD_MEMCOPY_S} s band; "
+            f"idling {CALIB_WAIT_S:.0f}s for the host to recover "
+            f"({i + 1}/{CALIB_RETRIES})",
+            file=sys.stderr,
+        )
+        time.sleep(CALIB_WAIT_S)
+        calib = host_calibration()
+    raise SystemExit(
+        f"[calibration-gate] {stage}: host never recovered (memcopy "
+        f"{calib['calib_memcopy_2gb_s']} s after {CALIB_RETRIES} probes); "
+        "refusing to measure on a degraded host. Set KUPO_SCALING_FORCE=1 "
+        "to override."
+    )
+
 
 def timed(fn, runs: int = RUNS) -> float:
     fn()
@@ -106,6 +142,7 @@ def main() -> None:
     from kupo_spark.operators.serving import Serving
     from kupo_spark.session import get_spark
 
+    pre_calib = require_good_host("pre-run")
     spark = get_spark(f"kupo-scaling-sf{sf}")
     q: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -115,7 +152,7 @@ def main() -> None:
         embs = spark.read.parquet(f"{src}/embeddings.parquet")
         rows["embeddings"] = embs.count()
         _ann_queries(spark, embs, sf, q, heavy_runs)
-        _merge(sf, q, rows, update=True)
+        _merge(sf, q, rows, update=True, pre_calib=pre_calib)
         return
     elif only == "serving":
         # re-measure just the warm-serving family (build+write the index,
@@ -128,7 +165,7 @@ def main() -> None:
         index = read_index(spark, index_dir)
         index.checkpoints.persist().count()
         _serving_queries(spark, index, cs, q)
-        _merge(sf, q, rows, update=True)
+        _merge(sf, q, rows, update=True, pre_calib=pre_calib)
         return
     elif only:
         raise SystemExit(f"unknown --only selector: {only}")
@@ -249,7 +286,7 @@ def main() -> None:
     # ---- persisted ANN index (build once, probe-bounded queries) ---------
     _ann_queries(spark, embs, sf, q, heavy_runs)
 
-    _merge(sf, q, rows)
+    _merge(sf, q, rows, pre_calib=pre_calib)
     shutil.rmtree(index_dir, ignore_errors=True)
 
 
@@ -356,13 +393,60 @@ def _ann_queries(spark, embs, sf: str, q: dict, heavy_runs: int) -> None:
         ).collect(),
         heavy_runs,
     )
+    # rebalance wall time at scale (VERDICT r7 #5): the sampled-seed path
+    # was plan-asserted (no window/exchange/single-partition stage) but
+    # unmeasured; measure BOTH modes so "sampled <= strided at sf10" is a
+    # committed number, not a plan argument.  Each call retrains Lloyd on
+    # the stored corpus and re-partitions in one overwrite — repeated
+    # calls are the real OPTIMIZE cadence, so timing them back-to-back is
+    # honest.
+    q["q_ann_rebalance_sampled"] = timed(
+        lambda: ix.rebalance(kmeans_iters=2, seed_mode="sampled"), heavy_runs
+    )
+    q["q_ann_rebalance_strided"] = timed(
+        lambda: ix.rebalance(kmeans_iters=2, seed_mode="strided"), heavy_runs
+    )
     shutil.rmtree(root, ignore_errors=True)
 
 
-def _merge(sf: str, q: dict, rows: dict, update: bool = False) -> None:
+def _merge(
+    sf: str, q: dict, rows: dict, update: bool = False, pre_calib: dict | None = None
+) -> None:
     """Merge this sf point into SCALING.json.  ``update=True`` folds new
     query keys into an existing section (selective --only re-measures)
-    instead of replacing it."""
+    instead of replacing it.
+
+    Calibration gate (VERDICT r7 #1): the section records BOTH the pre-run
+    and post-run calibration; if the post-run probe is out of the good-host
+    band, the section is quarantined to ``.bench/scaling-rejected-sf{N}.json``
+    and NOT merged — re-run the point once the host recovers."""
+    post_calib = host_calibration()
+    out_of_band = post_calib["calib_memcopy_2gb_s"] > GOOD_MEMCOPY_S
+    if out_of_band and os.environ.get("KUPO_SCALING_FORCE") != "1":
+        reject = REPO / ".bench" / f"scaling-rejected-sf{sf}.json"
+        reject.parent.mkdir(parents=True, exist_ok=True)
+        reject.write_text(
+            json.dumps(
+                {
+                    "sf": sf,
+                    "queries": {k: round(v, 4) for k, v in q.items()},
+                    "rows": rows,
+                    "host_calibration_pre": pre_calib,
+                    "host_calibration": post_calib,
+                    "rejected": "post-run calibration out of band",
+                },
+                indent=1,
+                sort_keys=True,
+            )
+            + "\n"
+        )
+        raise SystemExit(
+            f"[calibration-gate] post-run memcopy "
+            f"{post_calib['calib_memcopy_2gb_s']} s > {GOOD_MEMCOPY_S} s: "
+            f"host degraded during the run; section quarantined to "
+            f"{reject} (NOT merged into SCALING.json). Re-run this point "
+            "on a recovered host."
+        )
     doc = {}
     if OUT.exists():
         doc = json.loads(OUT.read_text())
@@ -385,7 +469,9 @@ def _merge(sf: str, q: dict, rows: dict, update: bool = False) -> None:
     section["queries"].update({k: round(v, 4) for k, v in q.items()})
     section["rows"].update(rows)
     section["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    section["host_calibration"] = host_calibration()
+    section["host_calibration"] = post_calib
+    if pre_calib is not None:
+        section["host_calibration_pre"] = pre_calib
     # per-query ratio table vs the previous sf point, when present
     sfs = sorted(doc["sfs"], key=float)
     ratios = {}
