@@ -343,22 +343,7 @@ class KupoHttpServer:
                 self.store.add(p)
             union_pats = self.store.list()
             idx = build_index(self._replay_blocks(), patterns=union_pats)
-            old_pred = F.lit(False)
-            for p in old:
-                old_pred = old_pred | to_column(p)
-            keep = (F.col("created_at") > F.lit(rollback_slot)) | old_pred
-            inputs = idx.inputs.where(keep)
-            surviving = inputs.select("output_reference")
-            self._swap_index(
-                Index(
-                    inputs=inputs,
-                    checkpoints=idx.checkpoints,
-                    policies=idx.policies.join(surviving, "output_reference", "left_semi"),
-                    assets=idx.assets.join(surviving, "output_reference", "left_semi"),
-                    binary_data=idx.binary_data,
-                    scripts=idx.scripts,
-                )
-            )
+            self._swap_index(mt.put_patterns_backfill(idx, old, rollback_slot))
             return [pattern_to_text(p) for p in self.store.list()]
 
 

@@ -113,6 +113,36 @@ def delete_by_pattern(index: Index, pattern) -> Index:
     )
 
 
+def put_patterns_backfill(index: Index, old_patterns, rollback_slot: int) -> Index:
+    """M5 batch form (PUT /patterns: rollback → install → backfill,
+    reference ``src/Kupo/App/Http.hs:655-685`` + the consumer replay).
+    ``index`` is the index REBUILT with the ENLARGED pattern set over the
+    full replay source; the composed state drops rows only the NEW
+    patterns match whose ``created_at`` ≤ the rollback point — the
+    reference's contract that pre-point matches of new patterns stay
+    absent (they were never rolled forward over).  Old-pattern rows are
+    untouched (rollback deletes + backfill re-adds them); spent-marks are
+    global, as in any full replay."""
+    from kupo_spark.patterns import pattern_from_text, to_column
+
+    old_pred = F.lit(False)
+    for p in old_patterns:
+        if isinstance(p, str):
+            p = pattern_from_text(p)
+        old_pred = old_pred | to_column(p)
+    keep = (F.col("created_at") > F.lit(rollback_slot)) | old_pred
+    inputs = index.inputs.where(keep)
+    surviving = inputs.select("output_reference")
+    return Index(
+        inputs=inputs,
+        checkpoints=index.checkpoints,
+        policies=index.policies.join(surviving, "output_reference", "left_semi"),
+        assets=index.assets.join(surviving, "output_reference", "left_semi"),
+        binary_data=index.binary_data,
+        scripts=index.scripts,
+    )
+
+
 def metadata_by_slot(blocks: DataFrame, slot_no: int, transaction_id: str | None = None) -> DataFrame:
     """GET /metadata/{slot} (S4 + Http.hs:754-805): per-tx metadata payloads
     of the block at `slot_no` — a point lookup on the block stream."""

@@ -429,6 +429,39 @@ FROM inputs WHERE created_at <= {s}
 """
 
 
+def rollback_and_put_patterns_sql(
+    rollback_slot: int, m5_old: str, m5_new: str, m5_slot: int
+) -> str:
+    """Tagged union: the M1 rollback arm plus the M5 PUT-/patterns batch
+    composition (rollback → install ``m5_new`` beside ``m5_old`` →
+    backfill): rows the OLD pattern matches survive in full; rows ONLY the
+    new pattern matches exist only past the rollback point (they were
+    never rolled forward over); spent-marks are global (full replay)."""
+    s = rollback_slot
+    old_sql = to_sql(pattern_from_text(m5_old))
+    new_sql = to_sql(pattern_from_text(m5_new))
+    proj = (
+        "i.output_reference, i.transaction_id, i.transaction_index, "
+        "i.output_index, i.address, i.payment_credential, i.coins, "
+        "i.datum_hash, i.script_hash, i.created_at"
+    )
+    return PRELUDE + f"""
+SELECT
+  output_reference, transaction_id, transaction_index, output_index, address,
+  payment_credential, coins, datum_hash, script_hash, created_at,
+  CASE WHEN spent_at IS NOT NULL AND spent_at <= {s} THEN spent_at END AS spent_at,
+  CASE WHEN spent_at IS NOT NULL AND spent_at <= {s} THEN spent_by END AS spent_by,
+  CASE WHEN spent_at IS NOT NULL AND spent_at <= {s} THEN spent_with END AS spent_with,
+  'rollback' AS q
+FROM inputs WHERE created_at <= {s}
+UNION ALL
+SELECT {proj}, i.spent_at, i.spent_by, i.spent_with, 'put_patterns' AS q
+FROM inputs i
+WHERE (({old_sql}) OR ({new_sql}))
+  AND (i.created_at > {m5_slot} OR ({old_sql}))
+"""
+
+
 def pruned_inputs_sql(k: int) -> str:
     """M2 pruneInputs: surviving inputs with horizon tip - k."""
     return PRELUDE + f"""

@@ -805,7 +805,14 @@ def ivf_topk_and_pq_sql(
     'stored_deleted' checks ``VectorIndex.delete`` (cells trained before
     the delete, removed rows absent as neighbors); 'stored_rebalanced'
     checks ``VectorIndex.rebalance`` — strided-rank density seeds +
-    Lloyd retrain over the stored corpus, re-derived exactly."""
+    Lloyd retrain over the stored corpus, re-derived exactly.
+
+    Round-8 rotated arm: 'stored_pinned' is the _pinned_version crash
+    window — the Spark side injects a foreign OVERWRITE with no meta
+    publish and queries through the pinned reader; correct pinning means
+    the result IS the undisturbed probe2 derivation, which is what this
+    oracle re-derives (a pin that failed would rank against scrambled
+    cells and flip the hash)."""
     ivf = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters)
     probe2 = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters, nprobe=2)
     deleted = ivf_topk_sql(
@@ -848,6 +855,8 @@ UNION ALL
 SELECT 'stored_rebalanced' AS q, * FROM ({rebalanced})
 UNION ALL
 SELECT 'stored_reb_deleted' AS q, * FROM ({reb_deleted})
+UNION ALL
+SELECT 'stored_pinned' AS q, * FROM ({probe2})
 UNION ALL
 SELECT 'stored_pq' AS q, * FROM ({adc})
 UNION ALL

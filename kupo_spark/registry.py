@@ -104,9 +104,41 @@ _ROLLBACK_PROJ = [
 ]
 
 
+#: M5 arm constants (round-8 rotated arm): PUT /patterns batch form —
+#: rollback to M5_SLOT, install M5_NEW beside M5_OLD, backfill
+M5_SLOT = 400
+M5_OLD = f"{PAY_CRED}/*"
+M5_NEW = f"*/{DELEG_CRED}"
+
+
 def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = mt.rollback_to(get_index(spark, sf_dir), ROLLBACK_SLOT)
-    return idx.inputs.select(*_ROLLBACK_PROJ)
+    """M1 rollbackTo PLUS the round-8 rotated M5 arm (VERDICT r7 #6): the
+    PUT /patterns rollback→install→backfill composition
+    (``maintenance.put_patterns_backfill``, the expression the HTTP batch
+    route swaps in) — rows the OLD pattern matches survive in full, rows
+    only the NEW pattern matches exist only past the rollback point."""
+    import dataclasses
+
+    idx = get_index(spark, sf_dir)
+    rolled = (
+        mt.rollback_to(idx, ROLLBACK_SLOT)
+        .inputs.select(*_ROLLBACK_PROJ)
+        .withColumn("q", F.lit("rollback"))
+    )
+    from kupo_spark.patterns import pattern_from_text, to_column
+
+    union_pred = to_column(pattern_from_text(M5_OLD)) | to_column(
+        pattern_from_text(M5_NEW)
+    )
+    # the index rebuilt with the ENLARGED set ≡ the '*' index filtered to
+    # the union predicate (build_index's pattern gate is a row filter)
+    union_idx = dataclasses.replace(idx, inputs=idx.inputs.where(union_pred))
+    m5 = (
+        mt.put_patterns_backfill(union_idx, [M5_OLD], M5_SLOT)
+        .inputs.select(*_ROLLBACK_PROJ)
+        .withColumn("q", F.lit("put_patterns"))
+    )
+    return rolled.unionByName(m5)
 
 
 def _q_prune_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,6 +628,25 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("stored_reb_deleted").alias("q"),
         "query_id", "neighbor_id", "cosine", "rank",
     )
+    # round-8 rotated arm (VERDICT r7 #6): the _pinned_version crash
+    # window — a rebalance/refresh OVERWRITE lands (here: a scrambled
+    # reassignment written straight to the table) but the process dies
+    # before its meta publish.  A fresh open must pin every read to the
+    # last consistent snapshot, so the query equals the UNDISTURBED
+    # stored_probe2 derivation — the oracle re-derives exactly that.
+    flat_pin = VectorIndex.build(
+        f"{scratch}/flat_pin", emb, pq=False, n_centroids=16, kmeans_iters=2
+    )
+    foreign = flat_pin.table.read(spark).withColumn(
+        "centroid_id", (F.col("vec_id") % 16).cast("long")
+    )
+    flat_pin.table.overwrite(foreign)  # crash: no _write_meta follows
+    reopened_pin = VectorIndex(f"{scratch}/flat_pin")
+    assert reopened_pin._pinned_version() is not None
+    stored_pinned = reopened_pin.topk(emb, n_queries=10, k=5, nprobe=2).select(
+        F.lit("stored_pinned").alias("q"),
+        "query_id", "neighbor_id", "cosine", "rank",
+    )
     pqix = VectorIndex.build(
         f"{scratch}/pq", emb, pq=True, n_centroids=16, kmeans_iters=2,
         codebook_iters=2,
@@ -623,6 +674,7 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stored_deleted)
         .unionByName(stored_rebalanced)
         .unionByName(stored_reb_deleted)
+        .unionByName(stored_pinned)
         .unionByName(stored_pq)
         .unionByName(refined)
         .unionByName(stored_sq8)
@@ -666,6 +718,9 @@ PAGE_ARM_SIZE = 13
 #: forced-overflow cap for the bounded-stream arm (result ≫ cap, so the
 #: iterator path is the one certified)
 BOUNDED_ARM_CAP = 7
+#: created_after bound for the oldest_first paged arm (mid-fixture, so the
+#: filter actually drops a prefix and the first page starts mid-result)
+OPAGED_AFTER = 150
 
 
 def _q_fold_residual_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,6 +737,11 @@ def _q_fold_residual_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``bounded``: ``fold_rows_bounded`` with ``max_rows`` ≪ result size,
       forcing the bounded-memory iterator (toLocalIterator stream) path —
       certified row-for-row equal to the plain fold.
+    - ``opaged{N}`` (round-8 rotated arm, VERDICT r7 #6): the keyset walk
+      under ``order=oldest_first`` COMPOSED with a slot-range filter
+      (``created_after``) — the ascending cursor arithmetic and the
+      filter's interaction with page boundaries, page-membership
+      certified the same way.
     """
     from kupo_spark.operators.serving import Serving
 
@@ -705,6 +765,15 @@ def _q_fold_residual_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
             tuple(r) + ("bounded",)
             for r in serving.fold_rows_bounded(pat, max_rows=BOUNDED_ARM_CAP)
         )
+        for pno, page in enumerate(
+            serving.fold_pages(
+                pat,
+                page_size=PAGE_ARM_SIZE,
+                order="oldest_first",
+                created_after=OPAGED_AFTER,
+            )
+        ):
+            tagged.extend(tuple(r) + (f"opaged{pno}",) for r in page)
     finally:
         serving.close()
     extra = spark.createDataFrame(tagged, schema)
@@ -723,8 +792,26 @@ def _fold_residual_plus_sql() -> str:
         f" - 1) // {PAGE_ARM_SIZE} AS VARCHAR) AS q FROM ({body}) tp"
     )
     bounded = f"SELECT tb.*, 'bounded' AS q FROM ({body}) tb"
+    # oldest_first + slot-range composition: the ASC ranking over the
+    # FILTERED result is what a correct ascending cursor walk delivers
+    obody = oracle.fold_inputs_sql(
+        f"*/{DELEG_CRED}", created_after=OPAGED_AFTER, with_prelude=False
+    )
+    oorder = "created_at ASC, transaction_index ASC, output_index ASC"
+    opaged = (
+        f"SELECT toq.*, 'opaged' || CAST((row_number() OVER (ORDER BY {oorder})"
+        f" - 1) // {PAGE_ARM_SIZE} AS VARCHAR) AS q FROM ({obody}) toq"
+    )
     base = oracle.merged_fold_sql(MERGED_FOLD_SPECS["fold_residual"])
-    return base + " UNION ALL " + paged + " UNION ALL " + bounded
+    return (
+        base
+        + " UNION ALL "
+        + paged
+        + " UNION ALL "
+        + bounded
+        + " UNION ALL "
+        + opaged
+    )
 
 
 def queries() -> dict[str, QueryFn]:
@@ -857,7 +944,9 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT count(*) FROM inputs) AS n_inputs, "
         "(SELECT count(*) FROM inputs WHERE spent_at IS NULL) AS n_unspent"
     )
-    out["q_rollback_inputs"] = oracle.rolled_back_inputs_sql(ROLLBACK_SLOT)
+    out["q_rollback_inputs"] = oracle.rollback_and_put_patterns_sql(
+        ROLLBACK_SLOT, M5_OLD, M5_NEW, M5_SLOT
+    )
     out["q_prune_inputs"] = oracle.pruned_inputs_sql(PRUNE_K)
     out["q_prune_binary_data"] = oracle.pruned_binary_data_sql(ROLLBACK_SLOT)
     from kupo_spark.metadata import metadata_cbor_sql

@@ -154,6 +154,19 @@ def oha_measure_procs(
             lat, sizes, errs = [], [], 0
             conn = http.client.HTTPConnection(host.hostname, host.port, timeout=120)
             try:
+                # one untimed warmup on this keep-alive connection: the
+                # row measures steady-state latency (oha's long-lived
+                # connections), not the thread-spawn/accept cost of 8
+                # simultaneous fresh connects — at 4 timed requests per
+                # client one 300 ms first-accept outlier dominates avg
+                try:
+                    conn.request("GET", path)
+                    conn.getresponse().read()
+                except Exception:
+                    conn.close()
+                    conn = http.client.HTTPConnection(
+                        host.hostname, host.port, timeout=120
+                    )
                 for _ in range(n_req):
                     t1 = time.time()
                     try:
