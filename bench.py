@@ -355,24 +355,45 @@ def main() -> None:
         )
     )
     # Compact parseable headline — MUST stay the final line and fit well
-    # inside the driver's 2,000-char tail.
+    # inside the driver's 2,000-char tail (BENCH_r06/r07 both lost their
+    # parse to that window).  `_diag` / floor entries stay on the full
+    # diagnostic line above; the headline keeps the comparable suite.
     http_compact = {
         name: round(st["avg"], 4)
         for name, st in (http_stats or {}).items()
         if isinstance(st, dict) and "avg" in st
     }
-    print(
-        json.dumps(
+    headline_queries = {
+        k: round(v, 4)
+        for k, v in queries.items()
+        if not k.endswith("_diag") and k != "spark_job_floor"
+    }
+    line = json.dumps(
+        {
+            "metric": "kupo_spark_query_suite",
+            "value": round(value, 4),
+            "unit": "sec",
+            "queries": headline_queries,
+            "http": http_compact,
+            "sf": sf_val,
+        }
+    )
+    if len(line) > 1800:  # belt-and-braces: never overflow the tail window
+        line = json.dumps(
             {
                 "metric": "kupo_spark_query_suite",
                 "value": round(value, 4),
                 "unit": "sec",
-                "queries": {k: round(v, 4) for k, v in queries.items()},
+                "queries": {
+                    k: round(v, 3)
+                    for k, v in headline_queries.items()
+                    if "_warm" not in k
+                },
                 "http": http_compact,
                 "sf": sf_val,
             }
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -81,27 +81,71 @@ class ReusePortFront:
         placeholder.bind(("127.0.0.1", 0))
         self.port = placeholder.getsockname()[1]
         self.url = f"http://127.0.0.1:{self.port}"
+        self._pids = self._spawn(self.routes)
+        placeholder.close()
+        return self
+
+    def _spawn(self, routes) -> list[int]:
+        """Fork one worker generation serving ``routes``; returns its pids
+        once every worker is bound + accepting (readiness pipe)."""
         ready_r, ready_w = os.pipe()
+        pids: list[int] = []
         for _ in range(self.workers):
             pid = os.fork()
             if pid == 0:  # worker
                 os.close(ready_r)
                 try:
-                    self._worker(ready_w)
+                    self._worker(ready_w, routes)
                 finally:
                     os._exit(0)
-            self._pids.append(pid)
+            pids.append(pid)
         os.close(ready_w)
         # one readiness byte per worker (sent after its bind+activate)
         got = 0
         while got < self.workers:
             got += len(os.read(ready_r, self.workers - got) or b"x")
         os.close(ready_r)
-        placeholder.close()
+        return pids
+
+    def refresh(self, routes) -> "ReusePortFront":
+        """Swap the rendered route set by rolling the worker generation —
+        the index-swap story for the front: fork a NEW generation serving
+        ``routes`` on the same port (SO_REUSEPORT lets both generations
+        listen at once, so the port never goes un-served), then retire the
+        old one with SIGTERM.  A TERM'd worker stops accepting, finishes
+        the responses it is mid-writing (drain grace), and exits; its idle
+        keep-alive connections close, and the client's reconnect can only
+        land on a new-generation worker.  After ``refresh`` returns, every
+        NEW connection sees the new snapshot's bodies."""
+        old = self._pids
+        self.routes = routes
+        self._pids = self._spawn(routes)
+        for pid in old:
+            try:
+                os.kill(pid, signal.SIGTERM)
+            except ProcessLookupError:
+                pass
+        deadline = time.time() + 10.0
+        pending = list(old)
+        while pending and time.time() < deadline:
+            for pid in list(pending):
+                try:
+                    done, _ = os.waitpid(pid, os.WNOHANG)
+                except ChildProcessError:
+                    done = pid
+                if done:
+                    pending.remove(pid)
+            if pending:
+                time.sleep(0.02)
+        for pid in pending:  # drain grace exceeded — hard stop
+            try:
+                os.kill(pid, signal.SIGKILL)
+                os.waitpid(pid, 0)
+            except (ProcessLookupError, ChildProcessError):
+                pass
         return self
 
-    def _worker(self, ready_w: int) -> None:
-        routes = self.routes
+    def _worker(self, ready_w: int, routes) -> None:
         primary = self.primary
         local = __import__("threading").local()
 
@@ -159,10 +203,28 @@ class ReusePortFront:
                 self.end_headers()
                 self.wfile.write(body)
 
+        import threading
+
         srv = _ReusePortHTTPServer(("127.0.0.1", self.port), Handler)
+        # graceful retire (refresh(): generation roll): on SIGTERM stop
+        # accepting and close the listen socket — queued-but-unaccepted
+        # connections reset and the client retry lands on the NEW
+        # generation — then give in-flight handler threads a short drain
+        # before exiting (handler threads are daemons; responses mid-write
+        # complete inside the grace, idle keep-alives close with the
+        # process)
+        stop = threading.Event()
+        signal.signal(signal.SIGTERM, lambda *_: stop.set())
+        loop = threading.Thread(
+            target=srv.serve_forever, kwargs={"poll_interval": 0.2}, daemon=True
+        )
+        loop.start()
         os.write(ready_w, b"r")
         os.close(ready_w)
-        srv.serve_forever(poll_interval=0.5)
+        stop.wait()
+        srv.shutdown()
+        srv.server_close()
+        time.sleep(0.3)
 
     def close(self) -> None:
         for pid in self._pids:
@@ -184,10 +246,12 @@ class ReusePortFront:
         self.close()
 
 
-def front_for_points(server, paths_with_patterns, workers: int = 8) -> ReusePortFront:
-    """Build a front over a live ``KupoHttpServer``: pre-render each
-    (request_path, pattern) point body via the serving tier plus the
-    snapshot's cache headers, then fork the workers."""
+def render_point_routes(server, paths_with_patterns) -> dict:
+    """Pre-render each (request_path, pattern) point body via the serving
+    tier plus the snapshot's cache headers — the route set a front
+    generation serves.  Call again after an index swap (``server.serving``
+    is the new snapshot) and hand the result to :meth:`ReusePortFront.
+    refresh` to roll the workers onto the new bodies."""
     serving = server.serving
     slot, h = serving.tip()
     extra = (
@@ -201,4 +265,11 @@ def front_for_points(server, paths_with_patterns, workers: int = 8) -> ReusePort
         if body is None:
             raise ValueError(f"{pattern!r} is not a point pattern")
         routes[path] = ("application/json;charset=utf-8", body, extra)
+    return routes
+
+
+def front_for_points(server, paths_with_patterns, workers: int = 8) -> ReusePortFront:
+    """Build a front over a live ``KupoHttpServer``: pre-render the point
+    routes, then fork the workers."""
+    routes = render_point_routes(server, paths_with_patterns)
     return ReusePortFront(server.url, routes, workers=workers).start()

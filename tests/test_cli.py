@@ -14,15 +14,18 @@ from tests.conftest import SF_DIR
 
 
 def _get(url: str, accept: str = "application/json"):
+    # 120s: under a long-lived suite JVM a follow-mode request can queue
+    # behind an index swap; the tests' own deadline loops bound semantics,
+    # this only needs to outlast a slow single response (flaked at 30s)
     req = urllib.request.Request(url, headers={"Accept": accept})
-    with urllib.request.urlopen(req, timeout=30) as resp:
+    with urllib.request.urlopen(req, timeout=120) as resp:
         return resp.status, json.loads(resp.read())
 
 
 def _request(url: str, method: str, body: bytes | None = None):
     req = urllib.request.Request(url, method=method, data=body)
     try:
-        with urllib.request.urlopen(req, timeout=30) as resp:
+        with urllib.request.urlopen(req, timeout=120) as resp:
             return resp.status, json.loads(resp.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())

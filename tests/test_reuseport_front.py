@@ -120,3 +120,63 @@ def test_front_close_reaps_workers():
             alive = False
         assert not alive
     primary.shutdown()
+
+
+def test_refresh_rolls_generation_to_new_bodies():
+    """Index-swap story: refresh() forks a new generation serving the new
+    rendered bodies on the same port, retires the old one gracefully, and
+    the port stays served throughout — requests mid-roll see v1 or v2
+    (never an error body), requests after refresh() returns see only v2."""
+    primary, purl = _start_primary()
+    front = ReusePortFront(
+        purl, {"/hot": ("text/plain", b"v1", [("ETag", "aaaa")])}, workers=3
+    ).start()
+    try:
+        old_pids = set(front._pids)
+        for _ in range(9):
+            s, h, b = _get(front.url, "/hot")
+            assert s == 200 and b == b"v1"
+            assert int(h["X-Worker-Pid"]) in old_pids
+
+        errs: list = []
+        stop = threading.Event()
+
+        def hammer():
+            while not stop.is_set():
+                try:
+                    s, _, b = _get(front.url, "/hot")
+                except OSError:
+                    # a connection queued on a retiring listener resets;
+                    # the retry (fresh connection) lands on the new
+                    # generation — the client-visible contract is retry-
+                    # able resets, never a served error or a torn body
+                    continue
+                if s != 200 or b not in (b"v1", b"v2"):
+                    errs.append((s, b))
+
+        t = threading.Thread(target=hammer, daemon=True)
+        t.start()
+        front.refresh({"/hot": ("text/plain", b"v2", [("ETag", "bbbb")])})
+        stop.set()
+        t.join(timeout=30)
+        assert not errs, f"mid-roll served errors/torn bodies: {errs[:3]}"
+
+        new_pids = set(front._pids)
+        assert new_pids.isdisjoint(old_pids)
+        for _ in range(9):  # every post-refresh connection: new generation, v2
+            s, h, b = _get(front.url, "/hot")
+            assert s == 200 and b == b"v2" and h["ETag"] == "bbbb"
+            assert int(h["X-Worker-Pid"]) in new_pids
+        for pid in old_pids:  # old generation exited and was reaped
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            assert not alive
+        # proxy path still works through the new generation
+        s, h, b = _get(front.url, "/other")
+        assert s == 200 and json.loads(b) == {"proxied": "/other"}
+    finally:
+        front.close()
+        primary.shutdown()
