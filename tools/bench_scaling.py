@@ -641,7 +641,9 @@ def _merge(
             "runs_per_query": RUNS,
             "note": (
                 "sf<=0.1 = driver testdata; larger = tools/gen_scale_data.py "
-                "(same schemas/scaling rules). One fresh JVM per sf point."
+                "(same schemas/scaling rules). One fresh JVM per run; big "
+                "points may be chunked family runs composed per-query-min "
+                "across gated attempts (see the section's aggregation block)."
             ),
         }
     )
