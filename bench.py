@@ -379,20 +379,39 @@ def main() -> None:
         }
     )
     if len(line) > 1800:  # belt-and-braces: never overflow the tail window
-        line = json.dumps(
+        # progressively shed detail and RE-CHECK after each step — the
+        # invariant must be enforced, not assumed (a large-enough query map
+        # could overflow even after dropping _warm keys)
+        for payload in (
             {
-                "metric": "kupo_spark_query_suite",
-                "value": round(value, 4),
-                "unit": "sec",
                 "queries": {
                     k: round(v, 3)
                     for k, v in headline_queries.items()
                     if "_warm" not in k
                 },
                 "http": http_compact,
-                "sf": sf_val,
-            }
-        )
+            },
+            {
+                "queries": {
+                    k: round(v, 3)
+                    for k, v in headline_queries.items()
+                    if "_warm" not in k
+                },
+            },
+            {"queries": {}},  # headline value alone always fits
+        ):
+            line = json.dumps(
+                {
+                    "metric": "kupo_spark_query_suite",
+                    "value": round(value, 4),
+                    "unit": "sec",
+                    "sf": sf_val,
+                    **payload,
+                }
+            )
+            if len(line) <= 1800:
+                break
+    assert len(line) <= 1800, f"headline still {len(line)} chars"
     print(line)
 
 

@@ -100,12 +100,39 @@ class ReusePortFront:
                     os._exit(0)
             pids.append(pid)
         os.close(ready_w)
-        # one readiness byte per worker (sent after its bind+activate)
+        # one readiness byte per worker (sent after its bind+activate).
+        # An EOF (empty read) before N bytes means at least one worker died
+        # pre-bind (bind failure / exception in _worker closed its pipe end
+        # without writing): that is a FAILED spawn, not readiness — kill the
+        # partial generation and raise so the caller never retires a healthy
+        # old generation on the strength of a dead new one.
         got = 0
-        while got < self.workers:
-            got += len(os.read(ready_r, self.workers - got) or b"x")
-        os.close(ready_r)
+        try:
+            while got < self.workers:
+                chunk = os.read(ready_r, self.workers - got)
+                if not chunk:
+                    self._kill(pids)
+                    raise RuntimeError(
+                        f"front spawn failed: only {got}/{self.workers} "
+                        "workers signalled readiness before pipe EOF"
+                    )
+                got += len(chunk)
+        finally:
+            os.close(ready_r)
         return pids
+
+    @staticmethod
+    def _kill(pids: list[int]) -> None:
+        for pid in pids:
+            try:
+                os.kill(pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+        for pid in pids:
+            try:
+                os.waitpid(pid, 0)
+            except ChildProcessError:
+                pass
 
     def refresh(self, routes) -> "ReusePortFront":
         """Swap the rendered route set by rolling the worker generation —
@@ -116,10 +143,15 @@ class ReusePortFront:
         the responses it is mid-writing (drain grace), and exits; its idle
         keep-alive connections close, and the client's reconnect can only
         land on a new-generation worker.  After ``refresh`` returns, every
-        NEW connection sees the new snapshot's bodies."""
+        NEW connection sees the new snapshot's bodies.
+
+        If the new generation fails to spawn (readiness EOF — see _spawn),
+        the old generation keeps serving and the error propagates: a failed
+        refresh must degrade to "stale bodies", never to "no workers"."""
         old = self._pids
+        new_pids = self._spawn(routes)  # raises on spawn failure; old intact
         self.routes = routes
-        self._pids = self._spawn(routes)
+        self._pids = new_pids
         for pid in old:
             try:
                 os.kill(pid, signal.SIGTERM)
@@ -227,16 +259,7 @@ class ReusePortFront:
         time.sleep(0.3)
 
     def close(self) -> None:
-        for pid in self._pids:
-            try:
-                os.kill(pid, signal.SIGKILL)
-            except ProcessLookupError:
-                pass
-        for pid in self._pids:
-            try:
-                os.waitpid(pid, 0)
-            except ChildProcessError:
-                pass
+        self._kill(self._pids)
         self._pids = []
 
     def __enter__(self):

@@ -122,6 +122,37 @@ def test_front_close_reaps_workers():
     primary.shutdown()
 
 
+def test_refresh_spawn_failure_keeps_old_generation(monkeypatch):
+    """A new generation that dies pre-bind (readiness-pipe EOF) must NOT
+    retire the healthy old one: refresh() raises, the old workers keep
+    serving the old bodies, and the partial new generation is reaped."""
+    import pytest
+
+    primary, purl = _start_primary()
+    front = ReusePortFront(
+        purl, {"/hot": ("text/plain", b"v1", [])}, workers=2
+    ).start()
+    try:
+        old_pids = set(front._pids)
+
+        def dead_worker(ready_w, routes):  # exits before writing readiness
+            raise RuntimeError("simulated bind failure")
+
+        monkeypatch.setattr(front, "_worker", dead_worker)
+        with pytest.raises(RuntimeError, match="spawn failed"):
+            front.refresh({"/hot": ("text/plain", b"v2", [])})
+        # old generation intact, still serving the OLD bodies
+        assert set(front._pids) == old_pids
+        assert front.routes["/hot"][1] == b"v1"
+        for _ in range(6):
+            s, h, b = _get(front.url, "/hot")
+            assert s == 200 and b == b"v1"
+            assert int(h["X-Worker-Pid"]) in old_pids
+    finally:
+        front.close()
+        primary.shutdown()
+
+
 def test_refresh_rolls_generation_to_new_bodies():
     """Index-swap story: refresh() forks a new generation serving the new
     rendered bodies on the same port, retires the old one gracefully, and
@@ -145,11 +176,19 @@ def test_refresh_rolls_generation_to_new_bodies():
             while not stop.is_set():
                 try:
                     s, _, b = _get(front.url, "/hot")
+                except http.client.RemoteDisconnected:
+                    # clean reset before any response bytes: a connection
+                    # queued on a retiring listener; the retry (fresh
+                    # connection) lands on the new generation — retryable
+                    continue
+                except http.client.HTTPException as e:
+                    # IncompleteRead / BadStatusLine = a TORN body or cut
+                    # response mid-roll — exactly the failure this test
+                    # exists to rule out; record it, don't swallow it
+                    errs.append(("torn", repr(e)))
+                    continue
                 except OSError:
-                    # a connection queued on a retiring listener resets;
-                    # the retry (fresh connection) lands on the new
-                    # generation — the client-visible contract is retry-
-                    # able resets, never a served error or a torn body
+                    # ECONNRESET-style reset with no bytes served: retryable
                     continue
                 if s != 200 or b not in (b"v1", b"v2"):
                     errs.append((s, b))

@@ -166,11 +166,30 @@ def compose_min(sf: str) -> None:
     attempts_path = REPO / ".bench" / f"scaling-attempts-sf{sf}.jsonl"
     if not attempts_path.exists():
         raise SystemExit(f"no attempts log at {attempts_path}")
-    attempts = [
+    all_attempts = [
         json.loads(line)
         for line in attempts_path.read_text().splitlines()
         if line.strip()
     ]
+
+    # re-apply the band to BOTH brackets at compose time (r9: the write
+    # gate moved to the first post-settle probe; attempts logged under the
+    # old settled-reading rule must not leak into the composed section)
+    def _in_band(a):
+        for key in ("host_calibration_pre", "host_calibration_post"):
+            c = a.get(key) or {}
+            v = c.get("calib_memcopy_2gb_s")
+            if v is not None and v > GOOD_MEMCOPY_S:
+                return False
+        return True
+
+    attempts = [a for a in all_attempts if _in_band(a)]
+    dropped = len(all_attempts) - len(attempts)
+    if not attempts:
+        raise SystemExit(
+            f"all {len(all_attempts)} attempts in {attempts_path} are out of "
+            "band; re-measure on a recovered host"
+        )
     q_min: dict[str, float] = {}
     spread: dict[str, dict] = {}
     rows: dict[str, int] = {}
@@ -188,15 +207,16 @@ def compose_min(sf: str) -> None:
         "queries": q_min,
         "rows": rows,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "host_calibration": host_calibration(),
         "aggregation": {
             "method": "per-query min across gated attempts",
             "why": (
                 "host throttles under sustained JVM load (load-triggered, "
                 "2-10x, mid-run); each attempt is pre+post calibration-"
-                "gated; min per query rejects the throttled samples"
+                "gated (first post-settle probe); min per query rejects "
+                "the throttled samples"
             ),
             "n_attempts": len(attempts),
+            "n_attempts_dropped_out_of_band": dropped,
             "note": (
                 "per-query mins may come from DIFFERENT attempts, so "
                 "composed totals (e.g. ingest_total) need not equal the "
@@ -338,9 +358,25 @@ def _ingest_queries(spark, src: str, sf: str, q: dict, rows: dict) -> None:
     idx.inputs.count()
     q["ingest_phase_cache_recount"] = time.time() - tb
     shutil.rmtree(index_dir, ignore_errors=True)
+    # VERDICT r8 #2: at sf10 the write leg (60-70 s in-band) starts ~40 s
+    # into sustained load and crosses the host's ~2-min load-triggered
+    # throttle onset MID-WRITE — best-of-5 committed 145.8 s vs the 54-73 s
+    # isolated A/B band.  The throttle is load-triggered, so an idle gap
+    # between build and write resets the onset clock and the write runs on
+    # a fresh window (the cached lineage survives the sleep in-JVM).  The
+    # idle is subtracted from ingest_total (= the phases' own cost only)
+    # and never appears in any phase number.
+    idle_s = float(os.environ.get("KUPO_INGEST_WRITE_IDLE_S", "0") or 0)
+    if idle_s > 0:
+        print(
+            f"[ingest] idling {idle_s:.0f}s before the write leg "
+            "(throttle-onset reset; subtracted from ingest_total)",
+            file=sys.stderr,
+        )
+        time.sleep(idle_s)
     phases: dict[str, float] = {}
     write_index(idx, index_dir, timings=phases)
-    q["ingest_total"] = time.time() - t0
+    q["ingest_total"] = time.time() - t0 - idle_s
     q["ingest_phase_write_inputs"] = phases.get("write_inputs", 0.0)
     q["ingest_phase_write_side"] = phases.get("write_side_tables", 0.0)
     # the written index stays on disk: the full run reads it for the later
@@ -578,31 +614,35 @@ def _merge(
     and NOT merged — re-run the point once the host recovers.
 
     The post-run probe measures the HOST, not the dying JVM: the Spark
-    session is stopped, the kernel given a settle, and the probe repeated
-    until it stabilizes (up to ~2 min) — probing beside a live 48g heap
-    read memcopy 7.7 s, and 10 s after stop() still 1.27 s, on a host that
-    measured 0.85 s a half-minute later; that is JVM shutdown residue
-    (page reclaim), not the cross-run host drift the gate exists to
-    catch.  The full probe series is recorded beside the section, so a
-    reader can see whether the last reading was first-shot or settled;
-    the GATE uses the settled reading.  (The during-run story is covered
-    separately: the pre-run gate + the in-run cache-recount honesty
-    barrier.)"""
+    session is stopped and the kernel given a settle (probing beside a
+    live 48g heap read memcopy 7.7 s — JVM shutdown residue, page
+    reclaim).  The GATE uses the FIRST post-settle probe (VERDICT r8 #1):
+    the r8 sf1 section was committed because the gate used the *settled*
+    reading — its own settle series started at memcopy 2.12 s, unmistakable
+    evidence of mid-run throttle, and the settled 0.795 s let it through.
+    A run whose first post-probe is out of band is quarantined; the
+    recovery series is still recorded in the rejected artifact as the
+    evidence trail.  A falsely-rejected good run (residue that outlasts
+    the settle window) just costs one cheap re-attempt — the compose-min
+    protocol wants multiple attempts anyway."""
     try:
         from pyspark.sql import SparkSession
 
         live = SparkSession.getActiveSession()
         if live is not None:
             live.stop()
-            time.sleep(10.0)
+            time.sleep(20.0)  # settle: page-reclaim residue of the dead JVM
     except Exception:  # noqa: BLE001 — probing must never be blocked
         pass
     series = [host_calibration()]
+    post_calib = series[0]  # the gate reads the FIRST probe, nothing later
+    out_of_band = post_calib["calib_memcopy_2gb_s"] > GOOD_MEMCOPY_S
     while series[-1]["calib_memcopy_2gb_s"] > GOOD_MEMCOPY_S and len(series) < 5:
+        # out-of-band: keep probing for the REJECTED artifact's evidence
+        # trail (shows whether the host recovered = mid-run throttle, or
+        # stayed bad = ambient degradation), never to pass the gate
         time.sleep(30.0)
         series.append(host_calibration())
-    post_calib = series[-1]
-    out_of_band = post_calib["calib_memcopy_2gb_s"] > GOOD_MEMCOPY_S
     if out_of_band and os.environ.get("KUPO_SCALING_FORCE") != "1":
         suffix = f"-{chunk}" if chunk else ""
         reject = REPO / ".bench" / f"scaling-rejected-sf{sf}{suffix}.json"
@@ -617,7 +657,7 @@ def _merge(
                     "host_calibration_pre": pre_calib,
                     "host_calibration": post_calib,
                     "host_calibration_post_series": series,
-                    "rejected": "post-run calibration out of band (settled)",
+                    "rejected": "FIRST post-run calibration probe out of band",
                 },
                 indent=1,
                 sort_keys=True,
