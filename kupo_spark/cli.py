@@ -667,6 +667,7 @@ def cmd_run(args, serve_forever: bool = True):
 
     from kupo_spark.operators.http_server import KupoHttpServer
 
+    front_workers = getattr(args, "front_workers", 0) or 0
     server = KupoHttpServer(
         spark,
         index,
@@ -677,11 +678,23 @@ def cmd_run(args, serve_forever: bool = True):
         patterns=() if args.read_only else patterns,
         store_path=store_path,
         host=args.host,
-        port=args.port,
+        # with a front, the FRONT owns the public port and the primary
+        # takes an ephemeral one behind it (kupo's Warp multicore accept
+        # loop is always the listener, Http.hs:207-263)
+        port=0 if front_workers else args.port,
         read_only=args.read_only,
         streaming=indexer if args.follow else None,
         rendered_addresses=args.rendered_addresses,
     ).start()
+    if front_workers:
+        front = server.attach_front(
+            workers=front_workers, host=args.host, port=args.port
+        )
+        print(
+            f"kupo-spark front: {front_workers} SO_REUSEPORT workers on "
+            f"{front.url} (primary {server.url})",
+            file=sys.stderr,
+        )
     stop = threading.Event()
     server._stop_gc = stop  # KupoHttpServer.close() sets it (gardener dies with the server)
     if ws_stop is not None:
@@ -853,6 +866,14 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--host", default="127.0.0.1", metavar="IPv4")
     p.add_argument("--port", type=int, default=1442, metavar="TCP/PORT")
+    p.add_argument(
+        "--front-workers", type=int, default=0, metavar="N",
+        help="N SO_REUSEPORT worker processes as the public listener: hot "
+        "point lookups are served from pre-rendered bodies on N GILs "
+        "(kupo's Warp multicore accept loop analog), everything else "
+        "proxies to the Spark-owning primary; refreshed on every index "
+        "swap. 0 (default) serves directly from the primary.",
+    )
 
 
 def main(argv: list[str] | None = None, serve_forever: bool = True):

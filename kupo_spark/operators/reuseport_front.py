@@ -62,12 +62,15 @@ class ReusePortFront:
         primary_url: str,
         routes: dict[str, tuple[str, bytes, list[tuple[str, str]]]],
         workers: int = 8,
+        host: str = "127.0.0.1",
+        port: int = 0,
     ):
         self.primary = urlparse(primary_url)
         self.routes = routes
         self.workers = workers
+        self.host = host
         self._pids: list[int] = []
-        self.port: int | None = None
+        self.port: int | None = port or None
         self.url: str | None = None
 
     def start(self) -> "ReusePortFront":
@@ -75,12 +78,14 @@ class ReusePortFront:
         # until every worker has bound its own socket (their binds succeed
         # alongside ours), then close — after that instant the kernel only
         # hashes new connections to the workers' queues, so anything
-        # connected post-start lands on a worker
+        # connected post-start lands on a worker.  An explicit ``port``
+        # (CLI deployment: the front IS the public listener) binds that
+        # port instead of an ephemeral one.
         placeholder = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         placeholder.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
-        placeholder.bind(("127.0.0.1", 0))
+        placeholder.bind((self.host, self.port or 0))
         self.port = placeholder.getsockname()[1]
-        self.url = f"http://127.0.0.1:{self.port}"
+        self.url = f"http://{self.host}:{self.port}"
         self._pids = self._spawn(self.routes)
         placeholder.close()
         return self
@@ -194,21 +199,60 @@ class ReusePortFront:
 
             def do_GET(self):
                 hit = routes.get(self.path)
-                if hit is not None:
+                # rendered bodies are minted under the default Accept — a
+                # client negotiating asset-quantity=string must reach the
+                # primary, which re-renders under ITS Accept handling
+                if hit is not None and "asset-quantity=string" not in (
+                    self.headers.get("Accept") or ""
+                ):
                     ct, body, extra = hit
-                    self.send_response(200)
+                    etag = next(
+                        (v for k, v in extra if k.lower() == "etag"), None
+                    )
+                    inm = self.headers.get("If-None-Match")
+                    # cacheOr (Http.hs:461-471) at the front: a matching
+                    # If-None-Match answers 304 with the same cache headers
+                    not_modified = inm is not None and etag is not None and (
+                        inm == etag or inm.strip('"') == etag
+                    )
+                    self.send_response(304 if not_modified else 200)
                     self.send_header("Content-Type", ct)
-                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header(
+                        "Content-Length", "0" if not_modified else str(len(body))
+                    )
                     self.send_header("Access-Control-Allow-Origin", "*")
                     self.send_header("X-Worker-Pid", str(os.getpid()))
                     for k, v in extra:
                         self.send_header(k, v)
                     self.end_headers()
-                    self.wfile.write(body)
+                    if not not_modified:
+                        self.wfile.write(body)
                     return
                 self._proxy("GET")
 
+            # the CLI front is the PUBLIC listener: every non-point route
+            # and every mutation proxies to the primary (which owns Spark
+            # and the write path), request bodies included
+            def do_PUT(self):
+                self._proxy("PUT")
+
+            def do_POST(self):
+                self._proxy("POST")
+
+            def do_DELETE(self):
+                self._proxy("DELETE")
+
+            def do_OPTIONS(self):
+                self._proxy("OPTIONS")
+
             def _proxy(self, method: str) -> None:
+                clen = int(self.headers.get("Content-Length") or 0)
+                payload = self.rfile.read(clen) if clen else None
+                fwd_headers = {
+                    k: v
+                    for k, v in self.headers.items()
+                    if k.lower() not in ("connection", "keep-alive", "host")
+                }
                 conn = getattr(local, "conn", None)
                 for attempt in (0, 1):
                     if conn is None:
@@ -217,7 +261,7 @@ class ReusePortFront:
                         )
                         local.conn = conn
                     try:
-                        conn.request(method, self.path)
+                        conn.request(method, self.path, body=payload, headers=fwd_headers)
                         resp = conn.getresponse()
                         body = resp.read()
                         break
@@ -229,7 +273,7 @@ class ReusePortFront:
                             return
                 self.send_response(resp.status)
                 for k, v in resp.getheaders():
-                    if k.lower() not in ("transfer-encoding", "connection"):
+                    if k.lower() not in ("transfer-encoding", "connection", "content-length"):
                         self.send_header(k, v)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
