@@ -379,21 +379,39 @@ def reference_checkpoint_distances(k: int) -> list[int]:
     return dense + halvings
 
 
-def list_checkpoints_sql(k: int) -> str:
+def _list_checkpoints_body(k: int, tag: str, where: str | None = None) -> str:
+    """One O3 sample body over an optionally-filtered checkpoint set,
+    tagged with ``arm``.  ``where`` is the gappy-arm filter — applied
+    identically by the Spark side (a filtered Index.checkpoints)."""
     dlist = ", ".join(str(d) for d in reference_checkpoint_distances(k))
-    return PRELUDE + f"""
-, tip AS (SELECT max(slot_no) AS tip FROM checkpoints),
-sampled AS (
+    src = f"(SELECT * FROM checkpoints WHERE {where})" if where else "checkpoints"
+    return f"""
+SELECT '{tag}' AS arm, c.slot_no, c.header_hash
+FROM {src} c JOIN (
   SELECT DISTINCT (
     -- oldest checkpoint within distance d of the tip (SQLite.hs:1006-1010:
     -- slot_no >= tip - ? ORDER BY slot_no ASC LIMIT 1)
-    SELECT min(slot_no) FROM checkpoints, tip WHERE slot_no >= tip.tip - t.d
+    SELECT min(slot_no) FROM {src} x,
+         (SELECT max(slot_no) AS tip FROM {src}) tip
+    WHERE x.slot_no >= tip.tip - t.d
   ) AS slot_no
   FROM (SELECT UNNEST([{dlist}]) AS d) t
-)
-SELECT c.slot_no, c.header_hash
-FROM checkpoints c JOIN sampled s ON s.slot_no = c.slot_no
+) s ON s.slot_no = c.slot_no
 """
+
+
+def list_checkpoints_sql(k: int, gappy_where: str | None = None) -> str:
+    """O3 listCheckpointsDesc oracle.  With ``gappy_where`` (round-9
+    rotated arm) a second tagged arm runs the SAME sample over a filtered
+    — gappy — checkpoint set, where several sampled distances resolve to
+    one oldest checkpoint and the distinct-on-slot dedup actually fires."""
+    body = _list_checkpoints_body(k, "dense")
+    if gappy_where is None:
+        return PRELUDE + body
+    return (
+        PRELUDE + body + " UNION ALL "
+        + _list_checkpoints_body(k, "gappy", gappy_where)
+    )
 
 
 def ancestors_sql(slot_no: int, n: int = 1) -> str:

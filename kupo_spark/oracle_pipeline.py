@@ -512,7 +512,8 @@ _D2 = "list_dot_product(q, q) - 2 * list_dot_product(q, cv) + list_dot_product(c
 
 
 def _kmeans_ctes(
-    n_centroids: int, iters: int, dim: int = DIM, seed_sql: str | None = None
+    n_centroids: int, iters: int, dim: int = DIM, seed_sql: str | None = None,
+    qv_sql: str | None = None,
 ) -> tuple[list[str], str]:
     """CTE chain re-deriving the Spark k-means centroids exactly: `iters`
     Lloyd rounds, each = argmin assignment (L2² on exact ints) + per-dimension
@@ -520,12 +521,17 @@ def _kmeans_ctes(
     numerator is divisible).  Returns (ctes, name-of-final-centroid-cte);
     the first CTE defines `qv` (quantized embeddings).  ``seed_sql``
     overrides the seed-centroid SELECT (default: first-n vec_ids — the
-    transient contract; ``VectorIndex.rebalance`` seeds by strided rank)."""
+    transient contract; ``VectorIndex.rebalance`` seeds by strided rank).
+    ``qv_sql`` overrides the corpus SELECT itself (the orphan-heal arm
+    trains over pinned-snapshot ∪ recovered-orphan rows)."""
     seed = seed_sql or (
         f"SELECT vec_id AS centroid_id, q AS cv FROM qv WHERE vec_id < {n_centroids}"
     )
+    qv = qv_sql or (
+        f"SELECT vec_id, {QUANT} AS q FROM embeddings WHERE {_VALID_EMB}"
+    )
     ctes = [
-        f"qv AS (SELECT vec_id, {QUANT} AS q FROM embeddings WHERE {_VALID_EMB})",
+        f"qv AS ({qv})",
         f"cent0 AS ({seed})",
     ]
     prev = "cent0"
@@ -583,6 +589,7 @@ def ivf_topk_sql(
     n_queries: int = 10, k: int = 5, n_centroids: int = 16, kmeans_iters: int = 0,
     nprobe: int = 1, sq8: bool = False, dim: int = DIM,
     corpus_where: str = "", seed_sql: str | None = None,
+    qv_sql: str | None = None,
 ) -> str:
     """Cell-restricted exact top-k: the IVF assignment CTE (oracle-checked
     by ivf_assign_sql) spliced into the brute-force ranking; with
@@ -598,8 +605,11 @@ def ivf_topk_sql(
 
     ``corpus_where`` filters the NEIGHBOR side only (``VectorIndex.delete``:
     cells/centroids trained before the delete, removed rows absent as
-    candidates); ``seed_sql`` overrides the Lloyd seeds (``rebalance``)."""
-    ctes, cent = _kmeans_ctes(n_centroids, kmeans_iters, seed_sql=seed_sql)
+    candidates); ``seed_sql`` overrides the Lloyd seeds (``rebalance``);
+    ``qv_sql`` overrides the corpus itself (orphan-heal union)."""
+    ctes, cent = _kmeans_ctes(
+        n_centroids, kmeans_iters, seed_sql=seed_sql, qv_sql=qv_sql
+    )
     chain = ",\n".join(ctes)
     cw = f" WHERE {corpus_where}" if corpus_where else ""
     corpus = (
@@ -788,6 +798,9 @@ def ivf_topk_and_pq_sql(
     n_centroids: int = 16,
     kmeans_iters: int = 2,
     pq_iters: int = 2,
+    heal_shift: int = 1_000_000,
+    heal_mod: int = 11,
+    heal_res: int = 3,
 ) -> str:
     """Tagged union: the IVF cell-restricted top-k plus the PQ/ADC top-k —
     the two 100 TB ANN tiers (coarse partition, compressed scoring) under
@@ -812,7 +825,18 @@ def ivf_topk_and_pq_sql(
     publish and queries through the pinned reader; correct pinning means
     the result IS the undisturbed probe2 derivation, which is what this
     oracle re-derives (a pin that failed would rank against scrambled
-    cells and flip the hash)."""
+    cells and flip the hash).
+
+    Round-9 rotated arm (VERDICT r8 #5): 'stored_healed' is the orphan-
+    heal lifecycle — a foreign OVERWRITE with no meta publish (pin),
+    then a legacy crash-window APPEND beyond the pin (vec_ids shifted by
+    ``heal_shift``, the ``vec_id % heal_mod = heal_res`` subset), then a
+    strided rebalance, which must rebuild from pinned-snapshot ∪ orphan
+    rows (``_orphan_appends``) and DISCARD the foreign overwrite's
+    scrambled assignment.  The oracle re-derives the strided-seed Lloyd
+    retrain + nprobe=2 ranking over exactly that union corpus: a heal
+    that dropped the orphans (they vanish as neighbors) or kept the
+    foreign content (scrambled cells) flips the hash."""
     ivf = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters)
     probe2 = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters, nprobe=2)
     deleted = ivf_topk_sql(
@@ -840,6 +864,15 @@ def ivf_topk_and_pq_sql(
         n_queries, k, n_centroids, kmeans_iters, seed_sql=rebal_seed,
         corpus_where="vec_id % 5 != 0",
     )
+    heal_qv = f"""
+  SELECT vec_id, {QUANT} AS q FROM embeddings WHERE {_VALID_EMB}
+  UNION ALL
+  SELECT vec_id + {heal_shift}, {QUANT} FROM embeddings
+  WHERE ({_VALID_EMB}) AND vec_id % {heal_mod} = {heal_res}"""
+    healed = ivf_topk_sql(
+        n_queries, k, n_centroids, kmeans_iters, nprobe=2,
+        seed_sql=rebal_seed, qv_sql=heal_qv,
+    )
     adc = pq_adc_topk_sql(n_queries, k, iters=pq_iters)
     refined = pq_refined_topk_sql(n_queries, k, iters=pq_iters)
     sq8 = ivf_topk_sql(n_queries, k, n_centroids, kmeans_iters, sq8=True)
@@ -857,6 +890,8 @@ UNION ALL
 SELECT 'stored_reb_deleted' AS q, * FROM ({reb_deleted})
 UNION ALL
 SELECT 'stored_pinned' AS q, * FROM ({probe2})
+UNION ALL
+SELECT 'stored_healed' AS q, * FROM ({healed})
 UNION ALL
 SELECT 'stored_pq' AS q, * FROM ({adc})
 UNION ALL

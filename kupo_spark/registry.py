@@ -110,6 +110,36 @@ M5_SLOT = 400
 M5_OLD = f"{PAY_CRED}/*"
 M5_NEW = f"*/{DELEG_CRED}"
 
+#: orphan-heal arm constants (round-9 rotated arm): the legacy crash-window
+#: APPEND carries the vec_id % HEAL_MOD = HEAL_RES subset shifted by
+#: HEAL_SHIFT (disjoint new ids) — shared by the Spark arm and its oracle
+HEAL_SHIFT = 1_000_000
+HEAL_MOD = 11
+HEAL_RES = 3
+
+#: gappy-arm checkpoint filter (round-9 rotated arm): an irregular ~4%
+#: subset of slots, so the O3 log-spaced sample runs over large gaps and
+#: several sampled distances resolve to the SAME oldest checkpoint —
+#: exercising the distinct-on-slot dedup the dense fixture never fires.
+#: One SQL expression, applied verbatim by both engines.
+GAPPY_WHERE = "slot_no % 89 < 2 OR slot_no % 53 = 0"
+
+
+def _q_list_checkpoints_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 listCheckpointsDesc, dense (the fixture's slot distribution) and
+    gappy (round-9 rotated arm, VERDICT r8 #5: the same sample over the
+    GAPPY_WHERE-filtered checkpoint set) — the gappy tip is the filtered
+    set's own max, so both engines derive it identically."""
+    import dataclasses
+
+    idx = get_index(spark, sf_dir)
+    dense = cp.list_checkpoints(idx).select(F.lit("dense").alias("arm"), "*")
+    gappy_idx = dataclasses.replace(
+        idx, checkpoints=idx.checkpoints.where(GAPPY_WHERE)
+    )
+    gappy = cp.list_checkpoints(gappy_idx).select(F.lit("gappy").alias("arm"), "*")
+    return dense.unionByName(gappy)
+
 
 def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 rollbackTo PLUS the round-8 rotated M5 arm (VERDICT r7 #6): the
@@ -538,7 +568,10 @@ PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # the ADC table arithmetic in the oracle end to end.
     "q_embedding_ivf_topk": (
         lambda s, d: _ivf_and_pq_topk(s, d),
-        oracle_pipeline.ivf_topk_and_pq_sql(10, 5, kmeans_iters=2, pq_iters=2),
+        oracle_pipeline.ivf_topk_and_pq_sql(
+            10, 5, kmeans_iters=2, pq_iters=2,
+            heal_shift=HEAL_SHIFT, heal_mod=HEAL_MOD, heal_res=HEAL_RES,
+        ),
     ),
 }
 
@@ -628,6 +661,37 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("stored_reb_deleted").alias("q"),
         "query_id", "neighbor_id", "cosine", "rank",
     )
+    # round-9 rotated arm (VERDICT r8 #5): the orphan-heal lifecycle,
+    # driver-gated end to end — foreign OVERWRITE with no meta publish
+    # (pin), then a LEGACY crash-window APPEND beyond the pin (written
+    # through the raw table, the way an add() that predates the
+    # pinned-refuse guard landed rows), then rebalance(seed_mode=
+    # "strided"), which must rebuild from pinned-snapshot ∪ orphans
+    # (_orphan_appends, ann_index.py:417) and discard the foreign
+    # overwrite's scrambled assignment.  The oracle re-derives the
+    # strided Lloyd retrain + nprobe=2 ranking over exactly that union:
+    # dropped orphans or surviving foreign content flips the hash.
+    flat_heal = VectorIndex.build(
+        f"{scratch}/flat_heal", emb, pq=False, n_centroids=16, kmeans_iters=2
+    )
+    foreign_heal = flat_heal.table.read(spark).withColumn(
+        "centroid_id", (F.col("vec_id") % 16).cast("long")
+    )
+    flat_heal.table.overwrite(foreign_heal)  # crash: no _write_meta follows
+    orphan_emb = emb.where(f"vec_id % {HEAL_MOD} = {HEAL_RES}").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(HEAL_SHIFT)
+    )
+    from kupo_spark.functions.ann_index import _encode_rows
+
+    flat_heal.table.append(_encode_rows(orphan_emb, flat_heal.meta))
+    reopened_heal = VectorIndex(f"{scratch}/flat_heal")
+    assert reopened_heal._pinned_version() is not None
+    reopened_heal.rebalance(spark, kmeans_iters=2, seed_mode="strided")
+    assert reopened_heal._pinned_version() is None  # heal published meta
+    stored_healed = reopened_heal.topk(emb, n_queries=10, k=5, nprobe=2).select(
+        F.lit("stored_healed").alias("q"),
+        "query_id", "neighbor_id", "cosine", "rank",
+    )
     # round-8 rotated arm (VERDICT r7 #6): the _pinned_version crash
     # window — a rebalance/refresh OVERWRITE lands (here: a scrambled
     # reassignment written straight to the table) but the process dies
@@ -675,6 +739,7 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stored_rebalanced)
         .unionByName(stored_reb_deleted)
         .unionByName(stored_pinned)
+        .unionByName(stored_healed)
         .unionByName(stored_pq)
         .unionByName(refined)
         .unionByName(stored_sq8)
@@ -721,6 +786,66 @@ BOUNDED_ARM_CAP = 7
 #: created_after bound for the oldest_first paged arm (mid-fixture, so the
 #: filter actually drops a prefix and the first page starts mid-result)
 OPAGED_AFTER = 150
+
+
+def _q_fold_resolve_hashes_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4 dictionary joins (the plain ``full`` arm) PLUS the round-9
+    rotated arm (VERDICT r8 #5): ``hpaged{N}`` — the keyset page walk
+    COMPOSED with ``resolve_hashes`` and the unspent status filter, i.e.
+    the J3/J4 dict joins × cursor arithmetic × P15 interaction.  Page
+    membership is certified the same way as the residual row's paged arms:
+    every row carries its page number, so a cursor boundary that drops or
+    double-delivers a row under the composed plan flips the hash."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from kupo_spark.operators.serving import Serving
+
+    idx = get_index(spark, sf_dir)
+    pat = f"{PAY_CRED}/*"
+    full = fold_inputs(idx, pat, resolve_hashes=True).withColumn(
+        "q", F.lit("full")
+    )
+    serving = Serving(idx)
+    try:
+        plan = serving.fold(pat, resolve_hashes=True, status="unspent")
+        schema = StructType(
+            list(plan.schema.fields) + [StructField("q", StringType(), False)]
+        )
+        tagged = []
+        for pno, page in enumerate(
+            serving.fold_pages(
+                pat,
+                page_size=PAGE_ARM_SIZE,
+                resolve_hashes=True,
+                status="unspent",
+            )
+        ):
+            tagged.extend(tuple(r) + (f"hpaged{pno}",) for r in page)
+    finally:
+        serving.close()
+    return full.unionByName(spark.createDataFrame(tagged, schema))
+
+
+def _fold_resolve_hashes_plus_sql() -> str:
+    """Oracle for :func:`_q_fold_resolve_hashes_plus`: the resolved fold
+    body verbatim (``full``), and the chain-order page-membership window
+    over the resolved + unspent body (``hpaged{N}``)."""
+    pat = f"{PAY_CRED}/*"
+    body_full = oracle.fold_inputs_sql(pat, resolve_hashes=True, with_prelude=False)
+    body_h = oracle.fold_inputs_sql(
+        pat, resolve_hashes=True, status="unspent", with_prelude=False
+    )
+    order = "created_at DESC, transaction_index DESC, output_index DESC"
+    hpaged = (
+        f"SELECT th.*, 'hpaged' || CAST((row_number() OVER (ORDER BY {order})"
+        f" - 1) // {PAGE_ARM_SIZE} AS VARCHAR) AS q FROM ({body_h}) th"
+    )
+    return (
+        oracle.PRELUDE
+        + f"SELECT tf.*, 'full' AS q FROM ({body_full}) tf"
+        + " UNION ALL "
+        + hpaged
+    )
 
 
 def _q_fold_residual_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,6 +954,7 @@ def queries() -> dict[str, QueryFn]:
             return _merged_fold(spark, sf_dir, _arms)
         out[f"q_{name}"] = mfn
     out["q_fold_residual"] = _q_fold_residual_plus
+    out["q_fold_resolve_hashes"] = _q_fold_resolve_hashes_plus
 
     # A1 (wildcard + payment-credential) and A2 (countPolicies) in one row
     out["q_count_inputs"] = lambda s, d: (
@@ -846,7 +972,7 @@ def queries() -> dict[str, QueryFn]:
     # C7 resultToJson byte-exact in all three encoder modes, one row
     out["q_result_json"] = _q_result_json
     out["q_max_checkpoint"] = lambda s, d: cp.max_checkpoint(get_index(s, d))
-    out["q_list_checkpoints"] = lambda s, d: cp.list_checkpoints(get_index(s, d))
+    out["q_list_checkpoints"] = _q_list_checkpoints_plus
     out["q_ancestors"] = lambda s, d: cp.ancestors(get_index(s, d), 500, 3)
     # O4 both dictionary lookups (datum + script), one row
     out["q_binary_lookup"] = lambda s, d: (
@@ -911,13 +1037,16 @@ def oracle_sql() -> dict[str, str]:
     for name, arms in MERGED_FOLD_SPECS.items():
         out[f"q_{name}"] = oracle.merged_fold_sql(arms)
     out["q_fold_residual"] = _fold_residual_plus_sql()
+    out["q_fold_resolve_hashes"] = _fold_resolve_hashes_plus_sql()
     out["q_count_inputs"] = oracle.count_inputs_multi_sql(
         [("all", "*"), ("payment", f"{PAY_CRED}/*")],
         policies_arm=("policies", f"{PAY_CRED}/*"),
     )
     out["q_result_json"] = oracle.result_json_sql(RESULT_JSON_ARMS)
     out["q_max_checkpoint"] = oracle.max_checkpoint_sql()
-    out["q_list_checkpoints"] = oracle.list_checkpoints_sql(cs.LONGEST_ROLLBACK)
+    out["q_list_checkpoints"] = oracle.list_checkpoints_sql(
+        cs.LONGEST_ROLLBACK, gappy_where=GAPPY_WHERE
+    )
     out["q_ancestors"] = oracle.ancestors_sql(500, 3)
     out["q_binary_lookup"] = oracle.PRELUDE + (
         "SELECT 'datum' AS kind, binary_data_hash AS hash, binary_data AS payload "
