@@ -183,7 +183,47 @@ def compose_min(sf: str) -> None:
                 return False
         return True
 
-    attempts = [a for a in all_attempts if _in_band(a)]
+    # in-RUN gate for the INGEST PHASES (r9): pre/post brackets cannot see
+    # a mid-run throttle that recovers before the post probe, but the two
+    # cached-recount barriers (timed INSIDE the run, bracketing the write
+    # leg) can — each re-counts an in-memory cache, so a reading far above
+    # the known clean value proves the memory subsystem was degraded at
+    # that instant.  An attempt contributes its ingest_* numbers only when
+    # BOTH barriers are clean (pre-write certifies the build, post-write
+    # certifies the write — r8's 07:00 attempt read recount 3.5 s clean
+    # then wrote in 351 s because the throttle started mid-write); its
+    # other query families are kept either way, with the strip disclosed.
+    # Bands are ~2x the clean per-sf readings (0.5 / 2.3 / 3.5 s).
+    recount_band = {"0.1": 1.5, "1": 5.0, "10": 7.0}.get(sf, 7.0)
+
+    def _ingest_certified(a):
+        qd = a.get("queries") or {}
+        if not any(k.startswith("ingest") for k in qd):
+            return True  # nothing to certify
+        pre = qd.get("ingest_phase_cache_recount")
+        post = qd.get("ingest_phase_cache_recount_post_write")
+        return (
+            pre is not None and pre <= recount_band
+            and post is not None and post <= recount_band
+        )
+
+    attempts = []
+    ingest_stripped = 0
+    for a in all_attempts:
+        if not _in_band(a):
+            continue
+        if not _ingest_certified(a):
+            a = dict(a)
+            a["queries"] = {
+                k: v
+                for k, v in (a.get("queries") or {}).items()
+                if not k.startswith("ingest")
+            }
+            a["ingest_stripped"] = True
+            ingest_stripped += 1
+            if not a["queries"]:
+                continue
+        attempts.append(a)
     dropped = len(all_attempts) - len(attempts)
     if not attempts:
         raise SystemExit(
@@ -217,6 +257,8 @@ def compose_min(sf: str) -> None:
             ),
             "n_attempts": len(attempts),
             "n_attempts_dropped_out_of_band": dropped,
+            "n_attempts_ingest_stripped": ingest_stripped,
+            "ingest_recount_band_s": recount_band,
             "note": (
                 "per-query mins may come from DIFFERENT attempts, so "
                 "composed totals (e.g. ingest_total) need not equal the "
@@ -229,6 +271,11 @@ def compose_min(sf: str) -> None:
                     "chunk": a.get("chunk"),
                     "pre": a.get("host_calibration_pre"),
                     "post": a.get("host_calibration_post"),
+                    **(
+                        {"ingest_stripped": True}
+                        if a.get("ingest_stripped")
+                        else {}
+                    ),
                 }
                 for a in attempts
             ],
@@ -297,7 +344,7 @@ def main() -> None:
         return
     elif only == "serving":
         index = _ensure_index(spark, src, sf)
-        _serving_queries(spark, index, cs, q)
+        _serving_queries(spark, index, cs, q, sf)
         _merge(sf, q, rows, update=True, pre_calib=pre_calib, chunk="serving")
         return
     elif only == "ingest":
@@ -325,7 +372,7 @@ def main() -> None:
     index = read_index(spark, index_dir)
     index.checkpoints.persist().count()
     _shape_queries(index, cs, q, rows)
-    _serving_queries(spark, index, cs, q)
+    _serving_queries(spark, index, cs, q, sf)
     docs = spark.read.parquet(f"{src}/documents.parquet")
     embs = spark.read.parquet(f"{src}/embeddings.parquet")
     rows["documents"] = docs.count()
@@ -379,6 +426,15 @@ def _ingest_queries(spark, src: str, sf: str, q: dict, rows: dict) -> None:
     q["ingest_total"] = time.time() - t0 - idle_s
     q["ingest_phase_write_inputs"] = phases.get("write_inputs", 0.0)
     q["ingest_phase_write_side"] = phases.get("write_side_tables", 0.0)
+    # SECOND honesty barrier, AFTER the write leg (r9): the pre-write
+    # recount runs before the write, so it cannot certify the write
+    # number against a throttle that starts mid-write (r8's 07:00 attempt:
+    # recount 3.5 s clean, write 351 s throttled).  A clean recount HERE
+    # proves the memory subsystem was healthy as the write ended; compose
+    # only admits an attempt's ingest phases when BOTH barriers are clean.
+    tb2 = time.time()
+    idx.inputs.count()
+    q["ingest_phase_cache_recount_post_write"] = time.time() - tb2
     # the written index stays on disk: the full run reads it for the later
     # families (and deletes it at the end); a chunked run leaves it for
     # the shapes/serving chunks.  The cached build lineage is dropped so
@@ -474,7 +530,7 @@ def _pipeline_queries(docs, embs, q: dict, heavy_runs: int) -> None:
     sat.unpersist()
 
 
-def _serving_queries(spark, index, cs, q: dict) -> None:
+def _serving_queries(spark, index, cs, q: dict, sf: str = "0.1") -> None:
     """Warm-serving family at this scale: the steady-state latencies a
     long-lived session delivers, PLUS the bounded-memory wide path —
     VERDICT r5 #3: the warm policy fold collected 1.43M rows to the driver
@@ -492,7 +548,24 @@ def _serving_queries(spark, index, cs, q: dict) -> None:
     serving = Serving(index, partitions=8).warm()
     miss_df = serving.fold(f"*@{txid}", point=True)
 
-    def warm(fn, runs=7):
+    # rep budget: at sf10 the serving family's 7-rep protocol is ~5 min of
+    # sustained load — it crosses the host's ~2-4 min load-triggered
+    # throttle onset BY ITSELF, so no attempt can land in-band.  3 reps
+    # (median-of-3) keeps the chunk inside the pre-throttle window; the
+    # compose-min across attempts recovers the good-host estimate.
+    default_reps = 3 if float(sf) >= 10 else 7
+
+    # same structure as the ingest build->write fix: warm() above is
+    # minutes of UNTIMED materialization load at sf10, which triggers the
+    # host's load-based throttle right before the timed queries run.  An
+    # idle here resets the onset clock; the cached views survive it.
+    warm_idle = float(os.environ.get("KUPO_SERVING_WARM_IDLE_S", "0") or 0)
+    if warm_idle > 0:
+        print(f"[serving] idling {warm_idle:.0f}s after warm()", file=sys.stderr)
+        time.sleep(warm_idle)
+
+    def warm(fn, runs=None):
+        runs = default_reps if runs is None else runs
         fn()
         ts = []
         for _ in range(runs):
@@ -523,7 +596,7 @@ def _serving_queries(spark, index, cs, q: dict) -> None:
             n += 1
         return n
 
-    q["q_policy_warm_stream"] = warm(consume_stream, runs=3)
+    q["q_policy_warm_stream"] = warm(consume_stream, runs=min(3, default_reps))
     serving.close()
 
     # the first-page path THROUGH THE SERVER (VERDICT r6 #4): the keyset
@@ -535,6 +608,8 @@ def _serving_queries(spark, index, cs, q: dict) -> None:
 
     with KupoHttpServer(spark, index) as srv:
         srv.serving.warm()
+        if warm_idle > 0:  # second warm burst (the server's own Serving)
+            time.sleep(warm_idle)
         url = f"{srv.url}/matches/{policy}.*?page_size=100"
 
         def first_page_http():
@@ -542,7 +617,7 @@ def _serving_queries(spark, index, cs, q: dict) -> None:
                 assert r.status == 200
                 r.read()
 
-        q["q_policy_first_page_http"] = warm(first_page_http, runs=5)
+        q["q_policy_first_page_http"] = warm(first_page_http, runs=min(5, default_reps))
 
 
 def _ann_queries(spark, embs, sf: str, q: dict, heavy_runs: int) -> None:
@@ -626,11 +701,31 @@ def _merge(
     the settle window) just costs one cheap re-attempt — the compose-min
     protocol wants multiple attempts anyway."""
     try:
+        from pyspark import SparkContext
         from pyspark.sql import SparkSession
 
         live = SparkSession.getActiveSession()
         if live is not None:
+            gw = SparkContext._gateway
             live.stop()
+            # stop() ends the SparkContext but the gateway JVM (with its
+            # 48g heap still mapped) lives until THIS process exits — and
+            # probing beside that resident heap reads memcopy 5-8 s on a
+            # healthy host (the r8 serving-chunk false-reject footprint).
+            # Kill the JVM so the first post-settle probe measures the
+            # HOST, which is what the gate is for.
+            if gw is not None:
+                proc = getattr(gw, "proc", None)
+                try:
+                    gw.shutdown()
+                except Exception:  # noqa: BLE001
+                    pass
+                if proc is not None:
+                    try:
+                        proc.terminate()
+                        proc.wait(timeout=30)
+                    except Exception:  # noqa: BLE001
+                        pass
             time.sleep(20.0)  # settle: page-reclaim residue of the dead JVM
     except Exception:  # noqa: BLE001 — probing must never be blocked
         pass
