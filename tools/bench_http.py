@@ -334,20 +334,22 @@ def run_http_bench(spark, index, warm_first: bool = True) -> dict:
                     if n >= 1:
                         m["index_swaps_during_run"] = n
                         return m
-                raise AssertionError(
-                    "no index swap completed inside any 25 s under-swaps "
-                    "window (4 tries) — the row would certify nothing"
-                )
+                # no swap completed in any window: record honestly under an
+                # *_uncertified key rather than crash the whole bench (the
+                # driver's per-round BENCH run goes through here)
+                m["index_swaps_during_run"] = 0
+                return m
 
             m = measure_under_swaps(shapes["exact_address"])
             m2 = measure_under_swaps(shapes["transaction_id"])
         finally:
             stop.set()
             t.join()
-        assert m["index_swaps_during_run"] >= 1
-        assert m2["index_swaps_during_run"] >= 1
-        out["exact_address_under_swaps"] = m
-        out["transaction_id_under_swaps"] = m2
+        for name, row in (("exact_address", m), ("transaction_id", m2)):
+            key = f"{name}_under_swaps"
+            if row["index_swaps_during_run"] < 1:
+                key += "_uncertified"  # the label must not promise swaps
+            out[key] = row
     return out
 
 
