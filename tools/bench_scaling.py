@@ -241,6 +241,29 @@ def compose_min(sf: str) -> None:
             s["max"] = max(s["max"], v)
             s["n"] += 1
             q_min[k] = s["min"]
+    # honest fallback: when NO attempt certified its ingest phases on both
+    # recount barriers, publish the bracket-gated minima as explicit
+    # *_upper_bound keys — a value known to include mid-run throttle must
+    # never wear the same name as a certified one (the r8 ratios bug), and
+    # dropping the family entirely would hide that ingest was measured at
+    # all.  Upper-bound keys intersect nothing across sf points, so the
+    # ratios block stays certified-only.
+    ingest_note = None
+    if not any(k.startswith("ingest") for k in q_min) and ingest_stripped:
+        ub: dict[str, float] = {}
+        for a in all_attempts:
+            if not _in_band(a):
+                continue
+            for k, v in (a.get("queries") or {}).items():
+                if k.startswith("ingest"):
+                    ub[k] = min(ub.get(k, v), v)
+        for k, v in ub.items():
+            q_min[f"{k}_upper_bound"] = v
+        ingest_note = (
+            "no attempt passed BOTH recount barriers; ingest values are "
+            "mins across bracket-gated attempts and are UPPER BOUNDS "
+            "(known to include mid-run throttle)"
+        )
     doc = json.loads(OUT.read_text()) if OUT.exists() else {}
     doc.setdefault("sfs", {})
     section = {
@@ -259,6 +282,7 @@ def compose_min(sf: str) -> None:
             "n_attempts_dropped_out_of_band": dropped,
             "n_attempts_ingest_stripped": ingest_stripped,
             "ingest_recount_band_s": recount_band,
+            **({"ingest_upper_bounds": ingest_note} if ingest_note else {}),
             "note": (
                 "per-query mins may come from DIFFERENT attempts, so "
                 "composed totals (e.g. ingest_total) need not equal the "
