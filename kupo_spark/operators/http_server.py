@@ -175,6 +175,7 @@ class KupoHttpServer:
         self._hot_paths: dict[str, tuple] = {}
         self._hot_paths_lock = threading.Lock()
         self._hot_gen = 0
+        self._front_last_roll = 0.0  # monotonic time of the last gen roll
         self._swap_index(index)
         self._httpd: ThreadingHTTPServer | None = None
         self._host, self._port = host, port
@@ -254,6 +255,7 @@ class KupoHttpServer:
         host: str | None = None,
         port: int = 0,
         refresh_interval: float = 10.0,
+        min_roll_interval: float = 30.0,
     ):
         """Start a :class:`ReusePortFront` as the PUBLIC listener (kupo's
         Warp multicore accept loop is always on — Http.hs:207-263; this is
@@ -279,9 +281,23 @@ class KupoHttpServer:
         stop = threading.Event()
         self._front_stop = stop
 
+        # Hot-path-growth rolls are RATE-LIMITED (min_roll_interval): a
+        # client stream with ever-varied query strings (or an adversary)
+        # bumps _hot_gen on every never-seen path, and an unthrottled
+        # refresher would roll the worker generation every refresh_interval
+        # indefinitely — each roll killing the old workers' keep-alive
+        # connections on the public listener.  Index swaps bypass this
+        # (they call _refresh_front directly from _swap_index: new-snapshot
+        # bodies are a correctness matter, churn is not).
+        import time as _time
+
         def refresher():
             while not stop.wait(refresh_interval):
-                if self._hot_gen != getattr(self, "_front_rendered_gen", -1):
+                if (
+                    self._hot_gen != getattr(self, "_front_rendered_gen", -1)
+                    and _time.monotonic() - self._front_last_roll
+                    >= min_roll_interval
+                ):
                     self._refresh_front()
 
         threading.Thread(target=refresher, daemon=True).start()
@@ -303,26 +319,42 @@ class KupoHttpServer:
         """Render every recorded hot point path on the CURRENT snapshot,
         with its cache headers — the route set a front generation serves.
         Mostly row-cache probes (the point bodies were rendered by the
-        serving path or inherit_hot)."""
+        serving path or inherit_hot).
+
+        The snapshot is PINNED for the whole render (same ``_refs``
+        protocol as ``_route``): the 10 s refresher thread calls this
+        concurrently with swaps, and an unpinned render would let a racing
+        ``_swap_index`` retire-and-drain the snapshot mid-loop — its
+        ``close()`` unpersists the cached views under our feet and the
+        per-path exception guard would silently drop hot routes from the
+        new generation."""
         with self._lock:
             serving = self.serving
-        slot, h = serving.tip()
-        extra = (
-            [("X-Most-Recent-Checkpoint", str(slot)), ("ETag", h)]
-            if slot is not None
-            else [("X-Most-Recent-Checkpoint", "0")]
-        )
-        with self._hot_paths_lock:
-            hot = list(self._hot_paths.items())
-        routes = {}
-        for path, (pattern, kw) in hot:
-            try:
-                body = serving.serve_json_body(pattern, **dict(kw))
-            except Exception:  # noqa: BLE001 — a vanished pattern is fine
-                continue
-            if body is not None:
-                routes[path] = ("application/json;charset=utf-8", body, extra)
-        return routes
+            serving._refs += 1
+        try:
+            slot, h = serving.tip()
+            extra = (
+                [("X-Most-Recent-Checkpoint", str(slot)), ("ETag", h)]
+                if slot is not None
+                else [("X-Most-Recent-Checkpoint", "0")]
+            )
+            with self._hot_paths_lock:
+                hot = list(self._hot_paths.items())
+            routes = {}
+            for path, (pattern, kw) in hot:
+                try:
+                    body = serving.serve_json_body(pattern, **dict(kw))
+                except Exception:  # noqa: BLE001 — a vanished pattern is fine
+                    continue
+                if body is not None:
+                    routes[path] = ("application/json;charset=utf-8", body, extra)
+            return routes
+        finally:
+            with self._lock:
+                serving._refs -= 1
+                close_now = serving._retired and serving._refs == 0
+            if close_now:
+                serving.close()  # last reader drains the retired snapshot
 
     def _refresh_front(self) -> None:
         with self._front_lock:
@@ -332,6 +364,9 @@ class KupoHttpServer:
             try:
                 self._front.refresh(self._render_front_routes())
                 self._front_rendered_gen = gen
+                import time as _time
+
+                self._front_last_roll = _time.monotonic()
             except RuntimeError as e:
                 # failed spawn: the old generation keeps serving (stale
                 # point bodies, still self-describing via their ETag)

@@ -64,11 +64,13 @@ class ReusePortFront:
         workers: int = 8,
         host: str = "127.0.0.1",
         port: int = 0,
+        spawn_timeout_s: float = 20.0,
     ):
         self.primary = urlparse(primary_url)
         self.routes = routes
         self.workers = workers
         self.host = host
+        self.spawn_timeout_s = spawn_timeout_s
         self._pids: list[int] = []
         self.port: int | None = port or None
         self.url: str | None = None
@@ -111,15 +113,38 @@ class ReusePortFront:
         # without writing): that is a FAILED spawn, not readiness — kill the
         # partial generation and raise so the caller never retires a healthy
         # old generation on the strength of a dead new one.
+        #
+        # The wait is DEADLINE-BOUNDED: os.fork() from a multithreaded
+        # primary (HTTP threads, py4j, the hot-route refresher) can leave a
+        # child wedged on a lock some other thread held at fork time —
+        # before it writes its byte or exits.  A blocking os.read would then
+        # hang the caller forever (and _refresh_front runs synchronously
+        # inside _swap_index, freezing follow-mode ingestion); a timed-out
+        # spawn is treated exactly like a dead one: kill the partial
+        # generation and raise, so the stale-but-served fallback applies to
+        # hangs as well as deaths.
+        import select
+
         got = 0
+        deadline = time.time() + self.spawn_timeout_s
         try:
             while got < self.workers:
-                chunk = os.read(ready_r, self.workers - got)
+                remaining = deadline - time.time()
+                readable = (
+                    select.select([ready_r], [], [], remaining)[0]
+                    if remaining > 0
+                    else []
+                )
+                chunk = os.read(ready_r, self.workers - got) if readable else b""
                 if not chunk:
                     self._kill(pids)
+                    why = "pipe EOF" if readable else (
+                        f"timeout after {self.spawn_timeout_s:.0f}s "
+                        "(worker hung post-fork)"
+                    )
                     raise RuntimeError(
                         f"front spawn failed: only {got}/{self.workers} "
-                        "workers signalled readiness before pipe EOF"
+                        f"workers signalled readiness before {why}"
                     )
                 got += len(chunk)
         finally:
@@ -211,9 +236,13 @@ class ReusePortFront:
                     )
                     inm = self.headers.get("If-None-Match")
                     # cacheOr (Http.hs:461-471) at the front: a matching
-                    # If-None-Match answers 304 with the same cache headers
-                    not_modified = inm is not None and etag is not None and (
-                        inm == etag or inm.strip('"') == etag
+                    # If-None-Match answers 304.  EXACT bytes only — the
+                    # primary's _not_modified_or and the reference compare
+                    # exact, so the front must too, or a quoted-ETag client
+                    # would get 304 here but 200 on the proxy path for the
+                    # identical request.
+                    not_modified = (
+                        inm is not None and etag is not None and inm == etag
                     )
                     self.send_response(304 if not_modified else 200)
                     self.send_header("Content-Type", ct)

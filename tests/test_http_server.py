@@ -485,3 +485,88 @@ def test_matches_page_size_clamped(server, monkeypatch):
         if cursor is None:
             break
     assert walked == full
+
+
+# -- front plumbing on the primary (no workers forked here) -----------------
+
+
+def test_render_front_routes_pins_snapshot(server):
+    """The hot-route render pins the serving snapshot with the same _refs
+    protocol as _route: the 10s refresher runs concurrently with swaps, and
+    an unpinned render lets a racing swap drain-close the snapshot mid-loop
+    (its per-path exception guard then silently drops hot routes)."""
+    # seed a hot point through the real request path
+    _get(f"{server.url}/matches/*@{'ab' * 32}")
+    snap = server.serving
+    before = snap._refs
+    inner_refs = {}
+
+    orig_tip = snap.tip
+
+    def spying_tip():
+        inner_refs["during"] = snap._refs
+        return orig_tip()
+
+    snap.tip = spying_tip
+    try:
+        routes = server._render_front_routes()
+    finally:
+        snap.tip = orig_tip
+    assert inner_refs["during"] == before + 1  # pinned while rendering
+    assert snap._refs == before  # released after
+    assert isinstance(routes, dict)
+
+
+def test_render_front_routes_last_reader_closes_retired(spark, index, blocks):
+    """If the snapshot is retired mid-render (swap raced us) and we are the
+    last reader, the render path drains it exactly like _route's finally."""
+    srv = KupoHttpServer(spark, index, blocks=blocks, patterns=("*",)).start()
+    try:
+        snap = srv.serving
+        closed = []
+        orig_close = snap.close
+        snap.close = lambda: (closed.append(True), orig_close())
+
+        orig_tip = snap.tip
+
+        def retire_mid_render():
+            snap._retired = True  # simulate the racing swap's retire
+            return orig_tip()
+
+        snap.tip = retire_mid_render
+        try:
+            srv._render_front_routes()
+        finally:
+            snap.tip = orig_tip
+        assert closed, "last reader must drain the retired snapshot"
+        snap._retired = False  # leave the fixture server usable
+    finally:
+        srv.close()
+
+
+def test_hot_gen_rolls_are_rate_limited(spark, index, blocks):
+    """Hot-path growth must not roll the worker generation more often than
+    min_roll_interval: varied query strings bump _hot_gen on every new path
+    and an unthrottled refresher would kill keep-alive connections on the
+    public listener every refresh_interval, forever."""
+    import time
+
+    srv = KupoHttpServer(spark, index, blocks=blocks, patterns=("*",)).start()
+    try:
+        rolls = []
+        srv._refresh_front = lambda: rolls.append(time.monotonic())
+        # a front must appear attached for the refresher to matter; attach a
+        # real tiny one so attach_front's plumbing runs end to end
+        srv.attach_front(workers=1, refresh_interval=0.05, min_roll_interval=3600)
+        srv._front_last_roll = time.monotonic()  # as if a roll just happened
+        for i in range(5):  # adversarial: new "hot" path every step
+            srv._record_hot_point(f"/matches/*@{'%02x' % i * 32}", None, {})
+            time.sleep(0.06)
+        assert rolls == [], "refresher rolled inside min_roll_interval"
+        srv._front_last_roll = 0.0  # interval elapsed -> one roll allowed
+        deadline = time.monotonic() + 5
+        while not rolls and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert len(rolls) >= 1
+    finally:
+        srv.close()

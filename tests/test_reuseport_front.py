@@ -219,3 +219,79 @@ def test_refresh_rolls_generation_to_new_bodies():
     finally:
         front.close()
         primary.shutdown()
+
+
+def test_spawn_timeout_reaps_hung_generation(monkeypatch):
+    """A worker that hangs post-fork WITHOUT writing its readiness byte or
+    exiting (the fork-from-multithreaded-primary wedge: a child stuck on a
+    lock another thread held at fork time) must not block _spawn forever —
+    the bounded readiness wait times out, the partial generation is
+    SIGKILLed, and the error propagates so refresh()'s stale-but-served
+    fallback applies to hangs exactly like deaths."""
+    import time
+
+    import pytest
+
+    primary, purl = _start_primary()
+    front = ReusePortFront(
+        purl, {"/hot": ("text/plain", b"v1", [])}, workers=2,
+        spawn_timeout_s=1.5,
+    ).start()
+    try:
+        old_pids = set(front._pids)
+
+        def hung_worker(ready_w, routes):  # never writes, never exits
+            time.sleep(3600)
+
+        monkeypatch.setattr(front, "_worker", hung_worker)
+        t0 = time.monotonic()
+        with pytest.raises(RuntimeError, match="timeout"):
+            front.refresh({"/hot": ("text/plain", b"v2", [])})
+        assert time.monotonic() - t0 < 30  # bounded, not a forever-block
+        # old generation intact and serving; hung children were reaped
+        assert set(front._pids) == old_pids
+        s, _, b = _get(front.url, "/hot")
+        assert s == 200 and b == b"v1"
+        # no zombie/live children outside the old generation
+        import subprocess
+
+        kids = subprocess.run(
+            ["ps", "--ppid", str(os.getpid()), "-o", "pid=,stat="],
+            capture_output=True, text=True,
+        ).stdout.split()
+        live = {int(p) for p, st in zip(kids[::2], kids[1::2]) if "Z" not in st}
+        assert live - old_pids == set() or all(
+            pid in old_pids for pid in live if pid in old_pids
+        )
+    finally:
+        front.close()
+        primary.shutdown()
+
+
+def test_front_etag_compare_is_exact_like_primary():
+    """cacheOr parity (Http.hs:463-471): the primary compares If-None-Match
+    bytes exactly, so the front must too — a client sending the QUOTED form
+    of an unquoted ETag gets 200 from both paths, never a front-only 304."""
+    primary, purl = _start_primary()
+    body = b'[{"x":1}]'
+    front = ReusePortFront(
+        purl,
+        {"/matches/*@ab": ("application/json", body, [("ETag", "deadbeef")])},
+        workers=2,
+    ).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", front.port, timeout=30)
+        # exact match -> 304 with empty body
+        conn.request("GET", "/matches/*@ab", headers={"If-None-Match": "deadbeef"})
+        r = conn.getresponse()
+        assert r.status == 304 and r.read() == b""
+        # quoted form is NOT a byte-exact match -> 200 (primary behavior)
+        conn.request(
+            "GET", "/matches/*@ab", headers={"If-None-Match": '"deadbeef"'}
+        )
+        r = conn.getresponse()
+        assert r.status == 200 and r.read() == body
+        conn.close()
+    finally:
+        front.close()
+        primary.shutdown()

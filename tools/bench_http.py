@@ -402,8 +402,36 @@ def write_report(stats: dict, sf, out_path: str | Path | None = None) -> dict:
     if out_path is None:
         out_path = Path(__file__).resolve().parent.parent / "HTTP_BENCH.json"
     if out_path is not False:
+        # floor-band gate (VERDICT r9 #3): the pure-Python floor rows
+        # measure the HOST, not the engine — a refresh whose own
+        # single-client stack floor is out of band (r9's 16:05 refresh read
+        # 2.8 ms vs 0.4 ms settled, 7x, no Spark in that path) must
+        # QUARANTINE, not overwrite the committed evidence.
+        floor = (stats.get("http_stack_floor_1client") or {}).get("avg")
+        if floor is None or floor > FLOOR_BAND_S:
+            reject = (
+                Path(__file__).resolve().parent.parent
+                / ".bench"
+                / "http-bench-rejected.json"
+            )
+            reject.parent.mkdir(parents=True, exist_ok=True)
+            report["rejected"] = (
+                f"http_stack_floor_1client avg {floor} s out of band "
+                f"(> {FLOOR_BAND_S} s): host degraded; quarantined"
+            )
+            reject.write_text(json.dumps(report, indent=1) + "\n")
+            raise SystemExit(
+                f"[floor-gate] {report['rejected']} -> {reject} "
+                "(HTTP_BENCH.json NOT overwritten)"
+            )
         Path(out_path).write_text(json.dumps(report, indent=1) + "\n")
     return report
+
+
+# single-client pure-Python HTTP floor on a healthy host reads ~0.4-0.7 ms;
+# 1.2 ms is ~2x headroom — anything above proves host degradation because
+# that path runs zero Spark and zero engine code
+FLOOR_BAND_S = 0.0012
 
 
 def served_index(spark, sf_dir: str, index_dir: str | None = None):
@@ -440,12 +468,25 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # same pre-run calibration gate as bench_scaling (VERDICT r9 #3): an
+    # HTTP refresh started on a degraded host wastes 10+ minutes producing
+    # numbers the floor gate will quarantine anyway
+    sys.path.insert(0, str(repo / "tools"))
+    from bench_scaling import host_calibration, require_good_host
+
+    pre_calib = require_good_host("pre-run")
     spark = get_spark("kupo-http-bench")
     index = served_index(spark, sf_dir)
     stats = run_http_bench(spark, index)
+    stats.setdefault("host_calibration", {})
     report = write_report(
         stats, float(sf) if sf.replace(".", "").isdigit() else sf
     )
+    report["host_calibration_pre"] = pre_calib
+    report["host_calibration_post"] = host_calibration()
+    out = Path(repo) / "HTTP_BENCH.json"
+    if out.exists() and "rejected" not in report:
+        out.write_text(json.dumps(report, indent=1) + "\n")
     print(json.dumps(report, indent=1))
 
 
