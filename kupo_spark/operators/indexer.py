@@ -186,6 +186,7 @@ def build_index(
     patterns: Iterable[Pattern | str] = ("*",),
     prune_utxo: bool = False,
     cache: bool = False,
+    longest_rollback: int | None = None,
 ) -> Index:
     """``cache=True`` persists the exploded-outputs frame so the six table
     derivations share one materialization (use when writing a full index;
@@ -211,9 +212,28 @@ def build_index(
         .drop("spent_ref")
     )
     if prune_utxo:
-        # --prune-utxo fast path (M4, App.hs:558-577): drop consumed rows
-        # immediately; the gardener handles the within-rollback-window rest.
-        inputs = inputs.where(F.col("spent_at").isNull())
+        # --prune-utxo (M4, App.hs:558-577): RemoveSpentInputs deletes a
+        # spend only when it sits DEEPER than the unstable window
+        # (``distanceToTip lastKnownTip lastKnownSlot > longestRollback``);
+        # a spend within the window — boundary included, distance == k is
+        # NOT > k — stays MARKED so a rollback can still un-spend it, and
+        # the periodic gardener prunes it once it matures past the horizon.
+        # The horizon is a broadcast 1-row aggregate (same discipline as
+        # maintenance.prune_inputs), never a driver collect.
+        from kupo_spark.chainspec import LONGEST_ROLLBACK
+
+        k = LONGEST_ROLLBACK if longest_rollback is None else longest_rollback
+        horizon = blocks.agg(
+            (F.coalesce(F.max("slot_no"), F.lit(0)) - F.lit(k)).alias("_horizon")
+        )
+        inputs = (
+            inputs.join(F.broadcast(horizon))
+            .where(
+                F.col("spent_at").isNull()
+                | (F.col("spent_at") >= F.col("_horizon"))
+            )
+            .drop("_horizon")
+        )
 
     checkpoints = blocks.select("slot_no", "header_hash").dropDuplicates(["slot_no"])
 

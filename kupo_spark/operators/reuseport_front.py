@@ -39,6 +39,22 @@ from urllib.parse import urlparse
 class _ReusePortHTTPServer(socketserver.ThreadingMixIn, http.server.HTTPServer):
     daemon_threads = True
 
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        # in-flight request count: a retiring worker must NOT exit while a
+        # handler thread is still relaying a response (see _worker's drain)
+        self.inflight = 0
+        self._inflight_lock = __import__("threading").Lock()
+
+    def process_request_thread(self, request, client_address):
+        with self._inflight_lock:
+            self.inflight += 1
+        try:
+            super().process_request_thread(request, client_address)
+        finally:
+            with self._inflight_lock:
+                self.inflight -= 1
+
     def server_bind(self):
         self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
@@ -71,6 +87,10 @@ class ReusePortFront:
         self.workers = workers
         self.host = host
         self.spawn_timeout_s = spawn_timeout_s
+        self._retiring: list[int] = []
+        self._retiring_lock = __import__("threading").Lock()
+        #: generation pids -> retire-ack pipe read end (see _spawn)
+        self._gen_ack: dict[tuple, int] = {}
         self._pids: list[int] = []
         self.port: int | None = port or None
         self.url: str | None = None
@@ -94,19 +114,26 @@ class ReusePortFront:
 
     def _spawn(self, routes) -> list[int]:
         """Fork one worker generation serving ``routes``; returns its pids
-        once every worker is bound + accepting (readiness pipe)."""
+        once every worker is bound + accepting (readiness pipe).  Each
+        generation also carries a retire-ack pipe: a TERM'd worker writes
+        one byte the moment its LISTENER is closed (before draining
+        in-flight responses), so refresh() can wait for takeover without
+        waiting for process exit."""
         ready_r, ready_w = os.pipe()
+        ack_r, ack_w = os.pipe()
         pids: list[int] = []
         for _ in range(self.workers):
             pid = os.fork()
             if pid == 0:  # worker
                 os.close(ready_r)
+                os.close(ack_r)
                 try:
-                    self._worker(ready_w, routes)
+                    self._worker(ready_w, routes, ack_w)
                 finally:
                     os._exit(0)
             pids.append(pid)
         os.close(ready_w)
+        os.close(ack_w)
         # one readiness byte per worker (sent after its bind+activate).
         # An EOF (empty read) before N bytes means at least one worker died
         # pre-bind (bind failure / exception in _worker closed its pipe end
@@ -147,8 +174,12 @@ class ReusePortFront:
                         f"workers signalled readiness before {why}"
                     )
                 got += len(chunk)
+        except BaseException:
+            os.close(ack_r)
+            raise
         finally:
             os.close(ready_r)
+        self._gen_ack[tuple(pids)] = ack_r
         return pids
 
     @staticmethod
@@ -177,7 +208,17 @@ class ReusePortFront:
 
         If the new generation fails to spawn (readiness EOF — see _spawn),
         the old generation keeps serving and the error propagates: a failed
-        refresh must degrade to "stale bodies", never to "no workers"."""
+        refresh must degrade to "stale bodies", never to "no workers".
+
+        The old generation is retired ASYNCHRONOUSLY (a daemon reaper
+        thread TERMs→drains→KILLs it): a swap triggered by a mutation
+        PROXIED THROUGH THE FRONT would otherwise deadlock — the primary's
+        handler runs _swap_index → _refresh_front → here, while the old
+        worker relaying that very request is blocked waiting on the
+        primary's response; a synchronous wait-then-SIGKILL killed the
+        client's response with it.  refresh() returns as soon as the new
+        generation is accepting; the old one finishes its in-flight
+        responses (worker-side inflight drain) and exits."""
         old = self._pids
         new_pids = self._spawn(routes)  # raises on spawn failure; old intact
         self.routes = routes
@@ -187,8 +228,44 @@ class ReusePortFront:
                 os.kill(pid, signal.SIGTERM)
             except ProcessLookupError:
                 pass
-        deadline = time.time() + 10.0
-        pending = list(old)
+        # wait for the old LISTENERS to close (retire acks — one byte per
+        # worker the instant it stops accepting; a worker's death counts
+        # via EOF), so every post-refresh connection lands on the new
+        # generation.  This wait cannot deadlock on the proxied-mutation
+        # cycle: the ack is written BEFORE the worker drains in-flight
+        # responses.  On timeout the stragglers are hard-killed — stale
+        # listeners must not outlive the roll.
+        import select
+
+        ack_r = self._gen_ack.pop(tuple(old), None)
+        if ack_r is not None:
+            acks = 0
+            deadline = time.time() + 10.0
+            while acks < len(old):
+                remaining = deadline - time.time()
+                readable = (
+                    select.select([ack_r], [], [], remaining)[0]
+                    if remaining > 0
+                    else []
+                )
+                chunk = os.read(ack_r, len(old) - acks) if readable else b""
+                if not chunk:  # EOF (all dead) or timeout
+                    if not readable:
+                        self._kill(list(old))
+                    break
+                acks += len(chunk)
+            os.close(ack_r)
+        with self._retiring_lock:
+            self._retiring.extend(old)
+        threading = __import__("threading")
+        threading.Thread(target=self._reap, args=(old,), daemon=True).start()
+        return self
+
+    def _reap(self, pids: list[int], grace_s: float = 30.0) -> None:
+        """Collect a TERM'd generation: wait up to ``grace_s`` for the
+        drain, then hard-kill stragglers.  Runs detached from refresh()."""
+        deadline = time.time() + grace_s
+        pending = list(pids)
         while pending and time.time() < deadline:
             for pid in list(pending):
                 try:
@@ -205,9 +282,12 @@ class ReusePortFront:
                 os.waitpid(pid, 0)
             except (ProcessLookupError, ChildProcessError):
                 pass
-        return self
+        with self._retiring_lock:
+            for pid in pids:
+                if pid in self._retiring:
+                    self._retiring.remove(pid)
 
-    def _worker(self, ready_w: int, routes) -> None:
+    def _worker(self, ready_w: int, routes, ack_w: int | None = None) -> None:
         primary = self.primary
         local = __import__("threading").local()
 
@@ -328,12 +408,34 @@ class ReusePortFront:
         os.close(ready_w)
         stop.wait()
         srv.shutdown()
-        srv.server_close()
-        time.sleep(0.3)
+        srv.server_close()  # listener gone: new connections go to the new gen
+        if ack_w is not None:
+            try:  # retire ack: tells refresh() the takeover is complete
+                os.write(ack_w, b"c")
+            except OSError:
+                pass
+        # drain: an in-flight handler may be relaying a response whose
+        # upstream (the primary) only answers AFTER the generation roll
+        # that retired us returns — a proxied mutation that triggered the
+        # swap.  Exiting before that response flushes closes the client's
+        # connection without a response; wait for inflight to hit zero.
+        deadline = time.time() + 20.0
+        while srv.inflight > 0 and time.time() < deadline:
+            time.sleep(0.02)
+        time.sleep(0.1)
 
     def close(self) -> None:
-        self._kill(self._pids)
+        with self._retiring_lock:
+            stragglers = list(self._retiring)
+            self._retiring = []
+        self._kill(self._pids + stragglers)
         self._pids = []
+        for fd in self._gen_ack.values():
+            try:
+                os.close(fd)
+            except OSError:
+                pass
+        self._gen_ack.clear()
 
     def __enter__(self):
         return self if self._pids else self.start()

@@ -171,16 +171,148 @@ def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.unionByName(m5)
 
 
+_PRUNE_PROJ = [
+    "output_reference", "transaction_id", "address", "coins", "created_at", "spent_at"
+]
+
+
 def _q_prune_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = mt.prune_inputs(get_index(spark, sf_dir), PRUNE_K)
-    return idx.inputs.select(
-        "output_reference", "transaction_id", "address", "coins", "created_at", "spent_at"
+    """M2 pruneInputs PLUS the round-10 rotated M4 arm (VERDICT r9 #4):
+    ``build_index(prune_utxo=True)`` — the RemoveSpentInputs ingest path
+    (``App.hs:558-577``), whose delete fires only when
+    ``distanceToTip > longestRollback``; a spend AT the boundary
+    (distance == k, i.e. ``spent_at == tip - k`` — 4 such rows in the
+    sf0.01 fixture) stays MARKED.  The two arms share the horizon rule by
+    design (M4 at ingest ≡ M2's later GC end-state), but m4edge runs the
+    ingest-time broadcast-horizon code path the gardener arm never
+    touches — before round 10 that path dropped ALL spent rows."""
+    m2 = (
+        mt.prune_inputs(get_index(spark, sf_dir), PRUNE_K)
+        .inputs.select(*_PRUNE_PROJ)
+        .withColumn("q", F.lit("m2"))
     )
+    blocks, _ = get_blocks_and_index(spark, sf_dir)
+    m4 = (
+        build_index(blocks, ("*",), prune_utxo=True)
+        .inputs.select(*_PRUNE_PROJ)
+        .withColumn("q", F.lit("m4edge"))
+    )
+    return m2.unionByName(m4)
+
+
+def _prune_inputs_plus_sql() -> str:
+    proj = "i.output_reference, i.transaction_id, i.address, i.coins, i.created_at, i.spent_at"
+    return oracle.PRELUDE + f"""
+, tip AS (SELECT max(slot_no) AS tip FROM checkpoints)
+SELECT {proj}, 'm2' AS q FROM inputs i, tip
+WHERE i.spent_at IS NULL OR i.spent_at >= tip.tip - {PRUNE_K}
+UNION ALL
+SELECT {proj}, 'm4edge' FROM inputs i, tip
+WHERE i.spent_at IS NULL OR i.spent_at >= tip.tip - {cs.LONGEST_ROLLBACK}
+"""
 
 
 def _q_prune_binary_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = mt.prune_binary_data(mt.rollback_to(get_index(spark, sf_dir), ROLLBACK_SLOT))
     return idx.binary_data
+
+
+#: W8 copyDatabase arm pattern set (round-10 rotated arm): one credential
+#: wildcard + one exact address, so the copy's OR-folded predicate and all
+#: four side-table GC semi-joins are exercised
+COPY_PATTERNS = (f"{cs.payment_credential_of(7)}/*", ADDR_EXACT)
+
+_DELETE_PROJ = ["output_reference", "address", "coins", "created_at"]
+
+
+def _q_delete_pattern_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 deleteInputs PLUS the round-10 rotated W8 copyDatabase arm
+    (VERDICT r9 #4 — ``copy.py`` was suite-tested only): filter the live
+    index through :data:`COPY_PATTERNS` into a fresh on-disk index
+    (``SQLite.hs:476-576``), read it back (write→read round trip), and
+    emit the copied inputs plus the GC'd side-table row counts — the
+    copy prunes policies/assets to surviving outputs and the dictionaries
+    to still-referenced hashes, so a missing semi-join flips a count.
+    The ``copy_gc`` rows reuse the inputs projection with the table name
+    in ``output_reference`` and the count in ``coins``."""
+    idx = get_index(spark, sf_dir)
+    deleted = (
+        mt.delete_by_pattern(idx, f"{PAY_CRED}/*")
+        .inputs.select(*_DELETE_PROJ)
+        .withColumn("q", F.lit("delete"))
+    )
+    import tempfile
+
+    from kupo_spark.operators.copy import copy_index, open_replica
+
+    dest = tempfile.mkdtemp(prefix="kupo-copy-arm-")
+    copy_index(idx, COPY_PATTERNS, dest)
+    replica = open_replica(spark, dest)
+    copied = (
+        replica.inputs.select(*_DELETE_PROJ).withColumn("q", F.lit("copy"))
+    )
+    gc = None
+    for tbl, df_t in (
+        ("policies", replica.policies),
+        ("assets", replica.assets),
+        ("binary_data", replica.binary_data),
+        ("scripts", replica.scripts),
+    ):
+        # no NULL cells: the driver's order-insensitive compare sorts rows
+        # column-wise, and a NULL in a leading sort column breaks ordering
+        row = df_t.agg(F.count("*").alias("n")).select(
+            F.lit("copy_gc").alias("q"),
+            F.lit(tbl).alias("output_reference"),
+            F.lit("").alias("address"),
+            F.col("n").cast("long").alias("coins"),
+            F.lit(-1).cast("long").alias("created_at"),
+        )
+        gc = row if gc is None else gc.unionByName(row)
+    return deleted.unionByName(copied).unionByName(gc)
+
+
+def _delete_pattern_plus_sql() -> str:
+    from kupo_spark.patterns import pattern_from_text
+
+    match = " OR ".join(
+        f"({oracle.to_sql(pattern_from_text(p))})" for p in COPY_PATTERNS
+    )
+    proj = "i.output_reference, i.address, i.coins, i.created_at"
+    gc_counts = {
+        "policies": (
+            "SELECT count(*) FROM policies p WHERE EXISTS ("
+            f"SELECT 1 FROM inputs i WHERE ({match}) "
+            "AND i.output_reference = p.output_reference)"
+        ),
+        "assets": (
+            "SELECT count(*) FROM assets_tbl a WHERE EXISTS ("
+            f"SELECT 1 FROM inputs i WHERE ({match}) "
+            "AND i.output_reference = a.output_reference)"
+        ),
+        "binary_data": (
+            "SELECT count(*) FROM binary_data bd WHERE EXISTS ("
+            f"SELECT 1 FROM inputs i WHERE ({match}) "
+            "AND i.datum_hash = bd.binary_data_hash)"
+        ),
+        "scripts": (
+            "SELECT count(*) FROM scripts sc WHERE EXISTS ("
+            f"SELECT 1 FROM inputs i WHERE ({match}) "
+            "AND i.script_hash = sc.script_hash)"
+        ),
+    }
+    gc_rows = " UNION ALL ".join(
+        f"SELECT '{tbl}', '', CAST(({sub}) AS BIGINT), "
+        "CAST(-1 AS BIGINT), 'copy_gc'"
+        for tbl, sub in gc_counts.items()
+    )
+    return oracle.PRELUDE + f"""
+SELECT {proj}, 'delete' AS q FROM inputs i
+WHERE NOT (right(i.address, 56) = '{PAY_CRED}')
+UNION ALL
+SELECT {proj}, 'copy' FROM inputs i WHERE {match}
+UNION ALL
+{gc_rows}
+"""
 
 
 def _q_index_metadata_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,10 +886,30 @@ RESULT_JSON_ARMS = [
 ]
 
 
+#: round-10 rotated arm constants — the front-consistency arm serves ONE
+#: point (event 109's tx, output 0 — its address carries payment cred 14)
+#: through the SO_REUSEPORT front worker AND the primary, across a
+#: DELETE-triggered index swap that removes exactly that credential; the
+#: server's active pattern is cred 13 so the delete is disjoint-allowed.
+FRONT_POINT_E = 109
+FRONT_DEL_CRED = cs.payment_credential_of(14)
+
+
 def _q_result_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 hard signal: the resultToJson-shaped payload (serve.result_json)
     in default / resolve_hashes / asset-quantity=string modes, against a
-    DuckDB oracle that rebuilds the same JSON strings byte-for-byte."""
+    DuckDB oracle that rebuilds the same JSON strings byte-for-byte.
+
+    PLUS the round-10 rotated front-consistency arm (VERDICT r9 #4): a
+    live ``KupoHttpServer`` with an attached :class:`ReusePortFront`
+    serves the same point through a forked front worker and through the
+    primary, before and after a ``DELETE /matches/{cred}`` proxied
+    through the front (the delete swaps the index, re-renders the hot
+    routes on the new snapshot inside ``_swap_index``, and rolls the
+    worker generation).  Both sources' bodies and the front's ETag are
+    oracle-checked: pre-swap the point renders its row, post-swap it
+    must render ``[]`` from BOTH paths — a stale front generation or a
+    front/primary divergence flips the hash."""
     idx = get_index(spark, sf_dir)
     df = None
     for marker, spec in RESULT_JSON_ARMS:
@@ -765,7 +917,87 @@ def _q_result_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(marker).alias("q"), "output_reference", "result"
         )
         df = arm if df is None else df.unionByName(arm)
-    return df
+    return df.unionByName(_front_consistency_rows(spark, sf_dir))
+
+
+def _front_consistency_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import urllib.request
+
+    from kupo_spark.operators.http_server import KupoHttpServer
+
+    blocks, idx = get_blocks_and_index(spark, sf_dir)
+    path = f"/matches/0@{cs.transaction_id_of(FRONT_POINT_E)}"
+    srv = KupoHttpServer(
+        spark,
+        idx,
+        blocks=blocks,
+        patterns=(f"{PAY_CRED}/*",),  # cred 13: disjoint from the delete
+        store_path=tempfile.mkdtemp(prefix="kupo-front-arm-") + "/patterns.txt",
+    ).start()
+    rows = []
+    try:
+        def get(base: str, p: str, method: str = "GET"):
+            req = urllib.request.Request(base + p, method=method)
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return dict(r.headers), r.read().decode()
+
+        _, primary_pre = get(srv.url, path)  # also records the hot point
+        front = srv.attach_front(workers=2, refresh_interval=3600)
+        h, front_pre = get(front.url, path)
+        rows += [
+            ("front_pre", path, front_pre),
+            ("primary_pre", path, primary_pre),
+            ("front_pre_etag", path, h.get("ETag")),
+        ]
+        # the swap: DELETE proxied through the front to the primary;
+        # _swap_index re-renders the hot routes and rolls the generation
+        # synchronously, so the very next front GET must see the new body
+        get(front.url, f"/matches/{FRONT_DEL_CRED}/*", method="DELETE")
+        h2, front_post = get(front.url, path)
+        _, primary_post = get(srv.url, path)
+        rows += [
+            ("front_post", path, front_post),
+            ("primary_post", path, primary_post),
+            ("front_post_etag", path, h2.get("ETag")),
+        ]
+    finally:
+        srv.close()
+    return spark.createDataFrame(
+        rows, schema="q string, output_reference string, result string"
+    )
+
+
+def _result_json_plus_sql() -> str:
+    from kupo_spark.patterns import pattern_from_text
+
+    base = oracle.result_json_sql(RESULT_JSON_ARMS)
+    oref = cs.output_reference_of(FRONT_POINT_E, 0)
+    path = f"/matches/0@{cs.transaction_id_of(FRONT_POINT_E)}"
+    body = oracle._match_json_body()
+    pre = (
+        f"(SELECT '[' || coalesce(string_agg(result, ','), '') || ']' "
+        f"FROM ({body}) t WHERE t.output_reference = '{oref}')"
+    )
+    del_sql = oracle.to_sql(pattern_from_text(f"{FRONT_DEL_CRED}/*"))
+    post = (
+        f"(SELECT '[' || coalesce(string_agg(result, ','), '') || ']' "
+        f"FROM ({body}) t JOIN inputs i ON i.output_reference = t.output_reference "
+        f"WHERE t.output_reference = '{oref}' AND NOT ({del_sql}))"
+    )
+    etag = (
+        "(SELECT header_hash FROM checkpoints "
+        "WHERE slot_no = (SELECT max(slot_no) FROM checkpoints))"
+    )
+    front = (
+        f"SELECT 'front_pre' AS q, '{path}' AS output_reference, {pre} AS result "
+        f"UNION ALL SELECT 'primary_pre', '{path}', {pre} "
+        f"UNION ALL SELECT 'front_pre_etag', '{path}', {etag} "
+        f"UNION ALL SELECT 'front_post', '{path}', {post} "
+        f"UNION ALL SELECT 'primary_post', '{path}', {post} "
+        f"UNION ALL SELECT 'front_post_etag', '{path}', {etag}"
+    )
+    return base + " UNION ALL " + front
 
 
 def _merged_fold(spark: SparkSession, sf_dir: str, arms: list[tuple[str, dict]]) -> DataFrame:
@@ -1018,9 +1250,7 @@ def queries() -> dict[str, QueryFn]:
             ).withColumn("q", F.lit("tx"))
         )
     )
-    out["q_delete_pattern"] = lambda s, d: mt.delete_by_pattern(
-        get_index(s, d), f"{PAY_CRED}/*"
-    ).inputs.select("output_reference", "address", "coins", "created_at")
+    out["q_delete_pattern"] = _q_delete_pattern_plus
     out["q_index_metadata_tag"] = _q_index_metadata_tag
     out["q_ogmios_fold"] = _q_ogmios_fold
     out["q_hydra_fold"] = _q_hydra_fold
@@ -1042,7 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         [("all", "*"), ("payment", f"{PAY_CRED}/*")],
         policies_arm=("policies", f"{PAY_CRED}/*"),
     )
-    out["q_result_json"] = oracle.result_json_sql(RESULT_JSON_ARMS)
+    out["q_result_json"] = _result_json_plus_sql()
     out["q_max_checkpoint"] = oracle.max_checkpoint_sql()
     out["q_list_checkpoints"] = oracle.list_checkpoints_sql(
         cs.LONGEST_ROLLBACK, gappy_where=GAPPY_WHERE
@@ -1076,7 +1306,7 @@ def oracle_sql() -> dict[str, str]:
     out["q_rollback_inputs"] = oracle.rollback_and_put_patterns_sql(
         ROLLBACK_SLOT, M5_OLD, M5_NEW, M5_SLOT
     )
-    out["q_prune_inputs"] = oracle.pruned_inputs_sql(PRUNE_K)
+    out["q_prune_inputs"] = _prune_inputs_plus_sql()
     out["q_prune_binary_data"] = oracle.pruned_binary_data_sql(ROLLBACK_SLOT)
     from kupo_spark.metadata import metadata_cbor_sql
 
@@ -1090,10 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         f"FROM outs WHERE created_at = {META_SLOT} AND e % 4 = 0 AND output_index = 0 "
         f"AND transaction_id = '{cs.transaction_id_of(500)}'"
     )
-    out["q_delete_pattern"] = oracle.PRELUDE + (
-        "SELECT output_reference, address, coins, created_at FROM inputs i "
-        f"WHERE NOT (right(i.address, 56) = '{PAY_CRED}')"
-    )
+    out["q_delete_pattern"] = _delete_pattern_plus_sql()
     out["q_index_metadata_tag"] = oracle.PRELUDE + (
         "SELECT output_reference, transaction_id, address, coins, created_at "
         "FROM inputs i WHERE EXISTS (SELECT 1 FROM outs o "

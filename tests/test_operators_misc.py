@@ -325,3 +325,38 @@ def test_script_object_unknown_tag_keeps_key(spark):
     )
     got = df.collect()[0]["obj"]
     assert got == '{"script":"deadbeef","language":"unknown:09"}'
+
+
+def test_prune_utxo_marks_inside_unstable_window(spark, blocks):
+    """M4 RemoveSpentInputs boundary (App.hs:558-577): build_index with
+    prune_utxo=True deletes a spend only when distanceToTip EXCEEDS
+    longestRollback; a spend AT the boundary (spent_at == tip - k) or
+    shallower stays MARKED so a rollback can still un-spend it."""
+    full = build_index(blocks, ("*",))
+    tip = blocks.agg(F.max("slot_no")).collect()[0][0]
+    # pick a horizon that lands EXACTLY on an existing spend slot, so the
+    # test always exercises the boundary (distance == k -> marked)
+    mid_spend = (
+        full.inputs.where(F.col("spent_at").isNotNull())
+        .agg(F.min("spent_at") + (F.max("spent_at") - F.min("spent_at")) / 2)
+        .collect()[0][0]
+    )
+    horizon = int(
+        full.inputs.where(F.col("spent_at") <= mid_spend)
+        .agg(F.max("spent_at"))
+        .collect()[0][0]
+    )
+    k = tip - horizon
+    idx = build_index(blocks, ("*",), prune_utxo=True, longest_rollback=k)
+    spent = idx.inputs.where(F.col("spent_at").isNotNull())
+    # nothing deeper than the window survives
+    assert spent.where(F.col("spent_at") < horizon).count() == 0
+    kept_expected = full.inputs.where(F.col("spent_at") >= horizon).count()
+    at_boundary = full.inputs.where(F.col("spent_at") == horizon).count()
+    assert at_boundary > 0  # by construction: horizon IS a spend slot
+    assert spent.count() == kept_expected  # boundary rows included (>=, not >)
+    # unspent rows are untouched
+    assert (
+        idx.inputs.where(F.col("spent_at").isNull()).count()
+        == full.inputs.where(F.col("spent_at").isNull()).count()
+    )

@@ -206,13 +206,24 @@ def test_refresh_rolls_generation_to_new_bodies():
             s, h, b = _get(front.url, "/hot")
             assert s == 200 and b == b"v2" and h["ETag"] == "bbbb"
             assert int(h["X-Worker-Pid"]) in new_pids
-        for pid in old_pids:  # old generation exited and was reaped
-            try:
-                os.kill(pid, 0)
-                alive = True
-            except ProcessLookupError:
-                alive = False
-            assert not alive
+        # old generation drains and exits (retirement is ASYNC so a swap
+        # triggered by a request proxied through an old worker cannot
+        # deadlock — poll for the reaper instead of asserting instantly)
+        import time as _time
+
+        deadline = _time.monotonic() + 35
+        while _time.monotonic() < deadline:
+            alive = []
+            for pid in old_pids:
+                try:
+                    os.kill(pid, 0)
+                    alive.append(pid)
+                except ProcessLookupError:
+                    pass
+            if not alive:
+                break
+            _time.sleep(0.05)
+        assert not alive, f"old generation still alive after drain: {alive}"
         # proxy path still works through the new generation
         s, h, b = _get(front.url, "/other")
         assert s == 200 and json.loads(b) == {"proxied": "/other"}
@@ -240,7 +251,7 @@ def test_spawn_timeout_reaps_hung_generation(monkeypatch):
     try:
         old_pids = set(front._pids)
 
-        def hung_worker(ready_w, routes):  # never writes, never exits
+        def hung_worker(ready_w, routes, ack_w=None):  # never writes/exits
             time.sleep(3600)
 
         monkeypatch.setattr(front, "_worker", hung_worker)
@@ -292,6 +303,62 @@ def test_front_etag_compare_is_exact_like_primary():
         r = conn.getresponse()
         assert r.status == 200 and r.read() == body
         conn.close()
+    finally:
+        front.close()
+        primary.shutdown()
+
+
+def test_mutation_proxied_through_front_survives_the_roll_it_triggers():
+    """The primary's mutation handler swaps the index and rolls the front
+    generation BEFORE responding (_swap_index -> _refresh_front).  When the
+    mutation arrived through an old-generation worker, that worker is
+    blocked relaying the response while its own generation is retired — a
+    synchronous wait-then-SIGKILL in refresh() killed the client's response
+    (observed as 'Remote end closed connection without response').  Async
+    retirement + the worker's inflight drain must deliver the response."""
+    front_box = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_DELETE(self):
+            # the swap: roll the front onto new bodies, then respond
+            front_box["front"].refresh(
+                {"/hot": ("text/plain", b"v2", [("ETag", "bbbb")])}
+            )
+            body = b'{"deleted": 1}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            body = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    primary = _Primary(("127.0.0.1", 0), H)
+    threading.Thread(target=primary.serve_forever, daemon=True).start()
+    purl = f"http://127.0.0.1:{primary.server_address[1]}"
+    front = ReusePortFront(
+        purl, {"/hot": ("text/plain", b"v1", [("ETag", "aaaa")])}, workers=2
+    ).start()
+    front_box["front"] = front
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", front.port, timeout=60)
+        conn.request("DELETE", "/matches/x")  # proxied via an old worker
+        r = conn.getresponse()
+        assert r.status == 200 and b"deleted" in r.read()
+        conn.close()
+        # and the roll really happened: new connections serve v2
+        s, _, b = _get(front.url, "/hot")
+        assert s == 200 and b == b"v2"
     finally:
         front.close()
         primary.shutdown()
