@@ -327,7 +327,12 @@ def resolve_header_hashes(
 
 
 def write_index(
-    index: Index, path: str, slot_bucket: int = 1000, timings: dict | None = None
+    index: Index,
+    path: str,
+    slot_bucket: int = 1000,
+    timings: dict | None = None,
+    bucket_range: tuple[int, int] | None = None,
+    only: str | None = None,
 ) -> None:
     """Materialize the index as parquet, laid out for the query mix:
 
@@ -346,6 +351,15 @@ def write_index(
     ``timings`` (optional dict) receives per-phase wall seconds
     (``write_inputs`` / ``write_side_tables``) so bench runs can tell an
     ingest regression from harness contention.
+
+    ``bucket_range=(lo, hi)`` writes only the inputs partitions with
+    ``lo <= created_bucket < hi`` — the slot-range incremental primitive:
+    a backfill or a chunked bulk load writes disjoint bucket ranges
+    independently (at 100 TB, from different jobs) into the same layout;
+    ``lo == 0`` overwrites the dataset root, later ranges append their own
+    partition dirs.  ``only`` restricts the call to one leg: ``"inputs"``
+    skips the side tables, ``"side"`` skips inputs (finish a chunked load
+    by writing the five side tables + the schema sidecar once).
     """
     import time as _time
 
@@ -369,8 +383,10 @@ def write_index(
     # (~slot_bucket worth of rows) at every scale, and each task then
     # writes exactly its own partition directory.
     n_buckets = (
-        inputs.agg(F.max("created_bucket").alias("b")).first()["b"] or 0
-    ) + 1
+        (inputs.agg(F.max("created_bucket").alias("b")).first()["b"] or 0) + 1
+        if bucket_range is None and only != "side"
+        else 0
+    )
     # one task per bucket (A/B'd at sf10: one-task-per-bucket beat
     # 8-buckets/task (97 s) and the fixed session default (107 s) — small
     # per-task sorts win; rows-per-bucket is fixed by slot_bucket, so
@@ -379,17 +395,30 @@ def write_index(
     # warmth (tools/ab_sf10.py, r7) — cross-round shifts beyond that band
     # have so far always been harness contention, not code (r6's 192 s
     # reading reproduced at 73 s in isolation).
-    n_parts = max(32, min(4096, int(n_buckets)))
-    (
-        inputs.repartition(n_parts, "created_bucket")
-        .sortWithinPartitions("address", "created_at")
-        .write.mode("overwrite")
-        .partitionBy("created_bucket")
-        .parquet(f"{path}/inputs")
-    )
+    if only != "side":
+        slice_df, mode = inputs, "overwrite"
+        n_slice_buckets = n_buckets
+        if bucket_range is not None:
+            lo, hi = bucket_range
+            slice_df = inputs.where(
+                (F.col("created_bucket") >= lo) & (F.col("created_bucket") < hi)
+            )
+            n_slice_buckets = hi - lo
+            if lo > 0:  # later ranges append their own partition dirs
+                mode = "append"
+        n_parts = max(32, min(4096, int(n_slice_buckets)))
+        (
+            slice_df.repartition(n_parts, "created_bucket")
+            .sortWithinPartitions("address", "created_at")
+            .write.mode(mode)
+            .partitionBy("created_bucket")
+            .parquet(f"{path}/inputs")
+        )
     if timings is not None:
         timings["write_inputs"] = _time.time() - _t0
         _t0 = _time.time()
+    if only == "inputs":
+        return
     # the inputs write above materialized the (cached) match lineage; the
     # five side tables are then cheap scans off the cache — submit their
     # jobs concurrently so the per-job scheduling floor overlaps instead

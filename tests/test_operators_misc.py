@@ -360,3 +360,34 @@ def test_prune_utxo_marks_inside_unstable_window(spark, blocks):
         idx.inputs.where(F.col("spent_at").isNull()).count()
         == full.inputs.where(F.col("spent_at").isNull()).count()
     )
+
+
+def test_bucket_range_sliced_write_equals_one_shot(spark, blocks, tmp_path):
+    """write_index(bucket_range=) — the slot-range incremental primitive:
+    disjoint bucket-range sub-writes + one side-table pass must read back
+    identical to a one-shot write (the chunked bulk-load / backfill path,
+    and the sliced ingest-bench protocol)."""
+    from kupo_spark.operators.indexer import build_index, read_index, write_index
+
+    idx = build_index(blocks, ("*",), cache=True)
+    idx.inputs.count()
+    one, sliced = str(tmp_path / "one"), str(tmp_path / "sliced")
+    write_index(idx, one, slot_bucket=20)
+    max_created = idx.inputs.agg({"created_at": "max"}).first()[0]
+    n_buckets = int(max_created) // 20 + 1
+    assert n_buckets >= 3  # the fixture must actually slice
+    step = -(-n_buckets // 3)
+    for i in range(3):
+        lo, hi = i * step, min((i + 1) * step, n_buckets)
+        if lo < hi:
+            write_index(idx, sliced, slot_bucket=20, bucket_range=(lo, hi), only="inputs")
+    write_index(idx, sliced, slot_bucket=20, only="side")
+    a, b = read_index(spark, one, slot_bucket=20), read_index(spark, sliced, slot_bucket=20)
+    cols = sorted(a.inputs.columns)
+    assert (
+        a.inputs.select(*cols).orderBy("output_reference").collect()
+        == b.inputs.select(*cols).orderBy("output_reference").collect()
+    )
+    for t in ("checkpoints", "policies", "assets", "binary_data", "scripts"):
+        assert getattr(a, t).count() == getattr(b, t).count()
+    idx.inputs.unpersist()

@@ -478,7 +478,6 @@ def main() -> None:
     spark = get_spark("kupo-http-bench")
     index = served_index(spark, sf_dir)
     stats = run_http_bench(spark, index)
-    stats.setdefault("host_calibration", {})
     report = write_report(
         stats, float(sf) if sf.replace(".", "").isdigit() else sf
     )
