@@ -339,8 +339,24 @@ def main() -> None:
     http_stats = run_http_bench(spark, index)
     # committed evidence: the full oha table + kupo ratios land in
     # HTTP_BENCH.json (the driver's BENCH capture truncates to a 2,000-char
-    # tail, which lost the r5 table; the committed file is the record)
-    write_report(http_stats, float(sf) if sf.replace(".", "").isdigit() else sf)
+    # tail, which lost the r5 table; the committed file is the record).
+    # write_report's floor-band gate QUARANTINES a refresh whose own
+    # pure-Python floor proves host degradation — that must not kill the
+    # bench run (the driver needs its one JSON line either way): catch the
+    # gate, keep the committed artifact, and disclose in the output.
+    # Only the canonical sf0.1 run refreshes the committed artifact — a
+    # smoke run at another sf must not replace the sf0.1 record.
+    refresh_artifact = abs(float(sf) - 0.1) < 1e-9 if sf.replace(".", "").isdigit() else False
+    http_quarantined = None
+    try:
+        write_report(
+            http_stats,
+            float(sf) if sf.replace(".", "").isdigit() else sf,
+            out_path=None if refresh_artifact else False,
+        )
+    except SystemExit as e:
+        http_quarantined = str(e)
+        print(f"[bench] HTTP refresh not committed: {e}", file=sys.stderr)
 
     # --- scaling section: the committed three-point curve (sf0.1/1/10,
     # tools/bench_scaling.py) so the per-round bench carries the measured
@@ -380,6 +396,11 @@ def main() -> None:
                 "host_calibration_pre": pre_calib,
                 "host_calibration_post_beside_live_jvm": post_calib,
                 **({"host_degraded_at_capture": True} if host_degraded else {}),
+                **(
+                    {"http_bench_quarantined": http_quarantined}
+                    if http_quarantined
+                    else {}
+                ),
             }
         )
     )
