@@ -227,3 +227,15 @@ def test_refine_rerank_plan_is_broadcast_bounded(spark):
     # window sorts)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_prune_utxo_horizon_is_broadcast(spark, blocks):
+    """M4's unstable-window horizon (build_index(prune_utxo=True)) is a
+    broadcast 1-row aggregate joined into the inputs stream — never a
+    shuffled join and never a driver collect, so the ingest plan keeps its
+    single narrow pass at any chain length."""
+    from kupo_spark.operators.indexer import build_index
+
+    idx = build_index(blocks, ("*",), prune_utxo=True)
+    plan = formatted_plan(idx.inputs)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
