@@ -366,26 +366,73 @@ def main() -> None:
     if scaling_path.exists():
         scaling = json.loads(scaling_path.read_text())
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # post bracket: probed beside the still-live JVM, so it reads high on
+    # a healthy host (page-reclaim residue) — disclosed under a name that
+    # says so; the gate-quality reading is the pre bracket.
+    post_calib = host_calibration()
+
+    # compose-min (VERDICT r10 #1): this run only APPENDS its capture to
+    # the attempts log; the PUBLISHED per-query values are the minima
+    # across in-band attempts measured on byte-identical code (content
+    # fingerprint).  The r10 disease — a host at memcopy 1.028 s (inside
+    # the 1.2 s settle band, ~25% above healthy) doubling the committed
+    # headline — cannot recur for unchanged code: a degraded capture
+    # composes against the better prior attempts instead of replacing
+    # them, and captures with pre-calib above the stricter 1.0 s
+    # eligibility band never define a committed value while a cleaner
+    # same-code attempt exists.
+    from bench_common import (
+        append_attempt,
+        compose_query_mins,
+        engine_fingerprint,
+        load_attempts,
+    )
+
+    fp = engine_fingerprint()
+    attempt = {
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "engine_fp": fp,
+        "sf": sf_val,
+        "queries": {k: round(v, 4) for k, v in queries.items()},
+        "host_calibration_pre": pre_calib,
+        "host_calibration_post_beside_live_jvm": post_calib,
+        **({"host_degraded_at_capture": True} if host_degraded else {}),
+    }
+    attempts_log = f"bench-attempts-sf{sf}.jsonl"
+    append_attempt(attempts_log, attempt)
+    composed, spread, n_composed, degraded_only = compose_query_mins(
+        load_attempts(attempts_log), fp, sf_val, set(queries)
+    )
+    # self-check (VERDICT r10 #1 third option): composed cold rows that
+    # still sit >2x above the committed SCALING sf0.1 spread-min for the
+    # same query are disclosed — either the code really regressed or every
+    # attempt so far was degraded; the reader should know which question
+    # to ask.
+    bench_vs_scaling_outliers = {}
+    if scaling and str(sf_val) in scaling.get("sfs", {}):
+        ref_q = scaling["sfs"][str(sf_val)].get("queries", {})
+        for k, v in composed.items():
+            ref = ref_q.get(k)
+            if ref and v > 2 * ref:
+                bench_vs_scaling_outliers[k] = {"composed": round(v, 4), "scaling_min": ref}
+
     # warm/floor entries are diagnostics alongside the cold suite; the
-    # headline `value` stays the cold sum (comparable across rounds)
+    # headline `value` stays the cold sum (comparable across rounds),
+    # computed from the COMPOSED values
     value = sum(
         v
-        for k, v in queries.items()
+        for k, v in composed.items()
         if not k.startswith("ingest")
         and "_warm" not in k
         and not k.endswith("_diag")
         and k != "spark_job_floor"
     )
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full diagnostic (SCALING embed + complete oha table) goes on an
     # EARLIER line: the driver's BENCH capture keeps only a short tail of
     # stdout and parses the LAST line, so embedding SCALING.json in the
     # final line left BENCH_r06/r07 with "parsed": null. The committed
     # SCALING.json / HTTP_BENCH.json files remain the full record.
-    # post bracket: probed beside the still-live JVM, so it reads high on
-    # a healthy host (page-reclaim residue) — disclosed under a name that
-    # says so; the gate-quality reading is the pre bracket.
-    post_calib = host_calibration()
     print(
         json.dumps(
             {
@@ -395,6 +442,18 @@ def main() -> None:
                 "sf": sf_val,
                 "host_calibration_pre": pre_calib,
                 "host_calibration_post_beside_live_jvm": post_calib,
+                "queries_this_run_raw": attempt["queries"],
+                "bench_compose": {
+                    "engine_fp": fp,
+                    "n_attempts_composed": n_composed,
+                    "query_spread": spread,
+                    **({"composed_from_degraded_only": True} if degraded_only else {}),
+                },
+                **(
+                    {"bench_vs_scaling_outliers": bench_vs_scaling_outliers}
+                    if bench_vs_scaling_outliers
+                    else {}
+                ),
                 **({"host_degraded_at_capture": True} if host_degraded else {}),
                 **(
                     {"http_bench_quarantined": http_quarantined}
@@ -415,7 +474,7 @@ def main() -> None:
     }
     headline_queries = {
         k: round(v, 4)
-        for k, v in queries.items()
+        for k, v in composed.items()
         if not k.endswith("_diag") and k != "spark_job_floor"
     }
     calib_compact = [
@@ -431,6 +490,8 @@ def main() -> None:
             "http": http_compact,
             "sf": sf_val,
             "calib": calib_compact,
+            "composed_attempts": n_composed,
+            **({"composed_from_degraded_only": True} if degraded_only else {}),
             **({"host_degraded_at_capture": True} if host_degraded else {}),
         }
     )
@@ -463,6 +524,7 @@ def main() -> None:
                     "unit": "sec",
                     "sf": sf_val,
                     "calib": calib_compact,
+                    "composed_attempts": n_composed,
                     **payload,
                 }
             )

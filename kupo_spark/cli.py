@@ -160,18 +160,26 @@ def _resolve_patterns(cli: list[str], store_path: str | None) -> tuple[str, ...]
     return tuple(canon)
 
 
-def _gardener(server, interval: float, prune_utxo: bool, stop: threading.Event):
+def _gardener(
+    server,
+    interval: float,
+    prune_utxo: bool,
+    stop: threading.Event,
+    longest_rollback: int | None = None,
+):
     """Background gardener loop (App.hs:633-674): prune spent inputs past
     the safe zone (only under --prune-utxo) + orphan binary data."""
+    from kupo_spark.chainspec import LONGEST_ROLLBACK
     from kupo_spark.operators.gardener import run_gc
     from kupo_spark.operators.maintenance import prune_binary_data
 
+    k = LONGEST_ROLLBACK if longest_rollback is None else longest_rollback
     while not stop.wait(interval):
         # mutation lock, not the snapshot lock: the GC rebuild + the
         # swap's warm-before-publish take seconds, and readers must keep
         # serving the old snapshot throughout (they only touch _lock)
         with server._mutation_lock:
-            nxt = run_gc(server.index) if prune_utxo else prune_binary_data(server.index)
+            nxt = run_gc(server.index, k) if prune_utxo else prune_binary_data(server.index)
             server._swap_index(nxt)
 
 
@@ -334,7 +342,8 @@ def cmd_run(args, serve_forever: bool = True):
 
         bounded = blocks.where(blocks.slot_no >= since[0])
         index = build_index(
-            bounded, patterns=patterns, prune_utxo=args.prune_utxo, cache=True
+            bounded, patterns=patterns, prune_utxo=args.prune_utxo, cache=True,
+            longest_rollback=args.longest_rollback,
         )
         index.inputs.count()  # materialize (kupo syncs before serving)
     elif args.follow:
@@ -440,7 +449,19 @@ def cmd_run(args, serve_forever: bool = True):
                 from kupo_spark.operators.gardener import run_gc
                 from kupo_spark.operators.maintenance import prune_binary_data
 
-                gc = run_gc if args.prune_utxo else prune_binary_data
+                if args.prune_utxo:
+                    from kupo_spark.chainspec import LONGEST_ROLLBACK
+
+                    _k = (
+                        LONGEST_ROLLBACK
+                        if args.longest_rollback is None
+                        else args.longest_rollback
+                    )
+
+                    def gc(ix, _k=_k):
+                        return run_gc(ix, _k)
+                else:
+                    gc = prune_binary_data
                 with indexer.write_lock:  # no PUT /patterns mid-compaction
                     if holder.get("vacuum_armed"):
                         # physical deletion deferred ONE FULL CYCLE: what is
@@ -685,6 +706,7 @@ def cmd_run(args, serve_forever: bool = True):
         read_only=args.read_only,
         streaming=indexer if args.follow else None,
         rendered_addresses=args.rendered_addresses,
+        longest_rollback=args.longest_rollback,
     ).start()
     if front_workers:
         front = server.attach_front(
@@ -714,7 +736,8 @@ def cmd_run(args, serve_forever: bool = True):
         # the next batch swap)
         threading.Thread(
             target=_gardener,
-            args=(server, args.gc_interval, args.prune_utxo, stop),
+            args=(server, args.gc_interval, args.prune_utxo, stop,
+                  args.longest_rollback),
             daemon=True,
         ).start()
     print(f"kupo-spark listening on {server.url}", file=sys.stderr)
@@ -855,6 +878,13 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "event files while serving (the upstream's normal operation)",
     )
     p.add_argument("--prune-utxo", action="store_true")
+    p.add_argument(
+        "--longest-rollback", type=int, default=None, metavar="SLOTS",
+        help="maximum rollback depth / safe zone in slots (the reference's "
+        "Options.hs:149 security-parameter override): bounds which spent "
+        "rows --prune-utxo may drop (M4), the gardener's GC horizon, and "
+        "how deep PUT /patterns may rewind; default is the chain spec's k",
+    )
     p.add_argument("--gc-interval", type=float, default=3600, metavar="SECONDS")
     p.add_argument("--defer-db-indexes", action="store_true")
     p.add_argument("--read-only", action="store_true")

@@ -355,11 +355,13 @@ def write_index(
     ``bucket_range=(lo, hi)`` writes only the inputs partitions with
     ``lo <= created_bucket < hi`` — the slot-range incremental primitive:
     a backfill or a chunked bulk load writes disjoint bucket ranges
-    independently (at 100 TB, from different jobs) into the same layout;
-    ``lo == 0`` overwrites the dataset root, later ranges append their own
-    partition dirs.  ``only`` restricts the call to one leg: ``"inputs"``
-    skips the side tables, ``"side"`` skips inputs (finish a chunked load
-    by writing the five side tables + the schema sidecar once).
+    independently (at 100 TB, from different jobs) into the same layout.
+    Range writes use DYNAMIC partition overwrite: each replaces exactly
+    its own partition dirs, so ranges land in any order and re-running a
+    range (job retry) is idempotent instead of appending duplicates.
+    ``only`` restricts the call to one leg: ``"inputs"`` skips the side
+    tables, ``"side"`` skips inputs (finish a chunked load by writing the
+    five side tables + the schema sidecar once).
     """
     import time as _time
 
@@ -396,21 +398,29 @@ def write_index(
     # have so far always been harness contention, not code (r6's 192 s
     # reading reproduced at 73 s in isolation).
     if only != "side":
-        slice_df, mode = inputs, "overwrite"
+        slice_df = inputs
         n_slice_buckets = n_buckets
+        writer_opts: dict[str, str] = {}
         if bucket_range is not None:
             lo, hi = bucket_range
             slice_df = inputs.where(
                 (F.col("created_bucket") >= lo) & (F.col("created_bucket") < hi)
             )
             n_slice_buckets = hi - lo
-            if lo > 0:  # later ranges append their own partition dirs
-                mode = "append"
+            # EVERY range writes with dynamic partition overwrite (ADVICE
+            # r10): only the partition dirs present in this slice are
+            # replaced, so (a) ranges from independent jobs land in any
+            # order without a lo==0 write statically clearing the whole
+            # root, and (b) a RE-RUN of any range replaces its own dirs
+            # instead of appending duplicate rows — idempotent per
+            # partition, which is what a retried 100 TB backfill job needs.
+            writer_opts["partitionOverwriteMode"] = "dynamic"
         n_parts = max(32, min(4096, int(n_slice_buckets)))
         (
             slice_df.repartition(n_parts, "created_bucket")
             .sortWithinPartitions("address", "created_at")
-            .write.mode(mode)
+            .write.mode("overwrite")
+            .options(**writer_opts)
             .partitionBy("created_bucket")
             .parquet(f"{path}/inputs")
         )

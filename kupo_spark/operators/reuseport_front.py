@@ -41,19 +41,32 @@ class _ReusePortHTTPServer(socketserver.ThreadingMixIn, http.server.HTTPServer):
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
-        # in-flight request count: a retiring worker must NOT exit while a
-        # handler thread is still relaying a response (see _worker's drain)
+        # in-flight REQUEST count — not connections (ADVICE r10): a
+        # retiring worker must not exit while a handler is mid-response,
+        # but the old per-connection count (process_request_thread spans
+        # the whole keep-alive session) kept retired workers alive — and
+        # serving — for the entire 20 s drain grace whenever a client held
+        # a keep-alive connection open.  Requests track from dispatch to
+        # response flush (Handler wraps each do_*), so an idle keep-alive
+        # connection pins nothing and the drain converges the moment the
+        # last actual response flushes.
         self.inflight = 0
         self._inflight_lock = __import__("threading").Lock()
 
-    def process_request_thread(self, request, client_address):
-        with self._inflight_lock:
-            self.inflight += 1
-        try:
-            super().process_request_thread(request, client_address)
-        finally:
+    def track_request(self):
+        import contextlib
+
+        @contextlib.contextmanager
+        def _track():
             with self._inflight_lock:
-                self.inflight -= 1
+                self.inflight += 1
+            try:
+                yield
+            finally:
+                with self._inflight_lock:
+                    self.inflight -= 1
+
+        return _track()
 
     def server_bind(self):
         self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -303,6 +316,28 @@ class ReusePortFront:
                 pass
 
             def do_GET(self):
+                with self.server.track_request():
+                    try:
+                        self._do_get()
+                    finally:
+                        try:  # flush INSIDE the tracked span: the 64 KB
+                            self.wfile.flush()  # buffer must hit the wire
+                        except Exception:  # before inflight decrements
+                            pass
+
+            def _do_get(self):
+                if stop.is_set():
+                    # retired (ADVICE r10): the route table is the OLD
+                    # generation's pre-swap snapshot — a request arriving
+                    # on an existing keep-alive connection after SIGTERM
+                    # must NOT read it (a DELETE-triggered swap already
+                    # changed the truth).  Proxy to the primary (which
+                    # serves the new index) and close the connection so
+                    # the client's next request lands on a new-generation
+                    # worker.
+                    self.close_connection = True
+                    self._proxy("GET")
+                    return
                 hit = routes.get(self.path)
                 # rendered bodies are minted under the default Accept — a
                 # client negotiating asset-quantity=string must reach the
@@ -343,18 +378,32 @@ class ReusePortFront:
             # and every mutation proxies to the primary (which owns Spark
             # and the write path), request bodies included
             def do_PUT(self):
-                self._proxy("PUT")
+                self._tracked_proxy("PUT")
 
             def do_POST(self):
-                self._proxy("POST")
+                self._tracked_proxy("POST")
 
             def do_DELETE(self):
-                self._proxy("DELETE")
+                self._tracked_proxy("DELETE")
 
             def do_OPTIONS(self):
-                self._proxy("OPTIONS")
+                self._tracked_proxy("OPTIONS")
+
+            def _tracked_proxy(self, method: str) -> None:
+                with self.server.track_request():
+                    try:
+                        self._proxy(method)
+                    finally:
+                        try:
+                            self.wfile.flush()
+                        except Exception:
+                            pass
 
             def _proxy(self, method: str) -> None:
+                if stop.is_set():
+                    # retired: answer this response, then force the client
+                    # to reconnect (landing on the new generation)
+                    self.close_connection = True
                 clen = int(self.headers.get("Content-Length") or 0)
                 payload = self.rfile.read(clen) if clen else None
                 fwd_headers = {
@@ -385,6 +434,11 @@ class ReusePortFront:
                     if k.lower() not in ("transfer-encoding", "connection", "content-length"):
                         self.send_header(k, v)
                 self.send_header("Content-Length", str(len(body)))
+                if self.close_connection:
+                    # advertise what we are about to do (retired-worker
+                    # responses close so the client reconnects onto the
+                    # new generation)
+                    self.send_header("Connection", "close")
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -414,11 +468,15 @@ class ReusePortFront:
                 os.write(ack_w, b"c")
             except OSError:
                 pass
-        # drain: an in-flight handler may be relaying a response whose
+        # drain: an in-flight REQUEST may be relaying a response whose
         # upstream (the primary) only answers AFTER the generation roll
         # that retired us returns — a proxied mutation that triggered the
         # swap.  Exiting before that response flushes closes the client's
         # connection without a response; wait for inflight to hit zero.
+        # inflight counts requests (not connections — ADVICE r10), any
+        # request arriving post-stop bypasses the stale route table and
+        # closes its connection, so idle keep-alives neither pin the
+        # drain nor read pre-swap bodies.
         deadline = time.time() + 20.0
         while srv.inflight > 0 and time.time() < deadline:
             time.sleep(0.02)

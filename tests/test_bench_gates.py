@@ -226,3 +226,183 @@ def test_http_floor_gate_passes_healthy_refresh(tmp_path):
     report = bh.write_report(stats, 0.1, out_path=out)
     assert json.loads(out.read_text())["shapes"]["exact_address"]["avg"] == 0.05
     assert report["sf"] == 0.1
+
+
+# ---- compose-min for the per-round BENCH / HTTP artifacts (VERDICT r10
+# #1/#2): every capture appends; published values are minima across
+# in-band attempts of byte-identical code -------------------------------
+
+
+@pytest.fixture()
+def compose_env(tmp_path, monkeypatch):
+    """Sandbox bench_common's repo root (attempts logs land in tmp) and
+    pin the fingerprint (an empty glob set hashes deterministically)."""
+    import bench_common as bc
+
+    monkeypatch.setattr(bc, "REPO", tmp_path)
+    (tmp_path / ".bench").mkdir()
+    return bc, tmp_path
+
+
+def _bench_attempt(bc, queries, pre=0.85, fp="f0", sf=0.1):
+    return {
+        "measured_at": "2026-08-16T00:00:00Z",
+        "engine_fp": fp,
+        "sf": sf,
+        "queries": queries,
+        "host_calibration_pre": {"calib_memcopy_2gb_s": pre},
+    }
+
+
+def test_bench_compose_minimum_across_inband_attempts(compose_env):
+    bc, tmp = compose_env
+    log = "bench-attempts-sf0.1.jsonl"
+    bc.append_attempt(log, _bench_attempt(bc, {"q_a": 0.5, "q_b": 2.0}))
+    bc.append_attempt(log, _bench_attempt(bc, {"q_a": 1.1, "q_b": 0.9}))
+    mins, spread, n, degraded = bc.compose_query_mins(
+        bc.load_attempts(log), "f0", 0.1, {"q_a", "q_b"}
+    )
+    assert mins == {"q_a": 0.5, "q_b": 0.9}  # per-query, not per-attempt
+    assert n == 2 and not degraded
+    assert spread["q_a"] == {"min": 0.5, "max": 1.1, "n": 2}
+
+
+def test_bench_compose_excludes_band_edge_hosts(compose_env):
+    """The r10 disease: memcopy 1.028 s passed the 1.2 s settle band and
+    doubled the committed headline.  Composition's stricter 1.0 s band
+    keeps such a capture from defining a value when a clean attempt of
+    the same code exists."""
+    bc, _ = compose_env
+    log = "bench-attempts-sf0.1.jsonl"
+    bc.append_attempt(log, _bench_attempt(bc, {"q_a": 0.24}, pre=0.9))
+    bc.append_attempt(log, _bench_attempt(bc, {"q_a": 1.02}, pre=1.028))
+    mins, _, n, degraded = bc.compose_query_mins(
+        bc.load_attempts(log), "f0", 0.1, {"q_a"}
+    )
+    assert mins == {"q_a": 0.24} and n == 1 and not degraded
+
+
+def test_bench_compose_never_mixes_code_versions(compose_env):
+    bc, _ = compose_env
+    log = "bench-attempts-sf0.1.jsonl"
+    bc.append_attempt(log, _bench_attempt(bc, {"q_a": 0.1}, fp="OLD"))
+    bc.append_attempt(log, _bench_attempt(bc, {"q_a": 0.7}, fp="NEW"))
+    mins, _, n, _ = bc.compose_query_mins(
+        bc.load_attempts(log), "NEW", 0.1, {"q_a"}
+    )
+    assert mins == {"q_a": 0.7} and n == 1  # OLD's faster sample ignored
+
+
+def test_bench_compose_degraded_only_disclosed(compose_env):
+    bc, _ = compose_env
+    log = "bench-attempts-sf0.1.jsonl"
+    bc.append_attempt(log, _bench_attempt(bc, {"q_a": 3.0}, pre=1.15))
+    mins, _, n, degraded = bc.compose_query_mins(
+        bc.load_attempts(log), "f0", 0.1, {"q_a"}
+    )
+    assert mins == {"q_a": 3.0} and degraded  # published, but flagged
+
+
+def test_http_refresh_can_only_lower_a_committed_shape(compose_env, monkeypatch):
+    """VERDICT r10 #2: the driver's end-of-round HTTP capture replaced a
+    settled 0.17x refresh with an in-band-but-2x-slower one.  With the
+    compose protocol, writing the canonical artifact after a slower
+    same-code capture keeps the better sample per shape."""
+    import bench_http as bh
+
+    bc, tmp = compose_env
+    monkeypatch.setattr(bh, "REPO", tmp)
+    monkeypatch.setattr(bc, "engine_fingerprint", lambda: "fp1")
+
+    def stats(avg):
+        return {
+            "protocol": "t",
+            "exact_address": {"avg": avg, "p50": avg, "p95": avg},
+            "http_stack_floor_1client": {"avg": 0.0005},
+        }
+
+    bh.write_report(stats(0.024), 0.1, out_path=None)  # settled refresh
+    bh.write_report(stats(0.046), 0.1, out_path=None)  # slower, in-band
+    doc = json.loads((tmp / "HTTP_BENCH.json").read_text())
+    assert doc["shapes"]["exact_address"]["avg"] == 0.024
+    assert doc["aggregation"]["n_attempts"] == 2
+    assert doc["aggregation"]["shape_source"]["exact_address"]
+    # and a genuinely faster refresh lowers it
+    bh.write_report(stats(0.020), 0.1, out_path=None)
+    doc = json.loads((tmp / "HTTP_BENCH.json").read_text())
+    assert doc["shapes"]["exact_address"]["avg"] == 0.020
+
+
+def test_http_compose_resets_on_engine_change(compose_env, monkeypatch):
+    import bench_http as bh
+
+    bc, tmp = compose_env
+    monkeypatch.setattr(bh, "REPO", tmp)
+
+    def stats(avg):
+        return {
+            "protocol": "t",
+            "exact_address": {"avg": avg},
+            "http_stack_floor_1client": {"avg": 0.0005},
+        }
+
+    monkeypatch.setattr(bc, "engine_fingerprint", lambda: "fpA")
+    bh.write_report(stats(0.01), 0.1, out_path=None)
+    monkeypatch.setattr(bc, "engine_fingerprint", lambda: "fpB")
+    bh.write_report(stats(0.03), 0.1, out_path=None)
+    doc = json.loads((tmp / "HTTP_BENCH.json").read_text())
+    # new code: the old (faster) sample is NOT comparable and must not mask
+    # a real regression
+    assert doc["shapes"]["exact_address"]["avg"] == 0.03
+
+
+def test_http_out_of_band_capture_still_quarantines(compose_env, monkeypatch):
+    """The floor gate composes with — not instead of — the quarantine: a
+    degraded capture neither overwrites nor enters the attempts pool."""
+    import bench_http as bh
+
+    bc, tmp = compose_env
+    monkeypatch.setattr(bh, "REPO", tmp)
+    monkeypatch.setattr(bc, "engine_fingerprint", lambda: "fp1")
+
+    good = {
+        "protocol": "t",
+        "exact_address": {"avg": 0.02},
+        "http_stack_floor_1client": {"avg": 0.0005},
+    }
+    bad = {
+        "protocol": "t",
+        "exact_address": {"avg": 0.5},
+        "http_stack_floor_1client": {"avg": 0.0031},
+    }
+    bh.write_report(good, 0.1, out_path=None)
+    with pytest.raises(SystemExit, match="floor-gate"):
+        bh.write_report(bad, 0.1, out_path=None)
+    doc = json.loads((tmp / "HTTP_BENCH.json").read_text())
+    assert doc["shapes"]["exact_address"]["avg"] == 0.02
+    # the degraded capture is not in the eligible pool for later refreshes
+    pool = [
+        a
+        for a in bc.load_attempts("http-attempts.jsonl")
+        if a.get("floor_1client") is not None
+        and a["floor_1client"] <= bh.FLOOR_BAND_S
+    ]
+    assert len(pool) == 1
+
+
+def test_superlinear_ratio_requires_annotation(scaling_env):
+    """VERDICT r10 #4: vs_linear > 1.0 rows must be explained.  Known
+    output-bound shapes are auto-annotated at compose; any other
+    super-linear row fails --verify instead of certifying silently."""
+    bs, tmp = scaling_env
+    _write_attempts(tmp, "1", [_mk_attempt({"q_policy_warm": 1.0})])
+    _write_attempts(tmp, "10", [_mk_attempt({"q_policy_warm": 11.0})])
+    bs.compose_min("1")
+    bs.compose_min("10")
+    doc = json.loads((tmp / "SCALING.json").read_text())
+    assert "output-bound" in doc["ratios"]["1->10"]["q_policy_warm"]["note"]
+    # a hand-edited (or future unexplained) super-linear row refuses
+    doc["ratios"]["1->10"]["q_weird"] = {"time_ratio": 30.0, "vs_linear": 3.0}
+    (tmp / "SCALING.json").write_text(json.dumps(doc))
+    with pytest.raises(SystemExit, match="vs_linear"):
+        bs.verify_invariants()

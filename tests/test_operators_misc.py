@@ -391,3 +391,38 @@ def test_bucket_range_sliced_write_equals_one_shot(spark, blocks, tmp_path):
     for t in ("checkpoints", "policies", "assets", "binary_data", "scripts"):
         assert getattr(a, t).count() == getattr(b, t).count()
     idx.inputs.unpersist()
+
+
+def test_bucket_range_out_of_order_and_retry_idempotent(spark, blocks, tmp_path):
+    """ADVICE r10: range writes are dynamic-partition-overwrite — ranges
+    land in ANY order (a range-0 write after other ranges must not clear
+    the root) and a RE-RUN of any range replaces its own partition dirs
+    instead of appending duplicate rows (retried backfill jobs)."""
+    from kupo_spark.operators.indexer import build_index, read_index, write_index
+
+    idx = build_index(blocks, ("*",), cache=True)
+    idx.inputs.count()
+    one, sliced = str(tmp_path / "one"), str(tmp_path / "sliced")
+    write_index(idx, one, slot_bucket=20)
+    max_created = idx.inputs.agg({"created_at": "max"}).first()[0]
+    n_buckets = int(max_created) // 20 + 1
+    step = -(-n_buckets // 3)
+    ranges = [
+        (i * step, min((i + 1) * step, n_buckets))
+        for i in range(3)
+        if i * step < min((i + 1) * step, n_buckets)
+    ]
+    # out of order: range 0 written LAST (statically it would wipe the rest)
+    for lo, hi in ranges[1:] + ranges[:1]:
+        write_index(idx, sliced, slot_bucket=20, bucket_range=(lo, hi), only="inputs")
+    # retry: re-run the middle range — must not duplicate its rows
+    write_index(idx, sliced, slot_bucket=20, bucket_range=ranges[1], only="inputs")
+    write_index(idx, sliced, slot_bucket=20, only="side")
+    a = read_index(spark, one, slot_bucket=20)
+    b = read_index(spark, sliced, slot_bucket=20)
+    cols = sorted(a.inputs.columns)
+    assert (
+        a.inputs.select(*cols).orderBy("output_reference").collect()
+        == b.inputs.select(*cols).orderBy("output_reference").collect()
+    )
+    idx.inputs.unpersist()

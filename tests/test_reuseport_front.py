@@ -362,3 +362,57 @@ def test_mutation_proxied_through_front_survives_the_roll_it_triggers():
     finally:
         front.close()
         primary.shutdown()
+
+
+def test_retired_worker_keepalive_bypasses_stale_routes():
+    """ADVICE r10 (medium): after refresh() returns, a request arriving on
+    an EXISTING keep-alive connection to a retired worker must not read the
+    old generation's route table — the swap that retired it already changed
+    the truth (a DELETE-invalidated body would remain readable for the
+    whole drain grace).  The retired worker proxies such requests to the
+    primary and closes the connection, so the client's reconnect lands on
+    the new generation."""
+    primary, purl = _start_primary()
+    front = ReusePortFront(
+        purl, {"/hot": ("text/plain", b"old", [("ETag", "aaaa")])}, workers=2
+    ).start()
+    conn = None
+    try:
+        old_pids = set(front._pids)
+        # pin a keep-alive connection to some old-generation worker
+        conn = http.client.HTTPConnection("127.0.0.1", front.port, timeout=30)
+        conn.request("GET", "/hot")
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 200 and body == b"old"
+        assert int(r.headers["X-Worker-Pid"]) in old_pids
+
+        front.refresh({"/hot": ("text/plain", b"new", [("ETag", "bbbb")])})
+
+        # same connection, same path: the retired worker must NOT serve the
+        # pre-swap body.  It either proxies to the primary (fresh truth)
+        # and closes the connection, or the connection is already gone —
+        # both force the next request onto the new generation; only b"old"
+        # is a failure.
+        try:
+            conn.request("GET", "/hot")
+            r = conn.getresponse()
+            body = r.read()
+            assert body != b"old", "retired worker served a pre-swap body"
+            # the bypass proxies: the primary's stub answers its own JSON
+            assert json.loads(body) == {"proxied": "/hot"}
+            assert r.headers.get("X-Origin") == "primary"
+            # and the worker told the client to reconnect
+            assert (r.headers.get("Connection") or "").lower() == "close"
+        except (http.client.HTTPException, OSError):
+            pass  # connection torn down by retirement: also not-stale
+
+        # the reconnect lands on the new generation with the new body
+        s, h, b = _get(front.url, "/hot")
+        assert s == 200 and b == b"new" and h["ETag"] == "bbbb"
+        assert int(h["X-Worker-Pid"]) in set(front._pids)
+    finally:
+        if conn is not None:
+            conn.close()
+        front.close()
+        primary.shutdown()

@@ -369,6 +369,22 @@ def compose_min(sf: str) -> None:
                     "(driver/JVM/Lloyd-iteration overhead dominates at the "
                     "smaller point), not a scaling property"
                 )
+            # VERDICT r10 #4: SUPER-linear rows need an explanation too.
+            # The wide-scan shapes are output-bound — their result set
+            # grows ~linearly with the data, so collect/render cost is
+            # linear in OUTPUT rows (plus cache effects), which can read
+            # nominally above 1.0x vs the data factor without being a plan
+            # property.  Any OTHER super-linear row gets no note here and
+            # verify_invariants refuses to certify it — a genuinely
+            # super-linear plan must be investigated, not published.
+            elif entry["vs_linear"] is not None and entry["vs_linear"] > 1.0:
+                if any(t in k for t in ("policy", "delegation")):
+                    entry["note"] = (
+                        "output-bound: this shape's matched set grows "
+                        "~linearly with the data, so row delivery "
+                        "(collect/render) is linear in OUTPUT rows plus "
+                        "cache effects — not plan scaling"
+                    )
             step[k] = entry
         ratios[f"{lo}->{hi}"] = step
     doc["ratios"] = ratios
@@ -416,6 +432,23 @@ def verify_invariants() -> None:
                 errors.append(
                     f"sf{sf}: aggregation claims {n_agg} attempts but the "
                     f"log holds {n_logged}"
+                )
+    # VERDICT r10 #4: every ratio row outside the trust band — shrinking
+    # (time_ratio < 0.8) OR super-linear (vs_linear > 1.0) — must carry an
+    # annotation explaining WHY it is not a plan property; an unexplained
+    # row refuses to certify.
+    for step_name, step in doc.get("ratios", {}).items():
+        for k, ent in step.items():
+            tr, vl = ent.get("time_ratio"), ent.get("vs_linear")
+            if tr is not None and tr < 0.8 and not ent.get("note"):
+                errors.append(
+                    f"ratios {step_name}: {k} time_ratio={tr} < 0.8 "
+                    "without an annotation"
+                )
+            if vl is not None and vl > 1.0 and not ent.get("note"):
+                errors.append(
+                    f"ratios {step_name}: {k} vs_linear={vl} > 1.0 "
+                    "without an annotation"
                 )
     if errors:
         raise SystemExit(
