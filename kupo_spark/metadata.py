@@ -91,6 +91,46 @@ def metadata_cbor_sql(e: str = "e") -> str:
     return f"'a2' || {label} || {inner} || {tag674}"
 
 
+def metadata_deep_cbor_sql(mc: str = "metadata_cbor") -> str:
+    """Hex CBOR wrapping a transaction's ORIGINAL metadata bytes five
+    levels deep (C8 deep-recursion oracle arm, round 11) — a shared-SQL
+    derivation like :func:`metadata_cbor_sql` (one spec, two engines):
+
+    ``{ 0: [ B(orig), { 1: [ S"deep", { S"k": I(len(orig) % 7) } ] } ] }``
+
+    map → list → map → list → map; every head minimal-width, so the result
+    is canonical CBOR the recursive renderer must walk to depth 5."""
+    blen = f"CAST(length({mc}) / 2 AS BIGINT)"  # orig byte length (hex/2)
+    bhead = (
+        f"CASE WHEN {blen} < 24 THEN lpad(lower(hex(64 + {blen})), 2, '0') "
+        f"ELSE '58' || lpad(lower(hex({blen})), 2, '0') END"
+    )  # major-type-2 head (fixture payloads are < 256 bytes)
+    n = f"({blen} % 7)"
+    inner_map = f"'a1' || '616b' || lpad(lower(hex({n})), 2, '0')"  # {"k": n}
+    inner_list = f"'82' || '6464656570' || {inner_map}"  # [ "deep", {...} ]
+    mid_map = f"'a1' || '01' || {inner_list}"  # { 1: [...] }
+    outer_list = f"'82' || {bhead} || {mc} || {mid_map}"  # [ B(orig), {...} ]
+    return f"'a1' || '00' || {outer_list}"  # { 0: [...] }
+
+
+def metadata_deep_schema_json_sql(mc: str = "metadata_cbor") -> str:
+    """INDEPENDENT DuckDB/Spark SQL building the byte-exact JSON text the
+    recursive renderer (:func:`schema_to_json` + ``json.dumps(...,
+    separators=(',',':'))``) must produce for the deep structure above —
+    the oracle side of the C8 deep arm.  Written from the Metadata.hs
+    schema rules (``{"int"}/{"string"}/{"bytes"}/{"list"}/{"map":[{"k","v"}]}``),
+    not from the Python renderer."""
+    blen = f"CAST(length({mc}) / 2 AS BIGINT)"
+    n = f"CAST(({blen} % 7) AS STRING)"
+    head = '{"0":{"list":[{"bytes":"'
+    mid = (
+        '"},{"map":[{"k":{"int":1},"v":{"list":[{"string":"deep"},'
+        '{"map":[{"k":{"string":"k"},"v":{"int":'
+    )
+    tail = "}}]}]}}]}]}}"
+    return f"'{head}' || {mc} || '{mid}' || {n} || '{tail}'"
+
+
 # ---------------------------------------------------------------------------
 # model: CBOR node → Metadatum JSON schema (Metadata.hs:73-96)
 # ---------------------------------------------------------------------------

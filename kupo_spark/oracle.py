@@ -477,6 +477,12 @@ SELECT {proj}, i.spent_at, i.spent_by, i.spent_with, 'put_patterns' AS q
 FROM inputs i
 WHERE (({old_sql}) OR ({new_sql}))
   AND (i.created_at > {m5_slot} OR ({old_sql}))
+UNION ALL
+-- round-11 streaming-replay arm: micro-batched ingest + mid-stream
+-- rollback + re-delivery must RESOLVE to the one-shot batch index — the
+-- oracle is simply the full index state
+SELECT {proj}, i.spent_at, i.spent_by, i.spent_with, 'stream_replay' AS q
+FROM inputs i
 """
 
 

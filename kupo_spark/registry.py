@@ -146,7 +146,18 @@ def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     PUT /patterns rollback→install→backfill composition
     (``maintenance.put_patterns_backfill``, the expression the HTTP batch
     route swaps in) — rows the OLD pattern matches survive in full, rows
-    only the NEW pattern matches exist only past the rollback point."""
+    only the NEW pattern matches exist only past the rollback point.
+
+    PLUS the round-11 rotated streaming-replay arm (VERDICT r10 #3b —
+    F7/S6 were suite-tested only): drive :class:`StreamingIndexer` over
+    the fixture chain split into micro-batches with a MID-STREAM rollback
+    (ingest ≤600, ingest (600,800], roll back to 700 — retracting the
+    (700,800] suffix and UN-spending rows spent there — then replay
+    (700,tip], the chain-sync re-delivery after a fork,
+    ``src/Kupo.hs:259-317`` + ``App.hs:311-346``).  The resolved log
+    state must equal the one-shot batch index on the full chain; a
+    rollback that over/under-retracts or a replay that double-applies
+    flips the hash."""
     import dataclasses
 
     idx = get_index(spark, sf_dir)
@@ -168,7 +179,24 @@ def _q_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .inputs.select(*_ROLLBACK_PROJ)
         .withColumn("q", F.lit("put_patterns"))
     )
-    return rolled.unionByName(m5)
+    import tempfile
+
+    from kupo_spark.streaming.indexer import StreamingIndexer
+
+    blocks, _ = get_blocks_and_index(spark, sf_dir)
+    six = StreamingIndexer(tempfile.mkdtemp(prefix="kupo-replay-arm-"))
+    six.process_batch(blocks.where(F.col("slot_no") <= 600), 1)
+    six.process_batch(
+        blocks.where((F.col("slot_no") > 600) & (F.col("slot_no") <= 800)), 2
+    )
+    six.append_rollback(ROLLBACK_SLOT)
+    six.process_batch(blocks.where(F.col("slot_no") > ROLLBACK_SLOT), 3)
+    replayed = (
+        six.resolved_index(spark)
+        .inputs.select(*_ROLLBACK_PROJ)
+        .withColumn("q", F.lit("stream_replay"))
+    )
+    return rolled.unionByName(m5).unionByName(replayed)
 
 
 _PRUNE_PROJ = [
@@ -315,9 +343,101 @@ UNION ALL
 """
 
 
+_TAG_PROJ = ["output_reference", "transaction_id", "address", "coins", "created_at"]
+
+
+def _q_metadata_by_slot_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /metadata/{slot} (S4) with and without the transaction_id
+    filter, PLUS the round-11 rotated C8 deep-recursion arm (VERDICT r10
+    #3c — ``metadata.py``'s recursive renderer was gated by one flat-ish
+    fixture slot): each metadata payload at the slot is wrapped five
+    levels deep (map→list→map→list→map, ``metadata_deep_cbor_sql`` — a
+    shared Spark/DuckDB derivation like the chain's own metadata) and
+    rendered through the ENGINE's recursive schema renderer
+    (``schema_to_json``, Metadata.hs:73-96, Arrow-batched pandas UDF);
+    the oracle builds the byte-exact expected JSON text independently in
+    SQL, so any depth-limited, mis-ordered, or mis-escaped rendering
+    flips the hash."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from kupo_spark.metadata import metadata_deep_cbor_sql
+
+    blocks = get_blocks_and_index(spark, sf_dir)[0]
+    base = mt.metadata_by_slot(blocks, META_SLOT).withColumn("q", F.lit("slot"))
+    tx = mt.metadata_by_slot(
+        blocks, META_SLOT, transaction_id=cs.transaction_id_of(500)
+    ).withColumn("q", F.lit("tx"))
+
+    # explicit returnType, no type hints (stringified annotations break
+    # pandas_udf's hint resolution under `from __future__ import annotations`)
+    def _render_schema(hex_cbor):
+        import json as _json
+
+        from kupo_spark.metadata import schema_to_json
+
+        return pandas.Series(
+            [
+                _json.dumps(
+                    schema_to_json(bytes.fromhex(h)), separators=(",", ":")
+                )
+                for h in hex_cbor
+            ]
+        )
+
+    _render = pandas_udf(_render_schema, returnType=StringType())
+    deep = (
+        mt.metadata_by_slot(blocks, META_SLOT)
+        .withColumn("deep_cbor", F.expr(metadata_deep_cbor_sql("metadata_cbor")))
+        .select(
+            "transaction_id",
+            _render(F.col("deep_cbor")).alias("metadata_cbor"),
+            F.lit("deep").alias("q"),
+        )
+    )
+    return base.unionByName(tx).unionByName(deep)
+
+
 def _q_index_metadata_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 `{tag}` ingest-only matching PLUS the round-11 rotated
+    sliced-write arm (VERDICT r10 #3a — ``write_index(bucket_range=)``,
+    the slot-range incremental primitive the sf10 ingest certification
+    rests on, was suite-tested only): write the full index as three
+    disjoint bucket-range sub-writes delivered OUT OF ORDER plus one
+    RETRY of the middle range (dynamic partition overwrite must make the
+    re-run idempotent), finish the side tables, read the layout back and
+    emit every input — a dropped, duplicated, or stale partition dir
+    flips the hash against the plain full-index oracle."""
     idx = _tag_index(spark, sf_dir)
-    return idx.inputs.select("output_reference", "transaction_id", "address", "coins", "created_at")
+    tag = idx.inputs.select(*_TAG_PROJ).withColumn("q", F.lit("tag"))
+
+    import tempfile
+
+    from kupo_spark.operators.indexer import read_index, write_index
+
+    full = get_index(spark, sf_dir)
+    dest = tempfile.mkdtemp(prefix="kupo-slicedw-arm-")
+    sb = 100  # small buckets so even the sf0.001 fixture genuinely slices
+    max_created = full.inputs.agg(F.max("created_at")).first()[0] or 0
+    n_buckets = int(max_created) // sb + 1
+    step = -(-n_buckets // 3)
+    ranges = [
+        (i * step, min((i + 1) * step, n_buckets))
+        for i in range(3)
+        if i * step < min((i + 1) * step, n_buckets)
+    ]
+    # out of order (range 0 last) + a retry of the middle range
+    order = ranges[1:] + ranges[:1] + ranges[1:2]
+    for lo, hi in order:
+        write_index(full, dest, slot_bucket=sb, bucket_range=(lo, hi), only="inputs")
+    write_index(full, dest, slot_bucket=sb, only="side")
+    sliced = (
+        read_index(spark, dest, slot_bucket=sb)
+        .inputs.select(*_TAG_PROJ)
+        .withColumn("q", F.lit("slicedw"))
+    )
+    return tag.unionByName(sliced)
 
 
 def _source_fold(idx, datum_hash_col) -> DataFrame:
@@ -1238,18 +1358,9 @@ def queries() -> dict[str, QueryFn]:
     out["q_rollback_inputs"] = _q_rollback
     out["q_prune_inputs"] = _q_prune_inputs
     out["q_prune_binary_data"] = _q_prune_binary_data
-    # GET /metadata/{slot} with and without the transaction_id filter
-    out["q_metadata_by_slot"] = lambda s, d: (
-        mt.metadata_by_slot(get_blocks_and_index(s, d)[0], META_SLOT)
-        .withColumn("q", F.lit("slot"))
-        .unionByName(
-            mt.metadata_by_slot(
-                get_blocks_and_index(s, d)[0],
-                META_SLOT,
-                transaction_id=cs.transaction_id_of(500),
-            ).withColumn("q", F.lit("tx"))
-        )
-    )
+    # GET /metadata/{slot} with and without the transaction_id filter,
+    # plus the round-11 C8 deep-recursion arm
+    out["q_metadata_by_slot"] = _q_metadata_by_slot_plus
     out["q_delete_pattern"] = _q_delete_pattern_plus
     out["q_index_metadata_tag"] = _q_index_metadata_tag
     out["q_ogmios_fold"] = _q_ogmios_fold
@@ -1308,9 +1419,13 @@ def oracle_sql() -> dict[str, str]:
     )
     out["q_prune_inputs"] = _prune_inputs_plus_sql()
     out["q_prune_binary_data"] = oracle.pruned_binary_data_sql(ROLLBACK_SLOT)
-    from kupo_spark.metadata import metadata_cbor_sql
+    from kupo_spark.metadata import (
+        metadata_cbor_sql,
+        metadata_deep_schema_json_sql,
+    )
 
     _mc = metadata_cbor_sql("e")
+    _deep_json = metadata_deep_schema_json_sql(_mc)
     out["q_metadata_by_slot"] = oracle.PRELUDE + (
         f"SELECT transaction_id, {_mc} AS metadata_cbor, "
         f"'slot' AS q FROM outs "
@@ -1318,13 +1433,24 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL "
         f"SELECT transaction_id, {_mc}, 'tx' "
         f"FROM outs WHERE created_at = {META_SLOT} AND e % 4 = 0 AND output_index = 0 "
-        f"AND transaction_id = '{cs.transaction_id_of(500)}'"
+        f"AND transaction_id = '{cs.transaction_id_of(500)}' "
+        "UNION ALL "
+        # round-11 C8 deep arm: the recursive renderer's output for the
+        # 5-level wrap, built independently as SQL text
+        f"SELECT transaction_id, {_deep_json}, 'deep' "
+        f"FROM outs WHERE created_at = {META_SLOT} AND e % 4 = 0 AND output_index = 0"
     )
     out["q_delete_pattern"] = _delete_pattern_plus_sql()
     out["q_index_metadata_tag"] = oracle.PRELUDE + (
-        "SELECT output_reference, transaction_id, address, coins, created_at "
+        "SELECT output_reference, transaction_id, address, coins, created_at, "
+        "'tag' AS q "
         "FROM inputs i WHERE EXISTS (SELECT 1 FROM outs o "
-        "WHERE o.transaction_id = i.transaction_id AND o.e % 4 = 0)"
+        "WHERE o.transaction_id = i.transaction_id AND o.e % 4 = 0) "
+        "UNION ALL "
+        # round-11 sliced-write arm: three out-of-order bucket-range
+        # sub-writes + one retry read back == the plain full index
+        "SELECT output_reference, transaction_id, address, coins, "
+        "created_at, 'slicedw' FROM inputs i"
     )
     out["q_ogmios_fold"] = (
         f"SELECT 'plain' AS arm, * FROM ({oracle_sources.ogmios_fold_sql()})\n"

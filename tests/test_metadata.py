@@ -137,3 +137,33 @@ def test_rendered_endpoint_builder(spark, blocks):
         assert set(doc) == {"hash", "raw", "schema"}
         assert metadata.metadata_hash(bytes.fromhex(doc["raw"])) == doc["hash"]
         assert metadata.schema_to_json(bytes.fromhex(doc["raw"])) == doc["schema"]
+
+
+def test_deep_wrap_renders_byte_exact_vs_sql_oracle():
+    """C8 deep-recursion arm spec (round 11): the 5-level wrap built by
+    `metadata_deep_cbor_sql` decodes + renders through the recursive
+    Python renderer to EXACTLY the JSON text the independent SQL builder
+    (`metadata_deep_schema_json_sql`) produces — across payload lengths
+    that cross the CBOR bytes-head width boundary."""
+    import json
+
+    import duckdb
+
+    from kupo_spark.metadata import (
+        metadata_cbor_sql,
+        metadata_deep_cbor_sql,
+        metadata_deep_schema_json_sql,
+        schema_to_json,
+    )
+
+    con = duckdb.connect()
+    for e in (0, 4, 8, 100, 2048, 123456, 2**33):
+        mc = metadata_cbor_sql(str(e))
+        deep, expected = con.execute(
+            f"SELECT {metadata_deep_cbor_sql(mc)}, "
+            f"{metadata_deep_schema_json_sql(mc)}"
+        ).fetchone()
+        rendered = json.dumps(
+            schema_to_json(bytes.fromhex(deep)), separators=(",", ":")
+        )
+        assert rendered == expected, e
