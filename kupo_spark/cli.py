@@ -4,7 +4,8 @@ Mirrors the reference's command set (``src/Kupo/Options.hs:109-113``)::
 
     python -m kupo_spark [run] --events DIR --workdir DIR --since POINT \
         [--match PATTERN]... [--until POINT] [--prune-utxo] \
-        [--defer-db-indexes] [--gc-interval SECONDS] [--read-only] \
+        [--longest-rollback SLOTS] [--defer-db-indexes] \
+        [--gc-interval SECONDS] [--read-only] \
         [--in-memory] [--host IPv4] [--port TCP/PORT]
     python -m kupo_spark copy --from DIR --into DIR [--match PATTERN]...
     python -m kupo_spark health-check [--host IPv4] [--port TCP/PORT]
@@ -22,6 +23,9 @@ ServerOutput NDJSON).  Semantics preserved:
 - ``--until`` bounds the sync for point-in-time snapshots;
 - repeated ``--match`` is a logical disjunction;
 - ``--prune-utxo`` removes spent inputs instead of marking them;
+- ``--longest-rollback`` overrides the security parameter k
+  (``Options.hs:149``): the M4 prune horizon, the gardener's GC depth,
+  and how far PUT /patterns may rewind;
 - ``--defer-db-indexes`` skips the post-sync compaction/layout pass (the
   "install indexes on next start" trade, ``Options.hs:353-361``): the
   next non-deferred start compacts;

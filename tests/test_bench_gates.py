@@ -406,3 +406,31 @@ def test_superlinear_ratio_requires_annotation(scaling_env):
     (tmp / "SCALING.json").write_text(json.dumps(doc))
     with pytest.raises(SystemExit, match="vs_linear"):
         bs.verify_invariants()
+
+
+def test_http_verify_committed_invariant(compose_env, monkeypatch):
+    """`bench_http.py --verify`: the committed file must equal its own
+    per-shape compose; a hand-lowered pool sample (or a refresh that
+    replaced a better one) fails."""
+    import bench_http as bh
+
+    bc, tmp = compose_env
+    monkeypatch.setattr(bh, "REPO", tmp)
+    monkeypatch.setattr(bc, "engine_fingerprint", lambda: "fp1")
+
+    def stats(avg):
+        return {
+            "protocol": "t",
+            "exact_address": {"avg": avg},
+            "http_stack_floor_1client": {"avg": 0.0005},
+        }
+
+    bh.write_report(stats(0.03), 0.1, out_path=None)
+    bh.write_report(stats(0.02), 0.1, out_path=None)
+    bh.verify_committed()  # committed == pool min
+    # tamper: raise the committed value above the pool min
+    doc = json.loads((tmp / "HTTP_BENCH.json").read_text())
+    doc["shapes"]["exact_address"]["avg"] = 0.03
+    (tmp / "HTTP_BENCH.json").write_text(json.dumps(doc))
+    with pytest.raises(SystemExit, match="pool min"):
+        bh.verify_committed()

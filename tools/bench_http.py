@@ -501,6 +501,60 @@ def write_report(stats: dict, sf, out_path: str | Path | None = None) -> dict:
 FLOOR_BAND_S = 0.0012
 
 
+def verify_committed() -> None:
+    """Commit-time invariant over HTTP_BENCH.json (the bench_scaling
+    ``--verify`` analog): every committed shape's avg equals the min avg
+    across in-band attempts of the committed engine_fp in the attempts
+    log — i.e. the committed file IS its own compose, and no refresh can
+    have replaced a better same-code sample.  A committed file without
+    an aggregation block predates the compose protocol and is rejected."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "tools"))
+    from bench_common import load_attempts
+
+    out = REPO / "HTTP_BENCH.json"
+    doc = json.loads(out.read_text())
+    errors: list[str] = []
+    agg = doc.get("aggregation")
+    if not agg:
+        raise SystemExit(
+            "[http-invariant] HTTP_BENCH.json has no aggregation block "
+            "(pre-compose capture?) — refresh via bench_http/bench.py at "
+            "sf0.1 to re-compose"
+        )
+    fp, sf = agg.get("engine_fp"), doc.get("sf")
+    pool = [
+        a
+        for a in load_attempts("http-attempts.jsonl")
+        if a.get("engine_fp") == fp
+        and a.get("sf") == sf
+        and a.get("floor_1client") is not None
+        and a["floor_1client"] <= FLOOR_BAND_S
+    ]
+    if not pool:
+        raise SystemExit(
+            f"[http-invariant] no in-band attempts for engine_fp {fp} in "
+            "the log — the committed file cannot be its own compose"
+        )
+    for name, st in doc.get("shapes", {}).items():
+        avgs = [
+            cand["avg"]
+            for a in pool
+            for cand in [(a.get("stats") or {}).get(name)]
+            if isinstance(cand, dict) and cand.get("avg") is not None
+        ]
+        if avgs and abs(st["avg"] - min(avgs)) > 1e-9:
+            errors.append(
+                f"{name}: committed avg {st['avg']} != pool min {min(avgs)}"
+            )
+    if errors:
+        raise SystemExit(
+            "[http-invariant] HTTP_BENCH.json violates compose invariants:\n  "
+            + "\n  ".join(errors)
+        )
+
+
 def served_index(spark, sf_dir: str, index_dir: str | None = None):
     """The layout every HTTP number is measured against: chain → matched
     index → `write_index` (partitioned + address-sorted parquet) →
@@ -528,6 +582,11 @@ def served_index(spark, sf_dir: str, index_dir: str | None = None):
 def main() -> None:
     import os
     import sys
+
+    if "--verify" in sys.argv:
+        verify_committed()
+        print("[http-invariant] OK")
+        return
 
     repo = Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(repo))
