@@ -563,7 +563,10 @@ def test_hot_gen_rolls_are_rate_limited(spark, index, blocks):
             srv._record_hot_point(f"/matches/*@{'%02x' % i * 32}", None, {})
             time.sleep(0.06)
         assert rolls == [], "refresher rolled inside min_roll_interval"
-        srv._front_last_roll = 0.0  # interval elapsed -> one roll allowed
+        # interval elapsed -> one roll allowed.  NOT 0.0: monotonic() is
+        # time-since-boot on Linux, so on a host up less than an hour
+        # `monotonic() - 0.0 < 3600` and the roll never fires.
+        srv._front_last_roll = time.monotonic() - 3601
         deadline = time.monotonic() + 5
         while not rolls and time.monotonic() < deadline:
             time.sleep(0.02)
