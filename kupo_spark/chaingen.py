@@ -180,10 +180,39 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def load_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block stream for an sf_dir.
 
-    Deliberately NO repartition of the small single-file source: fanning
-    the narrow scan out to the cores was measured ~20% SLOWER end-to-end
-    cold (the extra exchange + per-consumer re-shuffle + added codegen
-    stages cost more than the parallel generation saves at test SFs). A
-    real chain source arrives already split across many partitions, where
-    the derivation parallelizes for free."""
-    return blocks_from_events(load_events(spark, sf_dir))
+    The heavy era-normalizing derivation (md5/CBOR expression trees) runs
+    where the events scan runs.  A small single-file source yields ONE
+    scan split (the 4 MB ``openCostInBytes`` floor stops Spark splitting
+    it), so the whole decode would run on one core while the rest idle —
+    measured 17.5 s → 12.7 s cold build+count at the current sf0.1 by
+    fanning the narrow (event_id, user_id) rows out to the cores first
+    (r11; an earlier measurement at 100× larger inputs found the fan-out
+    ~20% slower, but there the scan already split).  The gate is
+    scale-adaptive (guide §2): estimated scan splits are derived from the
+    source file size, so a production-size events table (≥ cores × 128 MB
+    splits) never pays the extra narrow-row exchange."""
+    ev = load_events(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    try:
+        import os as _os
+        from pathlib import Path as _Path
+
+        p = _Path(f"{sf_dir}/events.parquet")
+        nbytes = (
+            sum(f.stat().st_size for f in p.glob("**/*") if f.is_file())
+            if p.is_dir()
+            else _os.path.getsize(p)
+        )
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        raw = raw.removesuffix("b")
+        mult = units.get(raw[-1:], 1)
+        max_split = int(raw.rstrip("kmg") or "0") * mult or 128 * (1 << 20)
+        est_splits = max(1, -(-nbytes // max_split))
+    except (OSError, ValueError):
+        est_splits = target  # unknown source shape: leave the scan alone
+    if est_splits < target:
+        ev = ev.repartition(target)
+    return blocks_from_events(ev)

@@ -47,10 +47,32 @@ def topk_merge(scored: DataFrame, k: int, buckets: int = TOPK_BUCKETS) -> DataFr
 
     Both stages order by the same ``(cosine DESC, neighbor_id ASC)`` key, so
     the result is bit-identical to the single-window ranking.
+
+    When Catalyst's size estimate says the whole scored stream fits one
+    advisory partition, the partial stage is pure overhead (its exchange +
+    sort pass cost more than the reducer-memory bound buys) and the merge
+    window ranks directly — one exchange instead of two, same rows (r11,
+    guide §2.4).  The gate is the same scale-adaptive estimate the
+    chain-order sort uses; big corpora keep the two-stage plan and its
+    bounded reducers.
     """
+    from kupo_spark.operators.fold_inputs import _estimated_plan_bytes, _size_bytes
+
     order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
-    partial = Window.partitionBy("query_id", "part_bucket").orderBy(*order)
     merge = Window.partitionBy("query_id").orderBy(*order)
+    advisory = _size_bytes(
+        scored.sparkSession.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        ),
+        64 << 20,
+    )
+    if _estimated_plan_bytes(scored) <= advisory:
+        return (
+            scored.withColumn("rank", F.row_number().over(merge))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+    partial = Window.partitionBy("query_id", "part_bucket").orderBy(*order)
     return (
         scored.withColumn("part_bucket", F.pmod(F.hash("neighbor_id"), F.lit(buckets)))
         .withColumn("_prank", F.row_number().over(partial))

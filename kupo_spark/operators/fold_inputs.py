@@ -54,6 +54,80 @@ def assert_point(index: Index, slot_no: int, header_hash: str) -> None:
     if hit == 0:
         raise UnknownPointError(f"unknown point {slot_no}.{header_hash}")
 
+def _size_bytes(raw: str, default: int) -> int:
+    """Parse a Spark size conf value ('64MB', '134217728b', '1g')."""
+    try:
+        s = raw.strip().lower().removesuffix("b")
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1:], 1)
+        return int(s.rstrip("kmg") or "0") * mult or default
+    except (ValueError, AttributeError):
+        return default
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for a frame (file bytes at the leaves,
+    scaled through projections) — the same signal AQE plans from."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().analyzed().stats().sizeInBytes())  # noqa: SLF001
+        )
+    except Exception:  # noqa: BLE001 — estimate unavailable: assume big
+        return 1 << 62
+
+
+def chain_order_sort(
+    df: DataFrame,
+    keys: list[str],
+    descending: bool,
+    small: bool | None = None,
+) -> DataFrame:
+    """O1 global chain-order sort with a scale-adaptive plan (guide §2.4).
+
+    ``orderBy``'s range exchange first runs a SAMPLING job that re-executes
+    the entire child (scan + joins) to pick partition boundaries, then
+    executes the child again for real — two full passes.  When Catalyst's
+    own size estimate says the sort input fits one advisory partition, a
+    1-partition range exchange sorts in a single pass instead
+    (``RangePartitioner`` skips sampling outright for one partition), and
+    AQE would have coalesced the post-shuffle side to one partition anyway.
+    A large (or unestimable) input keeps the sampled parallel range sort —
+    the scale-safe plan.  The sort keys are a total order (one row per
+    (created_at, transaction_index, output_index)), so output order is
+    bit-identical on both paths.
+
+    ``small`` overrides the estimate for callers whose frame carries
+    row-preserving joins (dictionary left joins, the render's assets
+    re-attach) that inflate Catalyst's product-based join estimate while
+    leaving the true row count unchanged — they gate on the pre-join
+    frame's estimate instead."""
+    cols = [F.col(k).desc() if descending else F.col(k).asc() for k in keys]
+    if small is None:
+        advisory = _size_bytes(
+            df.sparkSession.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+            ),
+            64 << 20,
+        )
+        small = _estimated_plan_bytes(df) <= advisory
+    if small:
+        return df.repartitionByRange(1, *cols).sortWithinPartitions(*cols)
+    return df.orderBy(*cols)
+
+
+def plan_is_small(df: DataFrame, width_factor: int = 1) -> bool:
+    """True when Catalyst's size estimate for ``df`` (scaled by
+    ``width_factor`` for columns a caller will attach later) fits one
+    advisory partition — the single-pass-sort gate."""
+    advisory = _size_bytes(
+        df.sparkSession.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        ),
+        64 << 20,
+    )
+    est = _estimated_plan_bytes(df)
+    return est <= advisory // max(1, width_factor)
+
+
 RESULT_COLUMNS = [
     "output_reference", "transaction_id", "transaction_index", "output_index",
     "address", "coins", "datum_hash", "script_hash",
@@ -161,6 +235,11 @@ def fold_inputs(
     elif filter_output_index is not None:
         raise PatternError("output_index filter requires transaction_id")
 
+    # single-pass-sort gate, taken BEFORE the row-preserving dictionary /
+    # checkpoint joins below (their product-based size estimates inflate
+    # while the row count cannot grow)
+    small_sort = plan_is_small(df, width_factor=2) if sorted_result else None
+
     # J1/J2: checkpoint resolution — broadcast the dimension.  A
     # materialized index (write_index) and the serving view pre-resolve the
     # hashes once; skip the joins when the columns are already present.
@@ -185,21 +264,14 @@ def fold_inputs(
     df = df.select(*cols)
 
     if sorted_result:
-        # O1: total chain order (SQLite.hs:948-969).  The range sort's
-        # boundary sampling re-executes the child (a filtered parquet scan
-        # with pushed predicates — cheap to repeat); truncating lineage via
-        # localCheckpoint was measured SLOWER end-to-end because the
-        # .localCheckpoint() call compiles the physical plan eagerly
-        # (~0.3 s Catalyst) and materializes the whole match, while the
-        # re-executed scan costs less than that at every scale where the
-        # filter is selective.  Plain orderBy keeps lineage (executor loss
-        # recomputes instead of failing the request) and lets AQE pick the
-        # shuffle partitioning.
+        # O1: total chain order (SQLite.hs:948-969).  Truncating lineage via
+        # localCheckpoint was measured SLOWER end-to-end (eager plan compile
+        # + full materialization); chain_order_sort instead drops the range
+        # sampler's re-execution pass entirely when the size estimate says
+        # the input fits one partition, and keeps the sampled parallel sort
+        # (lineage intact, AQE partitioning) for everything bigger.
         keys = ["created_at", "transaction_index", "output_index"]
-        if order == "most_recent_first":
-            df = df.orderBy(*[F.col(k).desc() for k in keys])
-        else:
-            df = df.orderBy(*[F.col(k).asc() for k in keys])
+        df = chain_order_sort(df, keys, order == "most_recent_first", small=small_sort)
     return df
 
 

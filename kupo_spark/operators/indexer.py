@@ -366,13 +366,22 @@ def write_index(
     import time as _time
 
     inputs = index.inputs
+    tip = None
     if "created_header_hash" not in inputs.columns:
-        # one cheap narrow count per write decides the join strategy
-        n_cp = index.checkpoints.count()
+        # ONE tiny checkpoints aggregate decides the join strategy AND
+        # bounds the bucket count (r11: this used to be two jobs — a
+        # checkpoints count here plus a full inputs scan for
+        # max(created_bucket) below; every created_at IS a checkpoint slot,
+        # so the tip bounds the bucket range, and an over-bound only pads
+        # the clamped task count, never the layout)
+        stats = index.checkpoints.agg(
+            F.count("*").alias("n"), F.max("slot_no").alias("tip")
+        ).first()
         inputs = resolve_header_hashes(
             inputs, index.checkpoints,
-            broadcast=n_cp <= BROADCAST_CHECKPOINTS_LIMIT,
+            broadcast=stats["n"] <= BROADCAST_CHECKPOINTS_LIMIT,
         )
+        tip = stats["tip"]
     inputs = inputs.withColumn(
         "created_bucket", (F.col("created_at") / slot_bucket).cast("long")
     )
@@ -384,11 +393,14 @@ def write_index(
     # count to the bucket count keeps per-task sort volume constant
     # (~slot_bucket worth of rows) at every scale, and each task then
     # writes exactly its own partition directory.
-    n_buckets = (
-        (inputs.agg(F.max("created_bucket").alias("b")).first()["b"] or 0) + 1
-        if bucket_range is None and only != "side"
-        else 0
-    )
+    n_buckets = 0
+    if bucket_range is None and only != "side":
+        n_buckets = (
+            (tip or 0) // slot_bucket + 1
+            if tip is not None
+            else (inputs.agg(F.max("created_bucket").alias("b")).first()["b"] or 0)
+            + 1
+        )
     # one task per bucket (A/B'd at sf10: one-task-per-bucket beat
     # 8-buckets/task (97 s) and the fixed session default (107 s) — small
     # per-task sorts win; rows-per-bucket is fixed by slot_bucket, so

@@ -142,12 +142,15 @@ def result_json(
     extra = index.inputs.select("output_reference", "assets", "datum_kind")
     df = rows.join(extra, "output_reference", "inner")
     if sorted_result:
+        from kupo_spark.operators.fold_inputs import chain_order_sort, plan_is_small
+
         keys = ["created_at", "transaction_index", "output_index"]
-        df = df.orderBy(
-            *[
-                F.col(k).desc() if order == "most_recent_first" else F.col(k).asc()
-                for k in keys
-            ]
+        # gate on the PRE-join fold rows (the assets re-attach is
+        # row-preserving but inflates the join's product estimate);
+        # width factor 4 covers the attached assets map column
+        df = chain_order_sort(
+            df, keys, order == "most_recent_first",
+            small=plan_is_small(rows, width_factor=4),
         )
 
     addr = render_address(F.col("address")) if rendered_addresses else F.col("address")

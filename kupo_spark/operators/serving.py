@@ -104,9 +104,17 @@ def _rows_weight(rows) -> int:
 
 class Serving:
     PLAN_CACHE_SIZE = 256
-    #: per-entry row bound for caching address-family results — an
-    #: unbounded 56k-row delegation answer must not pin driver memory
+    #: per-entry row bound for the STREAMING buffer (serve_json_rows) and
+    #: the list-vs-iterator contract of fold_rows_bounded — a driver-memory
+    #: guard while rows are in flight
     ROW_CACHE_MAX_ROWS = 10_000
+    #: per-entry BYTE bound for caching a fully-delivered response — the
+    #: page-cache analog is byte-denominated (kupo caches disk pages by
+    #: bytes, not by row count); a 14k-row 8 MB policy answer is cacheable,
+    #: a 190 MB delegation answer is not (r11: the old 10k-ROW entry gate
+    #: made cacheability depend on row width, so mid-size scans re-ran
+    #: their full job per request)
+    ROW_CACHE_MAX_ENTRY_BYTES = 32 * 2**20
     #: total byte budget across all cached pages — kupo's page cache is
     #: byte-bounded, and so is this (entry/row bounds alone admit tens of
     #: GB at the 4096x10k corner)
@@ -418,40 +426,38 @@ class Serving:
         answer either)."""
         df = self.serve_json(pattern, **kwargs)
         is_point = self._is_point(pattern)
-        if is_point or self._is_exact(pattern):
-            # point AND exact-address responses: serve rendered JSON from
-            # the driver cache on repeat (zero jobs) — the high-QPS shapes
-            # kupo answers from its page cache.  Points collect (a
-            # partition-bounded handful of rows); exact addresses STREAM
-            # while buffering up to ROW_CACHE_MAX_ROWS — a hot contract
-            # address with millions of UTxOs must never be materialized on
-            # the driver just to decide it is too big to cache.
-            ck = ("json_rows", self._pattern_key(pattern), tuple(sorted(kwargs.items())))
-            hit = self._row_cache.get(ck)
-            if hit is not None:
-                return iter(hit)
-            if is_point:
-                hit = tuple(r["result"] for r in df.collect())
-                self._row_cache.put(ck, hit, _rows_weight(hit))
-                return iter(hit)
+        # every shape serves rendered JSON from the driver cache on repeat
+        # (zero jobs) — the page-cache behavior kupo's hottest shapes get.
+        # Points collect (a partition-bounded handful of rows); every other
+        # shape STREAMS while buffering up to ROW_CACHE_MAX_ENTRY_BYTES —
+        # a mainnet-scale delegation answer (190 MB) blows the byte bound,
+        # stops buffering and keeps streaming uncached, so it is never
+        # materialized on the driver just to decide it is too big to cache.
+        ck = ("json_rows", self._pattern_key(pattern), tuple(sorted(kwargs.items())))
+        hit = self._row_cache.get(ck)
+        if hit is not None:
+            return iter(hit)
+        if is_point:
+            hit = tuple(r["result"] for r in df.collect())
+            self._row_cache.put(ck, hit, _rows_weight(hit))
+            return iter(hit)
 
-            def stream_and_maybe_cache():
-                buf: list | None = []
-                for r in df.toLocalIterator(prefetchPartitions=True):
-                    s = r["result"]
-                    if buf is not None:
-                        buf.append(s)
-                        if len(buf) > self.ROW_CACHE_MAX_ROWS:
-                            buf = None  # too big: stop buffering, keep streaming
-                    yield s
-                if buf is not None:  # fully delivered AND cacheable
-                    page = tuple(buf)
-                    self._row_cache.put(ck, page, _rows_weight(page))
+        def stream_and_maybe_cache():
+            buf: list | None = []
+            sz = 0
+            for r in df.toLocalIterator(prefetchPartitions=True):
+                s = r["result"]
+                if buf is not None:
+                    buf.append(s)
+                    sz += len(s)
+                    if sz > self.ROW_CACHE_MAX_ENTRY_BYTES:
+                        buf = None  # too big: stop buffering, keep streaming
+                yield s
+            if buf is not None:  # fully delivered AND cacheable
+                page = tuple(buf)
+                self._row_cache.put(ck, page, sz)
 
-            return stream_and_maybe_cache()
-        # wide scans (delegation, policy, '*') keep the bounded-memory
-        # streaming path — the 190 MB delegation answer is never resident
-        return (r["result"] for r in df.toLocalIterator(prefetchPartitions=True))
+        return stream_and_maybe_cache()
 
     def serve_json_body(self, pattern="*", **kwargs) -> bytes | None:
         """Fully-assembled JSON array body for a POINT lookup (P7/P8), or
@@ -671,12 +677,27 @@ class Serving:
                 key=lambda r: tuple(r[k] for k in CHAIN_ORDER_KEYS),
                 reverse=(order == "most_recent_first"),
             )
-            if len(rows) <= self.ROW_CACHE_MAX_ROWS:
-                page = tuple(rows)
-                self._row_cache.put(ck, page, _rows_weight(page))
+            self._maybe_cache_rows(ck, rows)
             return rows
+        # wide scans (policy, '*'): same page-cache behavior, byte-gated —
+        # a response kupo's byte-bounded page cache would hold, this holds
+        ck = (self._pattern_key(pattern), order, tuple(sorted(kwargs.items())))
+        hit = self._row_cache.get(ck)
+        if hit is not None:
+            return list(hit) if order == "most_recent_first" else list(hit)[::-1]
         rows = self.fold(pattern, **kwargs).collect()
+        self._maybe_cache_rows(ck, rows)
         return rows if order == "most_recent_first" else rows[::-1]
+
+    def _maybe_cache_rows(self, ck, rows) -> None:
+        """Cache a fully-delivered page when its byte weight fits the
+        per-entry bound (the page-cache rule: bytes, not row count).  A
+        plainly-too-big page skips even the weighing pass."""
+        if len(rows) * 32 > self.ROW_CACHE_MAX_ENTRY_BYTES:
+            return
+        w = _rows_weight(rows)
+        if w <= self.ROW_CACHE_MAX_ENTRY_BYTES:
+            self._row_cache.put(ck, tuple(rows), w)
 
     def fold_rows_bounded(
         self,

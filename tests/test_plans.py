@@ -51,6 +51,27 @@ def test_materialized_index_skips_checkpoint_joins(disk_index):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_small_sorted_fold_sorts_in_one_pass(disk_index, spark):
+    """r11 chain_order_sort: when Catalyst's estimate says the fold input
+    fits one advisory partition, the global sort is a 1-partition range
+    exchange — RangePartitioner skips its boundary-sampling job, so the
+    child (scan + joins) executes ONCE instead of twice.  A big estimate
+    (advisory shrunk to 1 byte) must keep the sampled parallel sort."""
+    addr = cs.address_of(42)
+    plan = formatted_plan(fold_inputs(disk_index, addr, sorted_result=True))
+    # the planner prints RangePartitioning(1) as SinglePartition: one
+    # exchange, zero sampling
+    assert "SinglePartition" in plan and "rangepartitioning" not in plan
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(key, "64MB")
+    spark.conf.set(key, "1b")
+    try:
+        plan = formatted_plan(fold_inputs(disk_index, addr, sorted_result=True))
+        assert "rangepartitioning(created_at" in plan  # sampled parallel sort
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_checkpoint_joins_are_broadcast(blocks):
     # an in-memory (un-materialized) index still resolves J1/J2 per query,
     # and those dimension joins must be broadcast

@@ -233,6 +233,32 @@ def test_serve_json_rows_point_cached_no_job(serving, spark):
     assert again == first and first
 
 
+def test_wide_scan_pages_cached_within_byte_bound(serving, spark):
+    """r11: non-address wide scans get the page-cache behavior too —
+    a fully delivered page that fits ROW_CACHE_MAX_ENTRY_BYTES is cached
+    and repeats run ZERO jobs, for both the Row path (fold_rows) and the
+    rendered streaming path (serve_json_rows)."""
+    serving._row_cache.clear()
+    first = serving.fold_rows("*")
+    n_jobs, again = _jobs_during(spark, lambda: serving.fold_rows("*"))
+    assert n_jobs == 0
+    assert [tuple(r) for r in again] == [tuple(r) for r in first] and first
+    # oldest-first repeats reverse the same cached page
+    rev = serving.fold_rows("*", order="oldest_first")
+    n_jobs, rev_again = _jobs_during(
+        spark, lambda: serving.fold_rows("*", order="oldest_first")
+    )
+    assert [tuple(r) for r in rev_again] == [tuple(r) for r in rev]
+    # rendered streaming path: a full drain populates the cache
+    kw = dict(sorted_result=True)
+    body_first = list(serving.serve_json_rows("*", **kw))
+    n_jobs, body_again = _jobs_during(
+        spark, lambda: list(serving.serve_json_rows("*", **kw))
+    )
+    assert n_jobs == 0
+    assert body_again == body_first and body_first
+
+
 def test_tip_is_memoized(serving, spark):
     """tip() aggregates once per snapshot; every HTTP response reads the
     memo (addCacheHeaders would otherwise cost one Spark job per request)."""
@@ -261,16 +287,18 @@ def test_addr_family_served_from_clustered_view_and_cached(serving, spark, index
     assert n_jobs == 0
     assert [tuple(r) for r in again[0]] == [tuple(r) for r in first_a] and first_a
     assert [tuple(r) for r in again[1]] == [tuple(r) for r in first_d]
-    # entries beyond the page bound are NOT cached (driver memory stays
-    # bounded no matter how hot a 56k-row delegation answer is)
-    old = Serving.ROW_CACHE_MAX_ROWS
+    # entries beyond the per-entry BYTE bound are NOT cached (driver memory
+    # stays bounded no matter how hot a 190 MB delegation answer is; the
+    # bound is byte-denominated like kupo's page cache, so cacheability
+    # does not depend on row width — r11)
+    old = Serving.ROW_CACHE_MAX_ENTRY_BYTES
     try:
-        Serving.ROW_CACHE_MAX_ROWS = 0
+        Serving.ROW_CACHE_MAX_ENTRY_BYTES = 0
         serving._row_cache.clear()
         rows = serving.fold_rows(addr)
         assert rows and len(serving._row_cache) == 0
     finally:
-        Serving.ROW_CACHE_MAX_ROWS = old
+        Serving.ROW_CACHE_MAX_ENTRY_BYTES = old
 
 
 def test_lru_cache_byte_budget_and_thread_safety():

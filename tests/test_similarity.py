@@ -55,15 +55,28 @@ def test_topk_merge_small_bucket_count(spark):
 
 
 def test_all_topk_paths_use_partial_rank(spark):
-    """No plan may contain a window whose only partition key is query_id
-    over the full scored corpus: the first (wide) rank must be keyed by
-    (query_id, part_bucket)."""
+    """At scale no plan may contain a window whose only partition key is
+    query_id over the full scored corpus: the first (wide) rank must be
+    keyed by (query_id, part_bucket).  r11 gates the partial stage on the
+    scored stream's size estimate, so the scale plan is pinned by shrinking
+    the advisory partition size (everything estimates 'big'); a
+    small-estimate corpus legitimately drops the partial stage (one
+    exchange instead of two — same rows, pinned below)."""
     emb = spark.read.parquet(EMB)
-    for fn in (brute_force_topk, label_filtered_topk, lsh_topk, ivf_topk):
-        plan = formatted_plan(fn(emb, n_queries=3, k=4))
-        assert "part_bucket" in plan, fn.__name__
-        # the partial rank window carries both keys
-        assert "query_id" in plan and "_prank" in plan, fn.__name__
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(key, "64MB")
+    spark.conf.set(key, "1b")
+    try:
+        for fn in (brute_force_topk, label_filtered_topk, lsh_topk, ivf_topk):
+            plan = formatted_plan(fn(emb, n_queries=3, k=4))
+            assert "part_bucket" in plan, fn.__name__
+            # the partial rank window carries both keys
+            assert "query_id" in plan and "_prank" in plan, fn.__name__
+    finally:
+        spark.conf.set(key, prev)
+    # the small-estimate fast path ranks in ONE window — no partial stage
+    plan = formatted_plan(brute_force_topk(emb, n_queries=3, k=4))
+    assert "part_bucket" not in plan and "query_id" in plan
 
 
 def test_topk_paths_agree_on_exact_subset(spark):
