@@ -390,10 +390,17 @@ def main() -> None:
     )
 
     fp = engine_fingerprint()
+    # the pool is keyed by core count too: the driver re-runs this bench
+    # at a lower SPARK_GRAFT_CPUS to measure per-core scaling, and a
+    # low-core capture composing against full-host minima would publish
+    # 32-core numbers under the small-host run (and vice versa pollute
+    # the canonical pool) — the compose analog of hard-coding the master
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     attempt = {
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "engine_fp": fp,
         "sf": sf_val,
+        "cpus": n_cpus,
         "queries": {k: round(v, 4) for k, v in queries.items()},
         "host_calibration_pre": pre_calib,
         "host_calibration_post_beside_live_jvm": post_calib,
@@ -402,7 +409,7 @@ def main() -> None:
     attempts_log = f"bench-attempts-sf{sf}.jsonl"
     append_attempt(attempts_log, attempt)
     composed, spread, n_composed, degraded_only = compose_query_mins(
-        load_attempts(attempts_log), fp, sf_val, set(queries)
+        load_attempts(attempts_log), fp, sf_val, set(queries), cpus=n_cpus
     )
     # self-check (VERDICT r10 #1 third option): composed cold rows that
     # still sit >2x above the committed SCALING sf0.1 spread-min for the
@@ -410,7 +417,10 @@ def main() -> None:
     # attempt so far was degraded; the reader should know which question
     # to ask.
     bench_vs_scaling_outliers = {}
-    if scaling and str(sf_val) in scaling.get("sfs", {}):
+    # the committed SCALING spread-mins were captured at 32 cores; a
+    # low-core scaling run legitimately reads slower — only the canonical
+    # core count self-checks against them
+    if n_cpus == 32 and scaling and str(sf_val) in scaling.get("sfs", {}):
         ref_q = scaling["sfs"][str(sf_val)].get("queries", {})
         for k, v in composed.items():
             ref = ref_q.get(k)
@@ -440,6 +450,7 @@ def main() -> None:
                 "http": http_stats,
                 "scaling": scaling,
                 "sf": sf_val,
+                "cpus": n_cpus,
                 "host_calibration_pre": pre_calib,
                 "host_calibration_post_beside_live_jvm": post_calib,
                 "queries_this_run_raw": attempt["queries"],
@@ -489,6 +500,7 @@ def main() -> None:
             "queries": headline_queries,
             "http": http_compact,
             "sf": sf_val,
+            "cpus": n_cpus,
             "calib": calib_compact,
             "composed_attempts": n_composed,
             **({"composed_from_degraded_only": True} if degraded_only else {}),
@@ -523,6 +535,7 @@ def main() -> None:
                     "value": round(value, 4),
                     "unit": "sec",
                     "sf": sf_val,
+                    "cpus": n_cpus,
                     "calib": calib_compact,
                     "composed_attempts": n_composed,
                     **payload,

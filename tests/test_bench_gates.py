@@ -293,6 +293,57 @@ def test_bench_compose_never_mixes_code_versions(compose_env):
     assert mins == {"q_a": 0.7} and n == 1  # OLD's faster sample ignored
 
 
+def test_bench_compose_never_mixes_core_counts(compose_env):
+    """The driver re-runs bench.py at a lower SPARK_GRAFT_CPUS to measure
+    per-core scaling; composing that run against the full-host minima
+    would publish 32-core numbers under the small-host capture (the
+    compose analog of hard-coding the master).  Attempts are keyed by
+    core count; pre-field attempts were all captured at 32."""
+    bc, _ = compose_env
+    log = "bench-attempts-sf0.1.jsonl"
+    a32 = _bench_attempt(bc, {"q_a": 0.2})
+    a32["cpus"] = 32
+    a8 = _bench_attempt(bc, {"q_a": 0.9})
+    a8["cpus"] = 8
+    legacy = _bench_attempt(bc, {"q_a": 0.3})  # no cpus field -> 32
+    for a in (a32, a8, legacy):
+        bc.append_attempt(log, a)
+    mins8, _, n8, _ = bc.compose_query_mins(
+        bc.load_attempts(log), "f0", 0.1, {"q_a"}, cpus=8
+    )
+    assert mins8 == {"q_a": 0.9} and n8 == 1  # never the 32-core minima
+    mins32, _, n32, _ = bc.compose_query_mins(
+        bc.load_attempts(log), "f0", 0.1, {"q_a"}, cpus=32
+    )
+    assert mins32 == {"q_a": 0.2} and n32 == 2  # legacy pooled as 32
+
+
+def test_http_noncanonical_cpus_never_refreshes_artifact(
+    compose_env, monkeypatch
+):
+    """A scaling probe at SPARK_GRAFT_CPUS != 32 must neither overwrite
+    HTTP_BENCH.json nor enter the canonical attempts pool."""
+    import bench_http as bh
+
+    bc, tmp = compose_env
+    monkeypatch.setattr(bh, "REPO", tmp)
+    monkeypatch.setattr(bc, "engine_fingerprint", lambda: "fp1")
+    stats = {
+        "protocol": "t",
+        "exact_address": {"avg": 0.02},
+        "http_stack_floor_1client": {"avg": 0.0005},
+    }
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    report = bh.write_report(stats, 0.1, out_path=None)
+    assert report["shapes"]["exact_address"]["avg"] == 0.02  # still reported
+    assert not (tmp / "HTTP_BENCH.json").exists()
+    assert bc.load_attempts("http-attempts.jsonl") == []
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    bh.write_report(stats, 0.1, out_path=None)
+    assert (tmp / "HTTP_BENCH.json").exists()
+    assert len(bc.load_attempts("http-attempts.jsonl")) == 1
+
+
 def test_bench_compose_degraded_only_disclosed(compose_env):
     bc, _ = compose_env
     log = "bench-attempts-sf0.1.jsonl"

@@ -87,17 +87,30 @@ def compose_query_mins(
     fp: str,
     sf,
     keys,
+    cpus: int = 32,
 ) -> tuple[dict, dict, int, bool]:
-    """Per-query min across eligible attempts (same fingerprint + sf,
-    pre-run memcopy inside :data:`ELIGIBLE_MEMCOPY_S`), restricted to
-    ``keys`` (the CURRENT protocol's query set — stale keys from older
-    protocols never leak in).  Falls back to all same-code attempts when
-    none are eligible (disclosed via the returned flag): a min over
-    degraded samples is still an upper bound, and hiding the family would
-    be worse.  Returns (mins, spread, n_composed, degraded_only)."""
+    """Per-query min across eligible attempts (same fingerprint + sf +
+    CORE COUNT, pre-run memcopy inside :data:`ELIGIBLE_MEMCOPY_S`),
+    restricted to ``keys`` (the CURRENT protocol's query set — stale keys
+    from older protocols never leak in).  Falls back to all same-code
+    attempts when none are eligible (disclosed via the returned flag): a
+    min over degraded samples is still an upper bound, and hiding the
+    family would be worse.  Returns (mins, spread, n_composed,
+    degraded_only).
+
+    ``cpus`` keys the pool by ``SPARK_GRAFT_CPUS``: the driver re-runs
+    the bench at a LOWER core count to measure per-core scaling, and
+    composing that run against the full-host minima would publish
+    big-host numbers under the small-host capture — the compose-protocol
+    analog of hard-coding the master.  Attempts that predate the field
+    were all captured at 32 cores and are treated as such."""
 
     def _same_code(a):
-        return a.get("engine_fp") == fp and a.get("sf") == sf
+        return (
+            a.get("engine_fp") == fp
+            and a.get("sf") == sf
+            and int(a.get("cpus", 32)) == int(cpus)
+        )
 
     def _in_band(a):
         pre = (a.get("host_calibration_pre") or {}).get("calib_memcopy_2gb_s")

@@ -373,6 +373,7 @@ def _compose_stats(stats: dict, sf, fp: str) -> tuple[dict, dict]:
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "engine_fp": fp,
         "sf": sf,
+        "cpus": CANONICAL_CPUS,  # write_report gates compose on canonical
         "floor_1client": floor,
         "stats": {k: v for k, v in stats.items() if isinstance(v, dict)},
     }
@@ -382,6 +383,7 @@ def _compose_stats(stats: dict, sf, fp: str) -> tuple[dict, dict]:
         for a in load_attempts("http-attempts.jsonl")
         if a.get("engine_fp") == fp
         and a.get("sf") == sf
+        and int(a.get("cpus", CANONICAL_CPUS)) == CANONICAL_CPUS
         and a.get("floor_1client") is not None
         and a["floor_1client"] <= FLOOR_BAND_S
     ]
@@ -417,9 +419,19 @@ def write_report(stats: dict, sf, out_path: str | Path | None = None) -> dict:
     report dict (and writes HTTP_BENCH.json unless out_path is False).
     When writing the committed artifact, the shapes are min-composed
     across attempts (see :func:`_compose_stats`)."""
+    import os as _os
+
     from bench_common import engine_fingerprint
 
     compose_meta = None
+    # the committed artifact's context is the canonical full-host capture
+    # (BASELINE's protocol, local[32]): a run at a lower SPARK_GRAFT_CPUS —
+    # the driver's per-core scaling pass — must neither refresh the
+    # committed record (its numbers describe a smaller host) nor enter the
+    # canonical attempts pool
+    cpus_now = int(_os.environ.get("SPARK_GRAFT_CPUS", str(CANONICAL_CPUS)))
+    if out_path is None and cpus_now != CANONICAL_CPUS:
+        out_path = False
     if out_path is None:
         # only refreshes of the CANONICAL committed artifact enter the
         # compose protocol; probe runs (out_path=False) and explicit-path
@@ -500,6 +512,12 @@ def write_report(stats: dict, sf, out_path: str | Path | None = None) -> dict:
 # that path runs zero Spark and zero engine code
 FLOOR_BAND_S = 0.0012
 
+#: core count the committed HTTP record is defined at (BASELINE's oha
+#: protocol against the full local[32] host); runs at any other
+#: SPARK_GRAFT_CPUS are scaling probes and never touch the artifact or
+#: its attempts pool
+CANONICAL_CPUS = 32
+
 
 def verify_committed() -> None:
     """Commit-time invariant over HTTP_BENCH.json (the bench_scaling
@@ -529,6 +547,7 @@ def verify_committed() -> None:
         for a in load_attempts("http-attempts.jsonl")
         if a.get("engine_fp") == fp
         and a.get("sf") == sf
+        and int(a.get("cpus", CANONICAL_CPUS)) == CANONICAL_CPUS
         and a.get("floor_1client") is not None
         and a["floor_1client"] <= FLOOR_BAND_S
     ]
@@ -609,7 +628,14 @@ def main() -> None:
     # artifact — a standalone smoke run at another sf records its report
     # on stdout but never replaces the sf0.1 record the floor gate (and
     # now the compose protocol) protects.
-    refresh = isinstance(sf_val, float) and abs(sf_val - 0.1) < 1e-9
+    refresh = (
+        isinstance(sf_val, float)
+        and abs(sf_val - 0.1) < 1e-9
+        # a low-core scaling probe must not stamp its calibration into
+        # (or otherwise touch) the canonical full-host record
+        and int(os.environ.get("SPARK_GRAFT_CPUS", str(CANONICAL_CPUS)))
+        == CANONICAL_CPUS
+    )
     report = write_report(stats, sf_val, out_path=None if refresh else False)
     report["host_calibration_pre"] = pre_calib
     report["host_calibration_post"] = host_calibration()
