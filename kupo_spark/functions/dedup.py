@@ -65,6 +65,35 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shs): each document's DISTINCT k-shingle set as ONE array —
+    the zero-shuffle form of :func:`shingles` (r11, guide §2.4).
+
+    ``shingles`` dedups by exploding every shingle and shuffling the full
+    3-word strings through ``dropDuplicates``; distinctness is a PER-DOCUMENT
+    property, so ``array_distinct`` inside the row computes the same set with
+    no exchange at all (measured: 0.28 s vs 0.84 s for the exploded+distinct
+    noop at the bench corpus).  A document with fewer than ``k`` tokens gets
+    an empty array (the exploded form simply has no rows for it).
+
+    CONSUMPTION CONTRACT: materialize (persist) this frame before exploding
+    it — ``explode`` over the un-materialized array expression re-evaluates
+    the generator child per OUTPUT row (measured 9.2 s vs 0.28 s), because
+    the tokenize+transform+array_distinct tree gets inlined into the
+    Generate node.  :func:`minhash_near_dup_pairs` persists it and then
+    derives both the exploded signature feed and the verification sets from
+    the one cached table."""
+    idx = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return docs.select("doc_id", F.expr(TOKENS).alias("t")).select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(CASE WHEN size(t) >= {k} THEN "
+            f"transform(sequence(0, size(t) - {k}), i -> {idx}) "
+            "ELSE cast(array() as array<string>) END)"
+        ).alias("shs"),
+    )
+
+
 def drop_frequent_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     """Remove shingles whose document frequency exceeds ``max_df``.
 
@@ -250,12 +279,27 @@ def minhash_near_dup_pairs(
     standard discipline of web-scale dedup pipelines (stopword/template
     shingle suppression)."""
     # ONE shingle table feeds both candidate generation (via the signature
-    # agg) and verification — without sharing it, the explode + distinct
-    # shuffle (the pipeline's most expensive stage) runs twice
-    sh = shingles(docs, k)
-    if max_df is not None:
-        sh = drop_frequent_shingles(sh, max_df)
-    sh = sh.persist()
+    # agg) and verification — without sharing it, the shingle derivation
+    # (the pipeline's most expensive stage) runs twice.
+    if max_df is None:
+        # default path (r11, guide §2.4): the per-doc array form replaces
+        # two shuffles outright — dropDuplicates (distinctness is
+        # per-document, array_distinct computes it in-row) and the
+        # verification sets' groupBy+collect_list (the persisted array IS
+        # the set row).  The exploded view feeding the signature agg is
+        # derived from the same cache (explode of a materialized array
+        # column — see shingle_arrays' consumption contract), already
+        # distinct by construction.  Measured: full pipeline 1.11 -> 0.69 s
+        # at the bench corpus, identical 256 pairs.
+        arr = shingle_arrays(docs, k).persist()
+        sh = arr.select("doc_id", F.explode("shs").alias("sh"))
+    else:
+        # capped space: corpus-wide df counts need the exploded rows, and
+        # the verification sets must be rebuilt from the CAPPED table —
+        # keep the exploded plan end to end (the guarded path's extra
+        # shuffles are the price of the cap, not overhead)
+        arr = None
+        sh = drop_frequent_shingles(shingles(docs, k), max_df).persist()
     cand = lsh_candidate_pairs(
         docs, bands, rows, k, sh=sh, max_bucket=max_bucket
     ).persist()
@@ -269,16 +313,24 @@ def minhash_near_dup_pairs(
     # shuffle + extra job) and ship the raw 2·|cand| id list; the shuffle
     # fallback keeps distinct to bound the exchanged volume.
     ids = F.broadcast(ids) if 2 * n_cand <= broadcast_id_limit else ids.distinct()
-    sh_cand = sh.join(ids, "doc_id", "left_semi")
     # gather each candidate doc's (distinct) shingle set into ONE array row,
-    # then verify pairs with array_intersect: one groupBy + two equi-joins
-    # replaces the posting-list plan (join-on-shingle + groupBy + two count
-    # joins) — half the shuffle stages.  Array size is bounded by document
-    # length, and the per-pair replication of a hot doc's array matches the
-    # posting-list replication volume, so the scale behavior is unchanged.
-    sets = sh_cand.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs"), F.count("*").alias("n")
-    )
+    # then verify pairs with array_intersect: two equi-joins replace the
+    # posting-list plan (join-on-shingle + groupBy + two count joins).
+    # Array size is bounded by document length, and the per-pair replication
+    # of a hot doc's array matches the posting-list replication volume, so
+    # the scale behavior is unchanged.  On the default path the sets come
+    # straight off the cached arrays (no groupBy); the capped path gathers
+    # the capped exploded rows as before.
+    if arr is not None:
+        sets = arr.join(ids, "doc_id", "left_semi").select(
+            "doc_id", "shs", F.size("shs").alias("n")
+        )
+    else:
+        sets = (
+            sh.join(ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("sh").alias("shs"), F.count("*").alias("n"))
+        )
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"), F.col("n").alias("na")
     )

@@ -842,19 +842,47 @@ def _exact_and_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten independent ANN lifecycles certified under one row.
+
+    r11 (guide §2.6, overlap independent jobs): the lifecycles share no
+    state — each builds under its own scratch root from the same immutable
+    ``emb`` parquet, and every training/encode/commit is deterministic
+    exact-integer arithmetic — so their EAGER legs (Lloyd collects, Table
+    commits, rebalances, deletes) now run from a small thread pool instead
+    of serializing ~50 scheduler floors end to end.  Spark's scheduler runs
+    concurrent jobs by design; result frames are gathered and unioned in
+    the exact order the sequential version used, and each lifecycle's
+    internal ordering (build -> mutate -> assert -> query) is preserved
+    inside its thunk, so the certified semantics and the row set are
+    byte-identical (the arm re-verified against the oracle after the
+    change).  Wall time is the point: this row was the slowest in the
+    registry (40.6 s at sf0.01) with every second being per-job fixed
+    overhead, not data."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from kupo_spark.functions import pq
     from kupo_spark.functions.ann_index import VectorIndex
 
     emb = _embs(spark, sf_dir)
-    ivf = similarity.ivf_topk(emb, n_queries=10, k=5, kmeans_iters=2).select(
-        F.lit("ivf").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
-    )
-    books = pq.train_codebooks(emb, iters=2)
-    adc = pq.pq_adc_topk(emb, books, n_queries=10, k=5).select(
-        F.lit("pq").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
-    )
+
+    def t_ivf():
+        return similarity.ivf_topk(emb, n_queries=10, k=5, kmeans_iters=2).select(
+            F.lit("ivf").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+        )
+
+    def t_pq_transient():
+        # books feed both the transient ADC arm and the two-stage rerank
+        # arm — one training, two frames (same dependency the sequential
+        # code had)
+        books = pq.train_codebooks(emb, iters=2)
+        adc = pq.pq_adc_topk(emb, books, n_queries=10, k=5).select(
+            F.lit("pq").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+        )
+        refined = pq.pq_refined_topk(emb, books, n_queries=10, k=5, refine=4).select(
+            F.lit("pq_refined").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+        )
+        return adc, refined
     # the PERSISTED index (ann_index.VectorIndex): built from scratch under
     # a scratch root, queried through the stored centroids/codebooks — the
     # oracle checks the full build->store->query lifecycle, not the pinned
@@ -869,50 +897,57 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the flat-ADC ranking (same ADC tables, all neighbors scored).
     scratch = tempfile.mkdtemp(prefix="annix-")  # lives until process exit:
     # the returned DataFrame lazily reads the stored parquet cells
-    flat = VectorIndex.build(
-        f"{scratch}/flat", emb, pq=False, n_centroids=16, kmeans_iters=2
-    )
-    stored = flat.topk(emb, n_queries=10, k=5, nprobe=2).select(
-        F.lit("stored_probe2").alias("q"),
-        "query_id", "neighbor_id", "cosine", "rank",
-    )
-    flat_del = VectorIndex.build(
-        f"{scratch}/flat_del", emb, pq=False, n_centroids=16, kmeans_iters=2
-    )
-    flat_del.delete(
-        [r.vec_id for r in emb.where("vec_id % 7 = 0").select("vec_id").collect()],
-        spark,
-    )
-    stored_deleted = flat_del.topk(emb, n_queries=10, k=5, nprobe=1).select(
-        F.lit("stored_deleted").alias("q"),
-        "query_id", "neighbor_id", "cosine", "rank",
-    )
-    flat_reb = VectorIndex.build(
-        f"{scratch}/flat_reb", emb, pq=False, n_centroids=16, kmeans_iters=0
-    )
-    flat_reb.rebalance(spark, kmeans_iters=2)
-    stored_rebalanced = flat_reb.topk(emb, n_queries=10, k=5, nprobe=1).select(
-        F.lit("stored_rebalanced").alias("q"),
-        "query_id", "neighbor_id", "cosine", "rank",
-    )
+
+    def t_flat():
+        flat = VectorIndex.build(
+            f"{scratch}/flat", emb, pq=False, n_centroids=16, kmeans_iters=2
+        )
+        return flat.topk(emb, n_queries=10, k=5, nprobe=2).select(
+            F.lit("stored_probe2").alias("q"),
+            "query_id", "neighbor_id", "cosine", "rank",
+        )
+
+    def t_flat_del():
+        flat_del = VectorIndex.build(
+            f"{scratch}/flat_del", emb, pq=False, n_centroids=16, kmeans_iters=2
+        )
+        flat_del.delete(
+            [r.vec_id for r in emb.where("vec_id % 7 = 0").select("vec_id").collect()],
+            spark,
+        )
+        return flat_del.topk(emb, n_queries=10, k=5, nprobe=1).select(
+            F.lit("stored_deleted").alias("q"),
+            "query_id", "neighbor_id", "cosine", "rank",
+        )
+
+    def t_flat_reb():
+        flat_reb = VectorIndex.build(
+            f"{scratch}/flat_reb", emb, pq=False, n_centroids=16, kmeans_iters=0
+        )
+        flat_reb.rebalance(spark, kmeans_iters=2)
+        return flat_reb.topk(emb, n_queries=10, k=5, nprobe=1).select(
+            F.lit("stored_rebalanced").alias("q"),
+            "query_id", "neighbor_id", "cosine", "rank",
+        )
     # round-7 rotated arm: the rebalance -> delete COMPOSITION (VERDICT r6
     # #5) — OPTIMIZE retrains/re-partitions, then a transactional delete
     # rewrites only hit files of the NEW layout; centroids stay the
     # rebalance-trained ones (full corpus), removed rows are absent as
     # neighbors.  Also pins that the meta-version guard (_pinned_version)
     # does NOT wrongly pin reads before a post-rebalance delete.
-    flat_rd = VectorIndex.build(
-        f"{scratch}/flat_rd", emb, pq=False, n_centroids=16, kmeans_iters=0
-    )
-    flat_rd.rebalance(spark, kmeans_iters=2)
-    flat_rd.delete(
-        [r.vec_id for r in emb.where("vec_id % 5 = 0").select("vec_id").collect()],
-        spark,
-    )
-    stored_reb_deleted = flat_rd.topk(emb, n_queries=10, k=5, nprobe=1).select(
-        F.lit("stored_reb_deleted").alias("q"),
-        "query_id", "neighbor_id", "cosine", "rank",
-    )
+    def t_flat_rd():
+        flat_rd = VectorIndex.build(
+            f"{scratch}/flat_rd", emb, pq=False, n_centroids=16, kmeans_iters=0
+        )
+        flat_rd.rebalance(spark, kmeans_iters=2)
+        flat_rd.delete(
+            [r.vec_id for r in emb.where("vec_id % 5 = 0").select("vec_id").collect()],
+            spark,
+        )
+        return flat_rd.topk(emb, n_queries=10, k=5, nprobe=1).select(
+            F.lit("stored_reb_deleted").alias("q"),
+            "query_id", "neighbor_id", "cosine", "rank",
+        )
     # round-9 rotated arm (VERDICT r8 #5): the orphan-heal lifecycle,
     # driver-gated end to end — foreign OVERWRITE with no meta publish
     # (pin), then a LEGACY crash-window APPEND beyond the pin (written
@@ -923,67 +958,91 @@ def _ivf_and_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overwrite's scrambled assignment.  The oracle re-derives the
     # strided Lloyd retrain + nprobe=2 ranking over exactly that union:
     # dropped orphans or surviving foreign content flips the hash.
-    flat_heal = VectorIndex.build(
-        f"{scratch}/flat_heal", emb, pq=False, n_centroids=16, kmeans_iters=2
-    )
-    foreign_heal = flat_heal.table.read(spark).withColumn(
-        "centroid_id", (F.col("vec_id") % 16).cast("long")
-    )
-    flat_heal.table.overwrite(foreign_heal)  # crash: no _write_meta follows
-    orphan_emb = emb.where(f"vec_id % {HEAL_MOD} = {HEAL_RES}").withColumn(
-        "vec_id", F.col("vec_id") + F.lit(HEAL_SHIFT)
-    )
-    from kupo_spark.functions.ann_index import _encode_rows
+    def t_flat_heal():
+        flat_heal = VectorIndex.build(
+            f"{scratch}/flat_heal", emb, pq=False, n_centroids=16, kmeans_iters=2
+        )
+        foreign_heal = flat_heal.table.read(spark).withColumn(
+            "centroid_id", (F.col("vec_id") % 16).cast("long")
+        )
+        flat_heal.table.overwrite(foreign_heal)  # crash: no _write_meta follows
+        orphan_emb = emb.where(f"vec_id % {HEAL_MOD} = {HEAL_RES}").withColumn(
+            "vec_id", F.col("vec_id") + F.lit(HEAL_SHIFT)
+        )
+        from kupo_spark.functions.ann_index import _encode_rows
 
-    flat_heal.table.append(_encode_rows(orphan_emb, flat_heal.meta))
-    reopened_heal = VectorIndex(f"{scratch}/flat_heal")
-    assert reopened_heal._pinned_version() is not None
-    reopened_heal.rebalance(spark, kmeans_iters=2, seed_mode="strided")
-    assert reopened_heal._pinned_version() is None  # heal published meta
-    stored_healed = reopened_heal.topk(emb, n_queries=10, k=5, nprobe=2).select(
-        F.lit("stored_healed").alias("q"),
-        "query_id", "neighbor_id", "cosine", "rank",
-    )
+        flat_heal.table.append(_encode_rows(orphan_emb, flat_heal.meta))
+        reopened_heal = VectorIndex(f"{scratch}/flat_heal")
+        assert reopened_heal._pinned_version() is not None
+        reopened_heal.rebalance(spark, kmeans_iters=2, seed_mode="strided")
+        assert reopened_heal._pinned_version() is None  # heal published meta
+        return reopened_heal.topk(emb, n_queries=10, k=5, nprobe=2).select(
+            F.lit("stored_healed").alias("q"),
+            "query_id", "neighbor_id", "cosine", "rank",
+        )
     # round-8 rotated arm (VERDICT r7 #6): the _pinned_version crash
     # window — a rebalance/refresh OVERWRITE lands (here: a scrambled
     # reassignment written straight to the table) but the process dies
     # before its meta publish.  A fresh open must pin every read to the
     # last consistent snapshot, so the query equals the UNDISTURBED
     # stored_probe2 derivation — the oracle re-derives exactly that.
-    flat_pin = VectorIndex.build(
-        f"{scratch}/flat_pin", emb, pq=False, n_centroids=16, kmeans_iters=2
-    )
-    foreign = flat_pin.table.read(spark).withColumn(
-        "centroid_id", (F.col("vec_id") % 16).cast("long")
-    )
-    flat_pin.table.overwrite(foreign)  # crash: no _write_meta follows
-    reopened_pin = VectorIndex(f"{scratch}/flat_pin")
-    assert reopened_pin._pinned_version() is not None
-    stored_pinned = reopened_pin.topk(emb, n_queries=10, k=5, nprobe=2).select(
-        F.lit("stored_pinned").alias("q"),
-        "query_id", "neighbor_id", "cosine", "rank",
-    )
-    pqix = VectorIndex.build(
-        f"{scratch}/pq", emb, pq=True, n_centroids=16, kmeans_iters=2,
-        codebook_iters=2,
-    )
-    stored_pq = pqix.topk(emb, n_queries=10, k=5, nprobe=16).select(
-        F.lit("stored_pq").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
-    )
-    # two-stage ADC + exact rerank (the production refine stage): the
-    # oracle re-derives the full candidate CTE and the exact-cosine rerank
-    refined = pq.pq_refined_topk(emb, books, n_queries=10, k=5, refine=4).select(
-        F.lit("pq_refined").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
-    )
+    def t_flat_pin():
+        flat_pin = VectorIndex.build(
+            f"{scratch}/flat_pin", emb, pq=False, n_centroids=16, kmeans_iters=2
+        )
+        foreign = flat_pin.table.read(spark).withColumn(
+            "centroid_id", (F.col("vec_id") % 16).cast("long")
+        )
+        flat_pin.table.overwrite(foreign)  # crash: no _write_meta follows
+        reopened_pin = VectorIndex(f"{scratch}/flat_pin")
+        assert reopened_pin._pinned_version() is not None
+        return reopened_pin.topk(emb, n_queries=10, k=5, nprobe=2).select(
+            F.lit("stored_pinned").alias("q"),
+            "query_id", "neighbor_id", "cosine", "rank",
+        )
+
+    def t_pq_stored():
+        pqix = VectorIndex.build(
+            f"{scratch}/pq", emb, pq=True, n_centroids=16, kmeans_iters=2,
+            codebook_iters=2,
+        )
+        return pqix.topk(emb, n_queries=10, k=5, nprobe=16).select(
+            F.lit("stored_pq").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+        )
+
     # the IVF-SQ8 middle tier: byte codes per cell, exact search over the
     # dequantized vectors — the oracle re-derives training + round trip +
     # cell-restricted ranking
-    sqix = VectorIndex.build(
-        f"{scratch}/sq8", emb, mode="ivf_sq8", n_centroids=16, kmeans_iters=2
-    )
-    stored_sq8 = sqix.topk(emb, n_queries=10, k=5, nprobe=1).select(
-        F.lit("stored_sq8").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
-    )
+    def t_sq8():
+        sqix = VectorIndex.build(
+            f"{scratch}/sq8", emb, mode="ivf_sq8", n_centroids=16, kmeans_iters=2
+        )
+        return sqix.topk(emb, n_queries=10, k=5, nprobe=1).select(
+            F.lit("stored_sq8").alias("q"), "query_id", "neighbor_id", "cosine", "rank"
+        )
+
+    # 2-3 jobs in flight fills the scheduler; more just queue (guide §2.6)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_ivf = pool.submit(t_ivf)
+        f_pqt = pool.submit(t_pq_transient)
+        f_flat = pool.submit(t_flat)
+        f_del = pool.submit(t_flat_del)
+        f_reb = pool.submit(t_flat_reb)
+        f_rd = pool.submit(t_flat_rd)
+        f_heal = pool.submit(t_flat_heal)
+        f_pin = pool.submit(t_flat_pin)
+        f_pqs = pool.submit(t_pq_stored)
+        f_sq8 = pool.submit(t_sq8)
+        ivf = f_ivf.result()
+        adc, refined = f_pqt.result()
+        stored = f_flat.result()
+        stored_deleted = f_del.result()
+        stored_rebalanced = f_reb.result()
+        stored_reb_deleted = f_rd.result()
+        stored_healed = f_heal.result()
+        stored_pinned = f_pin.result()
+        stored_pq = f_pqs.result()
+        stored_sq8 = f_sq8.result()
     return (
         ivf.unionByName(adc)
         .unionByName(stored)

@@ -112,3 +112,52 @@ def test_cluster_guards_pass_through(docs):
         ).collect()
     )
     assert plain == guarded
+
+
+def test_shingle_arrays_equal_exploded_shingles(spark):
+    """r11: the zero-shuffle per-doc array form must carry exactly the
+    exploded+distinct shingle multiset — including the empty array for a
+    document shorter than k (the exploded form has no rows for it) — and
+    its plan must contain no Exchange (distinctness computed in-row)."""
+    from pyspark.sql import functions as F
+
+    from kupo_spark.functions.dedup import shingle_arrays, shingles
+    from kupo_spark.plans.explain import formatted_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c a b c d"),  # duplicate shingles within the doc
+            (3, "x y"),  # < k tokens: empty set
+            (4, "a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    arr = shingle_arrays(docs, 3)
+    exploded = sorted(
+        (r.doc_id, r.sh)
+        for r in arr.select("doc_id", F.explode("shs").alias("sh")).collect()
+    )
+    legacy = sorted((r.doc_id, r.sh) for r in shingles(docs, 3).collect())
+    assert exploded == legacy and len(legacy) > 0
+    assert {r.doc_id for r in arr.where(F.size("shs") == 0).collect()} == {3}
+    assert "Exchange" not in formatted_plan(arr)
+
+
+def test_default_and_guarded_paths_agree_when_cap_is_loose(docs):
+    """r11: the default (array-set) verification path and the max_df
+    guarded (exploded capped) path share results exactly when the cap is
+    loose enough to drop nothing."""
+    from kupo_spark.functions.dedup import minhash_near_dup_pairs
+
+    default = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    )
+    guarded = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_dup_pairs(
+            docs, threshold=0.5, max_df=10_000_000
+        ).collect()
+    )
+    assert default == guarded and len(default) > 0
