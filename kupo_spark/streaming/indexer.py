@@ -241,13 +241,29 @@ class StreamingIndexer:
             "binary_data": binary_data,
             "scripts": scripts,
         }
-        versions: dict[str, int] = {}
+        # the five appends are independent (separate Tables, separate logs;
+        # batch visibility is the ONE catalog publish after all five land),
+        # so their write jobs overlap from a thread pool instead of
+        # serializing five scheduler floors per micro-batch (r11, guide
+        # §2.6 — same discipline as write_index's side tables).  Creation
+        # stays serial (cheap, and keeps the error path simple); a crash
+        # mid-pool leaves un-cataloged appends exactly as the serial loop
+        # did, repaired by _repair_crash_residue.
+        from concurrent.futures import ThreadPoolExecutor
+
+        tagged: dict[str, DataFrame] = {}
         for name in LOG_TABLES:
             df = frames[name].withColumn("batch_seq", F.lit(seq).cast("long"))
             path = f"{self.out_dir}/{name}"
             if not Table.exists(path):
                 Table.create(path, df.schema, partition_by=["batch_seq"])
-            versions[name] = self._table(name).append(df)
+            tagged[name] = df
+        with ThreadPoolExecutor(len(LOG_TABLES)) as ex:
+            results = ex.map(
+                lambda name: (name, self._table(name).append(tagged[name])),
+                LOG_TABLES,
+            )
+            versions = dict(results)
         return versions
 
     def process_batch(
