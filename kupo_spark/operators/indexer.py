@@ -367,18 +367,30 @@ def write_index(
 
     inputs = index.inputs
     tip = None
+    checkpoints = index.checkpoints
+    ckpt_persisted = False
     if "created_header_hash" not in inputs.columns:
+        # the checkpoints lineage is consumed FOUR times by this write —
+        # the stats aggregate below, the two broadcast builds inside
+        # resolve_header_hashes (J1 created / J2 spent), and the side-table
+        # write — and on a fresh index each evaluation re-runs the whole
+        # chain derivation (events scan + header-hash md5 + dedup,
+        # measured ~1.4 s/eval at sf0.1).  Persist it for the duration of
+        # the write (created and dropped inside this one call — not a
+        # cross-run cache) so the derivation runs once (r11, guide §1.2).
+        checkpoints = checkpoints.persist()
+        ckpt_persisted = True
         # ONE tiny checkpoints aggregate decides the join strategy AND
         # bounds the bucket count (r11: this used to be two jobs — a
         # checkpoints count here plus a full inputs scan for
         # max(created_bucket) below; every created_at IS a checkpoint slot,
         # so the tip bounds the bucket range, and an over-bound only pads
         # the clamped task count, never the layout)
-        stats = index.checkpoints.agg(
+        stats = checkpoints.agg(
             F.count("*").alias("n"), F.max("slot_no").alias("tip")
         ).first()
         inputs = resolve_header_hashes(
-            inputs, index.checkpoints,
+            inputs, checkpoints,
             broadcast=stats["n"] <= BROADCAST_CHECKPOINTS_LIMIT,
         )
         tip = stats["tip"]
@@ -440,6 +452,8 @@ def write_index(
         timings["write_inputs"] = _time.time() - _t0
         _t0 = _time.time()
     if only == "inputs":
+        if ckpt_persisted:
+            checkpoints.unpersist()
         return
     # the inputs write above materialized the (cached) match lineage; the
     # five side tables are then cheap scans off the cache — submit their
@@ -448,7 +462,7 @@ def write_index(
     from concurrent.futures import ThreadPoolExecutor
 
     side = [
-        (index.checkpoints, "checkpoints"),
+        (checkpoints, "checkpoints"),
         (index.policies, "policies"),
         (index.assets, "assets"),
         (index.binary_data, "binary_data"),
@@ -474,6 +488,8 @@ def write_index(
         schemas[name] = df.schema.jsonValue()
     with open(f"{path}/_schemas.json", "w") as fh:
         _json.dump(schemas, fh)
+    if ckpt_persisted:
+        checkpoints.unpersist()
 
 
 def read_index(spark, path: str, slot_bucket: int = 1000) -> Index:
