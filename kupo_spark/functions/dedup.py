@@ -119,12 +119,23 @@ def ngram_jaccard_pairs(
     With ``max_df`` set, shingles with document frequency above it are
     dropped BEFORE the self-join (and the per-doc set sizes are computed on
     the capped shingle space, keeping the Jaccard internally consistent) —
-    bounding the posting-list blow-up by max_df² per shingle."""
-    sh = shingles(docs, k)
-    if max_df is not None:
-        sh = drop_frequent_shingles(sh, max_df)
-    sh = sh.persist()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    bounding the posting-list blow-up by max_df² per shingle.
+
+    The default (uncapped) path derives the posting list and the per-doc
+    set sizes from a persisted :func:`shingle_arrays` table (r11, guide
+    §2.4, same move as :func:`minhash_near_dup_pairs`): distinctness is
+    per-document, so the exploded ``dropDuplicates`` exchange AND the
+    counts ``groupBy`` shuffle both disappear — the persisted array row
+    already is the distinct set, and its ``size`` is the count.  The
+    capped path keeps the exploded plan its corpus-wide df counts and
+    capped-space set sizes require."""
+    if max_df is None:
+        arr = shingle_arrays(docs, k).persist()
+        sh = arr.select("doc_id", F.explode("shs").alias("sh"))
+        counts = arr.select("doc_id", F.size("shs").alias("n"))
+    else:
+        sh = drop_frequent_shingles(shingles(docs, k), max_df).persist()
+        counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
@@ -374,7 +385,14 @@ def near_dup_clusters(
 
     The driver-side convergence count is an extra job per probe, so it runs
     only every ``check_every`` rounds — a converged extra round is a cheap
-    no-op join, while a skipped count at 100 TB is a whole scan saved."""
+    no-op join, while a skipped count at 100 TB is a whole scan saved.
+    The probe itself is a ``changed`` flag computed in the SAME projection
+    as the new label (``neighbor_min < cluster`` ⇔ the label moved), so
+    probing is a filter-count over the just-checkpointed round output —
+    not a join of the new label table against the old one (r11, guide
+    §1.2: the comparison the join re-derived is already known row-locally
+    when the label is computed; saves one join + full-table pass per
+    probe at every scale)."""
     pairs = minhash_near_dup_pairs(
         docs, threshold, broadcast_id_limit=broadcast_id_limit,
         max_df=max_df, max_bucket=max_bucket,
@@ -396,19 +414,17 @@ def near_dup_clusters(
                 F.least(
                     labels.cluster, F.coalesce(F.col("neighbor_min"), labels.cluster)
                 ).alias("cluster"),
+                # min-label propagation only ever lowers a label, so
+                # "changed this round" ⇔ a neighbor supplied a smaller one
+                (F.col("neighbor_min") < labels.cluster).alias("changed"),
             )
             .localCheckpoint()  # truncate lineage per round
         )
         converged = False
         if (it + 1) % check_every == 0 or it == max_iters - 1:
-            converged = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .where(F.col("n.cluster") != F.col("o.cluster"))
-                .count()
-            ) == 0
+            converged = new_labels.where("changed").limit(1).count() == 0
         labels.unpersist()
-        labels = new_labels.persist()
+        labels = new_labels.select("doc_id", "cluster").persist()
         if converged:
             break
     return labels.select("doc_id", "cluster")

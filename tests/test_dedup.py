@@ -161,3 +161,23 @@ def test_default_and_guarded_paths_agree_when_cap_is_loose(docs):
         ).collect()
     )
     assert default == guarded and len(default) > 0
+
+
+def test_ngram_default_array_path_matches_capped_plan(docs):
+    """r11: the default ngram path derives postings + set sizes from the
+    persisted shingle-array table (no dropDuplicates exchange, no counts
+    groupBy); the capped path keeps the exploded plan.  With a cap far
+    above any real document frequency the two paths must compute the
+    identical pair set — pinning that the array rewrite changed the plan,
+    not the Jaccard."""
+    from kupo_spark.functions.dedup import ngram_jaccard_pairs
+
+    array_path = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    exploded_path = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=10**9).collect()
+    )
+    assert array_path == exploded_path and len(array_path) > 0
