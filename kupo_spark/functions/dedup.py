@@ -46,23 +46,32 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def shingle_stream(docs: DataFrame, k: int = 3) -> DataFrame:
+    """All word k-shingles per document WITHOUT the per-doc distinct pass —
+    the pre-filter feed for consumers that reduce the stream before any
+    exchange (r11, guide §2.3: shuffle fewer bytes).  ``shingles`` pays a
+    corpus-wide ``dropDuplicates`` exchange over every 3-word string; a
+    consumer that filters the stream against a small broadcast set first
+    (e.g. :func:`kupo_spark.functions.sampling.contamination`'s benchmark
+    join) only needs distinctness of the few surviving rows, and
+    filter-then-distinct ≡ distinct-then-filter for any row-level
+    predicate."""
+    idx = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return docs.select("doc_id", F.expr(TOKENS).alias("t")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) >= {k} THEN "
+                f"transform(sequence(0, size(t) - {k}), i -> {idx}) "
+                "ELSE cast(array() as array<string>) END"
+            )
+        ).alias("sh"),
+    )
+
+
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document."""
-    idx = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
-    return (
-        docs.select("doc_id", F.expr(TOKENS).alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(t) >= {k} THEN "
-                    f"transform(sequence(0, size(t) - {k}), i -> {idx}) "
-                    "ELSE cast(array() as array<string>) END"
-                )
-            ).alias("sh"),
-        )
-        .dropDuplicates(["doc_id", "sh"])
-    )
+    return shingle_stream(docs, k).dropDuplicates(["doc_id", "sh"])
 
 
 def shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:

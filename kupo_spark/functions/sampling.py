@@ -181,10 +181,20 @@ def contamination(
 
     The benchmark shingle set is built driver-side (eval suites are KB-
     scale by contract) and broadcast; the corpus side is
-    :func:`dedup.shingles` — pass a pre-computed/persisted ``sh`` frame
-    to share one materialized shingle table with the near-dup pass at
-    100 TB (the same ``sh=`` convention as the MinHash pipeline)."""
-    from kupo_spark.functions.dedup import shingles as _shingles
+    :func:`dedup.shingle_stream` — pass a pre-computed/persisted ``sh``
+    frame to share one materialized shingle table with the near-dup pass
+    at 100 TB (the same ``sh=`` convention as the MinHash pipeline).
+
+    The default feed is the NON-distinct shingle stream (r11, guide
+    §2.3/§2.4): the broadcast bench join filters the corpus stream down to
+    matched rows before any exchange, and per-doc distinctness is then
+    computed over the survivors only (``countDistinct``), so the
+    corpus-wide ``dropDuplicates`` shuffle the old ``shingles`` feed paid
+    is gone — the only exchange over corpus-derived rows carries hits.
+    Filter-then-distinct ≡ distinct-then-filter for the row-level bench
+    predicate, so the counts are identical (pinned by
+    ``test_contamination_counts_distinct_shingles``)."""
+    from kupo_spark.functions.dedup import shingle_stream as _shingle_stream
 
     bench: set[str] = set()
     for t in benchmark_texts:
@@ -203,10 +213,13 @@ def contamination(
         spark.createDataFrame([(s,) for s in sorted(bench)], "sh string")
     )
     hits = (
-        (sh if sh is not None else _shingles(docs, n))
+        (sh if sh is not None else _shingle_stream(docs, n))
         .join(bench_df, "sh")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        # countDistinct, not count: the default feed is non-distinct (the
+        # dedup now happens post-filter, over hit rows only); a caller's
+        # pre-distinct ``sh`` frame counts identically either way
+        .agg(F.countDistinct("sh").alias("n_contaminated_shingles"))
     )
     found = F.coalesce("n_contaminated_shingles", F.lit(0).cast("bigint"))
     return (

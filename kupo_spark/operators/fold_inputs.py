@@ -151,7 +151,7 @@ def fold_inputs(
     filter_asset_name: str | None = None,
     filter_transaction_id: str | None = None,
     filter_output_index: int | None = None,
-    use_policy_join: bool = True,
+    use_policy_join: bool | None = None,
     broadcast_policy_join: bool = False,
     sorted_result: bool = False,
     created_after_point: tuple[int, str] | None = None,
@@ -175,6 +175,17 @@ def fold_inputs(
     # map_contains_key predicate on the value column; the join-index scans a
     # narrow table with the policy filter pushed down, then semi-joins on
     # output_reference — the winning plan when `assets` maps are wide.
+    # Default (None) is size-adaptive (r11, guide §3.1/§1.2): when the whole
+    # inputs table fits one advisory partition, the semi-join's exchange/
+    # broadcast machinery costs more than the map-key predicate scan it
+    # saves (measured 0.182 vs 0.083 s noop at the bench corpus; both paths
+    # return identical rows — the policies table IS the exploded map keys);
+    # a big (or unestimable) inputs table keeps kupo's join-index plan,
+    # which never reads the wide `assets` maps of non-matching rows.  The
+    # gate is Catalyst's own size estimate — the same signal
+    # chain_order_sort gates on — so the at-scale plan is unchanged.
+    if isinstance(pattern, MatchPolicyId) and use_policy_join is None:
+        use_policy_join = not plan_is_small(index.inputs)
     if isinstance(pattern, MatchPolicyId) and use_policy_join:
         keys = index.policies.where(F.col("policy_id") == pattern.policy_id).select(
             "output_reference"

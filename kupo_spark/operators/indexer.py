@@ -237,9 +237,16 @@ def build_index(
 
     checkpoints = blocks.select("slot_no", "header_hash").dropDuplicates(["slot_no"])
 
-    policies = (
-        produced.select("output_reference", F.explode(F.map_keys("assets")).alias("policy_id"))
-        .dropDuplicates(["output_reference", "policy_id"])
+    # W4 insertPolicies (SQLite.hs:846-856): one (output_reference,
+    # policy_id) row per asset policy of each produced output.  No dedup
+    # pass: `produced` carries each output exactly once (the same W1
+    # invariant above) and map keys are unique within one `assets` map, so
+    # the exploded pairs are distinct by construction — a dropDuplicates
+    # here is a full exchange + aggregate re-proving that invariant over
+    # every pair at every scale (guide §2.4: a distinct on already-unique
+    # data), removed r11.
+    policies = produced.select(
+        "output_reference", F.explode(F.map_keys("assets")).alias("policy_id")
     )
     assets = (
         produced.select("output_reference", F.explode("assets").alias("policy_id", "amap"))

@@ -97,7 +97,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # derive from the session's actual core count, same rule as get_spark —
+    # a hard-coded 32 would size the handed-in session's shuffles for the
+    # full host even when the driver runs it at a lower core count (r11)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(spark.sparkContext.defaultParallelism, 8)),
+    )
     try:
         spark.conf.set(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"

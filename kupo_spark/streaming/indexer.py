@@ -541,9 +541,13 @@ class StreamingIndexer:
             .dropDuplicates(["script_hash"])
             .drop("batch_seq")
         )
-        policies = (
-            produced.select("output_reference", F.explode(F.map_keys("assets")).alias("policy_id"))
-            .dropDuplicates(["output_reference", "policy_id"])
+        # no dedup pass (r11, same argument as build_index's W4): the
+        # row_number window above leaves exactly ONE surviving row per
+        # output_reference — across replays and rollback re-indexes — and
+        # map keys are unique within one assets map, so the exploded pairs
+        # are distinct by construction
+        policies = produced.select(
+            "output_reference", F.explode(F.map_keys("assets")).alias("policy_id")
         )
         assets = (
             produced.select("output_reference", F.explode("assets").alias("policy_id", "amap"))

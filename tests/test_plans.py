@@ -98,12 +98,32 @@ def test_column_pruning_reaches_scan(disk_index):
     assert "assets" not in plan.split("ReadSchema")[1].split("\n")[0]
 
 
-def test_policy_semi_join_plan(disk_index):
-    df = fold_inputs(disk_index, f"{cs.policy_id_of(3)}.*")
-    plan = formatted_plan(df)
-    assert "LeftSemi" in plan
-    # the policy filter is pushed into the policies side-table scan
-    assert f"EqualTo(policy_id,{cs.policy_id_of(3)})" in plan
+def test_policy_semi_join_plan(disk_index, spark):
+    """P9 is size-adaptive (r11): a small inputs estimate compiles to the
+    pushed map-key predicate (no join machinery at all); at scale (advisory
+    shrunk to 1 byte) the fold keeps kupo's join-index plan — the narrow
+    policies scan with the policy filter pushed down, semi-joined on
+    output_reference.  Both return identical rows."""
+    pol = f"{cs.policy_id_of(3)}.*"
+    small_df = fold_inputs(disk_index, pol)
+    small_plan = formatted_plan(small_df)
+    assert "LeftSemi" not in small_plan
+    # the predicate compiles to array_contains(map_keys(assets), policy)
+    assert "map_keys(assets" in small_plan
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(key, "64MB")
+    spark.conf.set(key, "1b")
+    try:
+        big_df = fold_inputs(disk_index, pol)
+        plan = formatted_plan(big_df)
+        assert "LeftSemi" in plan
+        # the policy filter is pushed into the policies side-table scan
+        assert f"EqualTo(policy_id,{cs.policy_id_of(3)})" in plan
+    finally:
+        spark.conf.set(key, prev)
+    a = sorted(map(tuple, small_df.collect()))
+    b = sorted(map(tuple, big_df.collect()))
+    assert a == b and len(a) > 0
 
 
 def test_pruned_scan_matches_unpruned_results(disk_index, index):
@@ -260,3 +280,43 @@ def test_prune_utxo_horizon_is_broadcast(spark, blocks):
     idx = build_index(blocks, ("*",), prune_utxo=True)
     plan = formatted_plan(idx.inputs)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_policies_pairs_compile_without_dedup_exchange(spark):
+    """W4 (r11): (output_reference, policy_id) pairs are distinct by
+    construction — each produced output appears exactly once (the W1
+    invariant) and map keys are unique within one assets map — so the
+    policies derivation must compile with NO Exchange/aggregate at all,
+    and the rows must still come out pair-distinct."""
+    import re
+
+    from kupo_spark.chaingen import blocks_from_events, load_events
+    from kupo_spark.operators.indexer import build_index
+
+    blk = blocks_from_events(load_events(spark, "/root/testdata/sf0.001"))
+    idx = build_index(blk)
+    plan = formatted_plan(idx.policies)
+    assert re.search(r"\(\d+\) Exchange", plan) is None
+    assert "HashAggregate" not in plan
+    n = idx.policies.count()
+    assert n > 0
+    assert n == idx.policies.dropDuplicates(
+        ["output_reference", "policy_id"]
+    ).count()
+
+
+def test_contamination_corpus_side_reaches_bench_join_unshuffled(spark):
+    """r11: contamination feeds the NON-distinct shingle stream into the
+    broadcast bench join and de-duplicates the survivors (countDistinct
+    above the join) — so no Exchange may sit between the join and the
+    corpus Generate below it (the old plan paid a corpus-wide
+    dropDuplicates exchange there)."""
+    from kupo_spark.functions.sampling import contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = formatted_plan(contamination(docs, ["a b c d"], n=3))
+    tree = plan.split("\n\n")[0].splitlines()
+    ji = next(i for i, l in enumerate(tree) if "BroadcastHashJoin" in l)
+    gi = next(i for i, l in enumerate(tree) if "Generate" in l)
+    assert ji < gi, "corpus Generate must sit below the bench join"
+    assert not any("Exchange" in l for l in tree[ji + 1 : gi])

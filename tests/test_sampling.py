@@ -118,3 +118,18 @@ def test_mix_by_source_rejects_bad_fractions(spark):
         mix_by_source(docs, {"src0": 1.5})
     with pytest.raises(ValueError):
         mix_by_source(docs, {"src0": 0.5}, default=-0.1)
+
+
+def test_contamination_dedups_repeated_shingles_post_filter(spark):
+    """r11: the default feed is the NON-distinct shingle stream (the
+    dedup happens after the bench join, over hit rows only) — a document
+    whose token stream repeats a benchmark n-gram must still count it
+    exactly once."""
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "q r s t u")],
+        "doc_id long, text string",
+    )
+    # doc1's 3-gram stream is [a b c, b c a, c a b, a b c] — 'a b c' twice
+    out = {r.doc_id: r.n_contaminated_shingles for r in
+           contamination(docs, ["a b c"], n=3, min_hits=1).collect()}
+    assert out == {1: 1, 2: 0}

@@ -87,6 +87,14 @@ def test_unscoped_batch_replay_is_idempotent_at_resolve(spark, blocks, tmp_path)
     again = ix.resolved_index(spark)
     assert again.inputs.count() == once
     assert again.checkpoints.count() == 20
+    # r11: the resolved policies pairs carry no dedup pass (the produced
+    # window leaves one row per output_reference) — replayed versions must
+    # still resolve to pair-distinct rows
+    n_pol = again.policies.count()
+    assert n_pol > 0
+    assert n_pol == again.policies.dropDuplicates(
+        ["output_reference", "policy_id"]
+    ).count()
 
 
 def test_crashed_publish_is_invisible_until_cataloged(spark, blocks, tmp_path):
