@@ -459,6 +459,39 @@ class Serving:
 
         return stream_and_maybe_cache()
 
+    def get_framed(self, content_type: str, pattern="*", **kwargs) -> bytes | None:
+        """Fully-framed chunked HTTP body for a non-point GET /matches, or
+        None when this (pattern, params, content-type) has not streamed to
+        completion yet on this snapshot.  The streaming handler re-encoded
+        every cached row string and re-built every 32 KiB chunk frame per
+        request — 14k ``str.encode`` calls per policy response, serialized
+        by the GIL across concurrent clients; a repeat should be ONE
+        pre-assembled write, exactly like the point-lookup body path.
+        Snapshot-tied like every other entry here (swaps build a new
+        Serving; ``inherit_hot`` re-renders rather than copying, so a
+        framed body can never outlive its index)."""
+        ck = (
+            "framed_body",
+            content_type,
+            self._pattern_key(pattern),
+            tuple(sorted(kwargs.items())),
+        )
+        return self._row_cache.get(ck)
+
+    def put_framed(self, content_type: str, body: bytes, pattern="*", **kwargs) -> None:
+        """Cache a fully-delivered framed body (byte-weighted in the same
+        bounded LRU as row pages; over-bound bodies are simply not kept —
+        the handler streamed them to the client already)."""
+        if len(body) > self.ROW_CACHE_MAX_ENTRY_BYTES:
+            return
+        ck = (
+            "framed_body",
+            content_type,
+            self._pattern_key(pattern),
+            tuple(sorted(kwargs.items())),
+        )
+        self._row_cache.put(ck, body, len(body))
+
     def serve_json_body(self, pattern="*", **kwargs) -> bytes | None:
         """Fully-assembled JSON array body for a POINT lookup (P7/P8), or
         None for any other shape.  The handler sends it in ONE write with

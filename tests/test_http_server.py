@@ -119,6 +119,39 @@ def test_matches_wildcard_streams_all_rows(server, index):
     assert slots == sorted(slots, reverse=True)
 
 
+def test_matches_wide_repeat_is_preframed_and_wire_identical(server):
+    """A repeated wide GET /matches is answered from the snapshot's framed
+    cache — ONE pre-assembled write — and the replayed chunked body is
+    byte-identical to the streamed first response (same chunk boundaries,
+    same payload), so the optimization is invisible on the wire."""
+    import socket
+
+    host, port = server.url.split("//")[1].split(":")
+
+    def raw_get(path):
+        with socket.create_connection((host, int(port)), timeout=120) as s:
+            s.sendall(
+                f"GET {path} HTTP/1.1\r\nHost: {host}\r\n"
+                "Connection: close\r\n\r\n".encode()
+            )
+            data = b""
+            while True:
+                b = s.recv(1 << 16)
+                if not b:
+                    break
+                data += b
+        head, _, body = data.partition(b"\r\n\r\n")
+        return head, body
+
+    head1, body1 = raw_get("/matches")
+    assert b"Transfer-Encoding: chunked" in head1
+    # the full delivery teed the framed bytes onto the snapshot's cache
+    assert any(k[0] == "framed_body" for k in server.serving._row_cache.keys())
+    head2, body2 = raw_get("/matches")
+    assert b"Transfer-Encoding: chunked" in head2
+    assert body2 == body1
+
+
 def test_matches_rendered_addresses_flag(spark, index, blocks):
     """A server built with rendered_addresses=True serves wire-text
     addresses (addressToJson — kupo's always-on behavior); base-address
