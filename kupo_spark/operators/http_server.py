@@ -621,8 +621,16 @@ def _make_handler(srv: KupoHttpServer):
             self.wfile.write(b"0\r\n\r\n")
 
         def _send_framed(self, framed: bytes, content_type: str, extra=()):
-            """Replay a cached fully-framed chunked body in one write —
-            wire-identical to the streamed response it was teed from."""
+            """Replay a cached fully-framed chunked body — wire-identical
+            to the streamed response it was teed from.  Written in 64 KiB
+            slices, not one ``sendall``: measured 8-way on the 330 KB
+            delegation body, a single giant write serialized delivery
+            across the concurrent handler threads (avg 65 ms vs 33 ms for
+            the streamed path) while 32–64 KiB slices ran 23–25 ms; the
+            8.6 MB policy body measured within ~6% either way and
+            1-client latency is identical, so bounded slices are the
+            robust shape (and a mainnet-scale body never sits in one
+            kernel send call)."""
             self._headers_sent = True
             self.send_response(200)
             self.send_header("Content-Type", content_type)
@@ -631,7 +639,9 @@ def _make_handler(srv: KupoHttpServer):
             for k, v in extra:
                 self.send_header(k, v)
             self.end_headers()
-            self.wfile.write(framed)
+            view = memoryview(framed)
+            for i in range(0, len(view), 65536):
+                self.wfile.write(view[i : i + 65536])
 
         # -- routing ------------------------------------------------------
 
