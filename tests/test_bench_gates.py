@@ -376,12 +376,51 @@ def test_http_refresh_can_only_lower_a_committed_shape(compose_env, monkeypatch)
     bh.write_report(stats(0.046), 0.1, out_path=None)  # slower, in-band
     doc = json.loads((tmp / "HTTP_BENCH.json").read_text())
     assert doc["shapes"]["exact_address"]["avg"] == 0.024
-    assert doc["aggregation"]["n_attempts"] == 2
+    # 2 logged attempts + the committed artifact seeding the pool
+    assert doc["aggregation"]["n_attempts"] == 3
     assert doc["aggregation"]["shape_source"]["exact_address"]
     # and a genuinely faster refresh lowers it
     bh.write_report(stats(0.020), 0.1, out_path=None)
     doc = json.loads((tmp / "HTTP_BENCH.json").read_text())
     assert doc["shapes"]["exact_address"]["avg"] == 0.020
+
+
+def test_http_committed_artifact_seeds_pool_after_reset(compose_env, monkeypatch):
+    """The attempts log lives in gitignored .bench/, so an environment
+    reset wipes it while the committed artifact survives.  The committed
+    file records the fp it was composed at; when that matches the current
+    code it must re-enter the pool, so a single fresh slower capture still
+    cannot replace the better committed record (it happened in r11: a
+    cold-JVM capture overwrote every shape ~2x slower at the same fp)."""
+    import bench_http as bh
+
+    bc, tmp = compose_env
+    monkeypatch.setattr(bh, "REPO", tmp)
+    monkeypatch.setattr(bc, "engine_fingerprint", lambda: "fp1")
+
+    def stats(avg):
+        return {
+            "protocol": "t",
+            "exact_address": {"avg": avg, "p50": avg, "p95": avg},
+            "http_stack_floor_1client": {"avg": 0.0005},
+        }
+
+    bh.write_report(stats(0.024), 0.1, out_path=None)  # settled, committed
+    # simulate the environment reset: the pool is gone, the artifact stays
+    (tmp / ".bench" / "http-attempts.jsonl").unlink()
+    bh.write_report(stats(0.046), 0.1, out_path=None)  # cold-JVM capture
+    doc = json.loads((tmp / "HTTP_BENCH.json").read_text())
+    assert doc["shapes"]["exact_address"]["avg"] == 0.024
+    assert doc["aggregation"]["shape_source"]["exact_address"].startswith(
+        "committed:"
+    )
+    # a committed artifact from DIFFERENT code must never seed: new code
+    # has to re-measure, not inherit old numbers
+    (tmp / ".bench" / "http-attempts.jsonl").unlink()
+    monkeypatch.setattr(bc, "engine_fingerprint", lambda: "fp2")
+    bh.write_report(stats(0.046), 0.1, out_path=None)
+    doc = json.loads((tmp / "HTTP_BENCH.json").read_text())
+    assert doc["shapes"]["exact_address"]["avg"] == 0.046
 
 
 def test_http_compose_resets_on_engine_change(compose_env, monkeypatch):
