@@ -182,9 +182,18 @@ def minhash_signatures_wide(
     the signature scan — and the arithmetic is exact int64 in Spark and
     DuckDB alike (both parse the hex halves to the same bigint).
 
-    ``sh`` lets a caller that already materialized the shingle table (the
+    The distinct pass in the default :func:`shingles` feed is FREE here:
+    ``min`` is duplicate-insensitive, so Catalyst's
+    ``RemoveRedundantAggregates`` (SPARK-33122) eliminates the
+    ``dropDuplicates`` aggregate below this groupBy outright — the
+    compiled plan is identical to feeding the raw :func:`shingle_stream`
+    (verified: both plans carry exactly ONE Exchange, the doc_id groupBy
+    of the map-side partial mins; pinned by
+    ``test_signatures_from_raw_stream_equal_distinct_feed``).
+
+    ``sh`` lets a caller that already materialized a shingle table (the
     verification path needs it too) share it instead of re-running the
-    explode + distinct shuffle."""
+    explode."""
     if sh is None:
         sh = shingles(docs, k)
     M = MINHASH_MOD

@@ -80,6 +80,12 @@ def get_spark(app_name: str = "kupo-spark", cpus: str | None = None) -> SparkSes
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd parquet (guide §6/§9): the written index shrinks 25 -> 17 MB
+        # at sf0.1 (-32% I/O at every scale) with fold latency measured at
+        # parity against snappy (interleaved A/B over pre-written layouts:
+        # exact 0.160 vs 0.175 s, policy 0.321 vs 0.329, deleg 0.173 vs
+        # 0.165 medians) and steady-state write_inputs no slower (r11)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # driver-generated parquet uses TIMESTAMP(NANOS); map to LONG
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
@@ -97,6 +103,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    # zstd parquet, same rationale as get_spark (runtime-settable)
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
     # derive from the session's actual core count, same rule as get_spark —
     # a hard-coded 32 would size the handed-in session's shuffles for the
     # full host even when the driver runs it at a lower core count (r11)

@@ -144,6 +144,50 @@ def test_shingle_arrays_equal_exploded_shingles(spark):
     assert "Exchange" not in formatted_plan(arr)
 
 
+def test_signatures_from_raw_stream_equal_distinct_feed(spark):
+    """r11 (examined, left alone — this pins WHY): min over a multiset
+    equals min over its support set, so the min-hash signatures are
+    invariant to per-doc shingle duplication, and Catalyst's
+    RemoveRedundantAggregates (SPARK-33122) already deletes the distinct
+    aggregate below the duplicate-insensitive min groupBy — BOTH feeds
+    compile to one Exchange (the doc_id groupBy of the partial mins) and
+    bit-identical signatures.  If a future change blocks the rule (e.g.
+    an expression the optimizer cannot see through), the distinct feed
+    regains a corpus-wide shingle-string shuffle and this test fails."""
+    from kupo_spark.functions.dedup import (
+        minhash_signatures_wide,
+        shingle_stream,
+        shingles,
+    )
+    from kupo_spark.plans.explain import formatted_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c d e"),  # duplicated shingles within the doc
+            (2, "a b c d e"),
+            (3, "x y"),  # < k tokens: no shingles, no signature row
+            (4, "q w e r t y u"),
+        ],
+        "doc_id long, text string",
+    )
+    new = minhash_signatures_wide(docs, sh=shingle_stream(docs, 3))
+    old = minhash_signatures_wide(docs)  # default: distinct feed
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+    import re
+
+    def n_exchanges(df):
+        # count physical Exchange NODES (the formatted tree also names each
+        # node in its outline, so a raw substring count double-counts)
+        return len(re.findall(r"\(\d+\) Exchange", formatted_plan(df)))
+
+    raw = minhash_signatures_wide(docs, sh=shingle_stream(docs, 3))
+    distinct_fed = minhash_signatures_wide(docs, sh=shingles(docs, 3))
+    # both plans: only the doc_id groupBy of the partial mins shuffles —
+    # the optimizer removed the distinct feed's dropDuplicates aggregate
+    assert n_exchanges(raw) == 1
+    assert n_exchanges(distinct_fed) == 1
+
+
 def test_default_and_guarded_paths_agree_when_cap_is_loose(docs):
     """r11: the default (array-set) verification path and the max_df
     guarded (exploded capped) path share results exactly when the cap is

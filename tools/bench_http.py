@@ -595,10 +595,19 @@ def verify_committed() -> None:
         and a.get("floor_1client") is not None
         and a["floor_1client"] <= FLOOR_BAND_S
     ]
+    # the committed file is itself a pool member (same seeding rule the
+    # compose uses): after an environment reset wipes the gitignored log,
+    # the invariant is still checkable — no surviving same-code attempt
+    # may sit BELOW a committed shape (the committed value would then not
+    # be the compose min)
+    seeded = _committed_as_attempt(fp, sf)
+    if seeded is not None:
+        pool.append(seeded)
     if not pool:
         raise SystemExit(
             f"[http-invariant] no in-band attempts for engine_fp {fp} in "
-            "the log — the committed file cannot be its own compose"
+            "the log and the committed file is not seed-eligible — it "
+            "cannot be its own compose"
         )
     for name, st in doc.get("shapes", {}).items():
         avgs = [
