@@ -592,14 +592,28 @@ def _sampled_seed_rows(
     fraction-sample of the corpus (uniform over rows, so seed mass follows
     data mass in expectation), collected (~``oversample``·n rows), then
     stride-picked by vec_id order driver-side.  The distributed part is
-    Scan→Sample→Project only — no Window, no repartition, no
+    Scan→Filter→Project only — no Window, no repartition, no
     single-partition stage — which is what makes rebalance safe to run on
-    a 100 TB store (VERDICT r6 #2).  Deterministic given the fixed sample
-    seed.  The executed plan of the seed scan is stashed on the index
-    (``_last_seed_plan``) so the plan-golden test can assert the
-    no-exchange property instead of trusting this docstring."""
+    a 100 TB store (VERDICT r6 #2).
+
+    The sample is a CONTENT-KEYED Bernoulli filter
+    (``xxhash64(vec_id, seed) mod M < frac·M``), not ``DataFrame.sample``:
+    the built-in sampler seeds its RNG per PARTITION INDEX and consumes it
+    in row order, so its output changes whenever scan-split packing or
+    intra-file row order shifts (observed: two rebalances of byte-identical
+    stores in one session sampling different rows), and a retried task
+    re-draws different rows (the guide-§2.5 rand-repartition hazard).  The
+    hash filter selects the same vec_ids under ANY partitioning, row
+    order, task retry, or file layout — genuinely deterministic, same
+    plan shape, same cost.  The executed plan of the seed scan is stashed
+    on the index (``_last_seed_plan``) so the plan-golden test can assert
+    the no-exchange property instead of trusting this docstring."""
     frac = min(1.0, (oversample * n) / max(1, total))
-    sampled = vecs.sample(fraction=frac, seed=421).select("vec_id", "q")
+    M = 1 << 30
+    sampled = vecs.where(
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(421)), F.lit(M))
+        < F.lit(int(frac * M))
+    ).select("vec_id", "q")
     ix._last_seed_plan = sampled._jdf.queryExecution().executedPlan().toString()
     rows = sampled.collect()
     if not rows:  # pathological sample on a tiny corpus: take everything

@@ -963,6 +963,7 @@ def test_front_workers_serve_point_lookups_across_swap(tmp_path):
     subsequent lookups are answered in-process by the forked workers
     (X-Worker-Pid spread across >1 pid) with the post-swap checkpoint."""
     import os
+    import http.client
     import time
 
     from kupo_spark import chainspec as cs
@@ -998,7 +999,15 @@ def test_front_workers_serve_point_lookups_across_swap(tmp_path):
         deadline = time.time() + 240
         pids: set[int] = set()
         while time.time() < deadline:
-            s, hdrs, body = _raw_get(front.url, point)
+            try:
+                s, hdrs, body = _raw_get(front.url, point)
+            except (ConnectionError, http.client.HTTPException, OSError):
+                # the loop spans a worker-generation roll: a fresh
+                # connection can land in a retiring worker's backlog and
+                # be closed without a response (the bounded roll window a
+                # real client retries through) — keep polling
+                time.sleep(0.3)
+                continue
             assert s == 200 and json.loads(body)
             if (
                 "X-Worker-Pid" in hdrs
