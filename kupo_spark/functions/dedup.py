@@ -337,29 +337,44 @@ def minhash_near_dup_pairs(
     # table down to candidate ids before the pairwise intersection join —
     # broadcast when candidates are sparse (the common case), shuffle
     # semi-join when a dup-saturated corpus makes them corpus-sized.
-    ids = cand.select(F.col("doc_a").alias("doc_id")).union(cand.select("doc_b"))
-    # broadcast path: semi-join dedups by itself, so skip the distinct (a
-    # shuffle + extra job) and ship the raw 2·|cand| id list; the shuffle
-    # fallback keeps distinct to bound the exchanged volume.
-    ids = F.broadcast(ids) if 2 * n_cand <= broadcast_id_limit else ids.distinct()
-    # gather each candidate doc's (distinct) shingle set into ONE array row,
-    # then verify pairs with array_intersect: two equi-joins replace the
-    # posting-list plan (join-on-shingle + groupBy + two count joins).
-    # Array size is bounded by document length, and the per-pair replication
-    # of a hot doc's array matches the posting-list replication volume, so
-    # the scale behavior is unchanged.  On the default path the sets come
-    # straight off the cached arrays (no groupBy); the capped path gathers
-    # the capped exploded rows as before.
-    if arr is not None:
-        sets = arr.join(ids, "doc_id", "left_semi").select(
-            "doc_id", "shs", F.size("shs").alias("n")
-        )
+    # When the whole array table fits one advisory partition AND the pair
+    # list broadcasts, the semi-join is pure overhead (r12, guide §2.4):
+    # the broadcast pair joins below already restrict the probe side to
+    # candidate rows, so the id union + broadcast build + two probe passes
+    # buy nothing — measured 569 -> 446 ms median on the full pipeline at
+    # the bench corpus, pairs identical.  A big (or unestimable) array
+    # table keeps the pre-filter: at scale it bounds the shingle-array
+    # bytes that reach the pair joins' exchanges.
+    from kupo_spark.operators.fold_inputs import plan_is_small
+
+    pairs_broadcast = 2 * n_cand <= broadcast_id_limit
+    if arr is not None and pairs_broadcast and plan_is_small(arr):
+        sets = arr.select("doc_id", "shs", F.size("shs").alias("n"))
     else:
-        sets = (
-            sh.join(ids, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_list("sh").alias("shs"), F.count("*").alias("n"))
-        )
+        ids = cand.select(F.col("doc_a").alias("doc_id")).union(cand.select("doc_b"))
+        # broadcast path: semi-join dedups by itself, so skip the distinct (a
+        # shuffle + extra job) and ship the raw 2·|cand| id list; the shuffle
+        # fallback keeps distinct to bound the exchanged volume.
+        ids = F.broadcast(ids) if pairs_broadcast else ids.distinct()
+        # gather each candidate doc's (distinct) shingle set into ONE array
+        # row, then verify pairs with array_intersect: two equi-joins replace
+        # the posting-list plan (join-on-shingle + groupBy + two count
+        # joins).  Array size is bounded by document length, and the
+        # per-pair replication of a hot doc's array matches the posting-list
+        # replication volume, so the scale behavior is unchanged.  On the
+        # default path the sets come straight off the cached arrays (no
+        # groupBy); the capped path gathers the capped exploded rows as
+        # before.
+        if arr is not None:
+            sets = arr.join(ids, "doc_id", "left_semi").select(
+                "doc_id", "shs", F.size("shs").alias("n")
+            )
+        else:
+            sets = (
+                sh.join(ids, "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.collect_list("sh").alias("shs"), F.count("*").alias("n"))
+            )
     a = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"), F.col("n").alias("na")
     )

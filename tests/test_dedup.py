@@ -225,3 +225,27 @@ def test_ngram_default_array_path_matches_capped_plan(docs):
         for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=10**9).collect()
     )
     assert array_path == exploded_path and len(array_path) > 0
+
+
+def test_small_corpus_verification_skips_id_semi_join(docs, spark):
+    """r12: when the shingle-array table fits one advisory partition and
+    the pair list broadcasts, the candidate-id pre-filter (union +
+    broadcast + left-semi probe) is skipped — the broadcast pair joins
+    already restrict the probe side to candidate rows.  Forcing the
+    at-scale regime (advisory shrunk to 1 byte) must bring the semi-join
+    back, and both regimes must return the identical pair set."""
+    from kupo_spark.plans.explain import formatted_plan
+
+    small = minhash_near_dup_pairs(docs, threshold=0.5)
+    assert "LeftSemi" not in formatted_plan(small)
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(key, "64MB")
+    spark.conf.set(key, "1b")
+    try:
+        big = minhash_near_dup_pairs(docs, threshold=0.5)
+        assert "LeftSemi" in formatted_plan(big)
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, big.collect())
+        )
+    finally:
+        spark.conf.set(key, prev)
