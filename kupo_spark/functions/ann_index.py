@@ -566,7 +566,9 @@ class VectorIndex:
                 "query_id long, neighbor_id long, adist long",
             )
             return _pq._adc_rank(scored, k)
-        return topk_merge(_keyed_vector_scores(corpus, "centroid_id", probe), k)
+        return topk_merge(
+            _keyed_vector_scores(corpus, "centroid_id", probe, prefilter_k=k), k
+        )
 
     def _search_view(self, stored: DataFrame) -> DataFrame:
         """The stored frame as the scoring kernels expect it: ivf_sq8

@@ -108,6 +108,48 @@ def _valid(df: DataFrame, col: str = "q") -> DataFrame:
     return df.where(F.col(col).isNotNull() & (F.size(col) == DIM))
 
 
+#: superset margin of the per-batch pre-top-k (see _topk_superset_mask).
+#: round(cos, 6) can only reorder two rows whose raw cosines differ by
+#: ≤ 1e-6, so keeping everything within 1e-6 of the batch's k-th best raw
+#: cosine provably retains every row the global rounded ranking can place
+#: in its top k; 2e-6 adds slack for free (a few extra survivor rows).
+_TOPK_EPS = 2e-6
+
+
+def _topk_superset_mask(dots, nc, nq, neighbor_ids, qids, k):
+    """Boolean (batch × queries) mask keeping a provable SUPERSET of each
+    query's global top-k candidates from this batch (guide §2.3: aggregate
+    before you shuffle — the scorer emits ~k rows per query per batch
+    instead of the whole cross product, shrinking the rank exchange's
+    input from corpus × queries to batches × k × queries at every scale).
+
+    Exactness: the global ranking key is (round(cosine, 6) DESC,
+    neighbor_id ASC).  The raw cosine here is the bit-identical IEEE
+    sequence the JVM evaluates (int64→double exact at quantized
+    magnitudes, correctly-rounded sqrt/mul/div), and |a−b| > 1e-6 implies
+    round(a,6) ≠ round(b,6), so any row that the rounded key can rank
+    above a batch's k-th best raw value lies within _TOPK_EPS of it —
+    the mask keeps all of them.  NaN cosines (zero-norm vectors) sort
+    FIRST under Spark's DESC ordering, so NaN rows are kept
+    unconditionally; self-pairs are dropped here (the caller no longer
+    re-filters)."""
+    import numpy as np
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        raw = dots / (
+            np.sqrt(nc.astype(np.float64))[:, None]
+            * np.sqrt(nq.astype(np.float64))[None, :]
+        )
+    self_mask = neighbor_ids[:, None] == qids[None, :]
+    nan_keep = np.isnan(raw) & ~self_mask
+    work = np.where(self_mask | np.isnan(raw), -np.inf, raw)
+    nb = work.shape[0]
+    if nb <= k:
+        return ~self_mask
+    kth = np.partition(work, nb - k, axis=0)[nb - k]
+    return (nan_keep | (work >= kth - _TOPK_EPS)) & ~self_mask
+
+
 def _join_scored(corpus_keyed: DataFrame, queries_keyed: DataFrame, keys: list[str]) -> DataFrame:
     """Distributed pairing: equi-join quantized queries × corpus on the
     restriction ``keys`` (empty = brute-force cartesian), with both sides'
@@ -191,16 +233,25 @@ def brute_force_topk(
             cmat = np.array(pdf["q"].tolist(), dtype=np.int64)
             nc = (cmat * cmat).sum(axis=1)
             dots = cmat @ qmat.T  # (batch, n_q) exact int64
-            out = pd.DataFrame(
+            # per-batch pre-top-k (r12, guide §2.3): only a provable
+            # superset of each query's global top-k leaves the scan —
+            # batches × k × queries rows reach the rank exchange instead
+            # of corpus × queries (and that many fewer rows cross the
+            # Arrow boundary back to the JVM)
+            nids = pdf["vec_id"].values.astype(np.int64)
+            keep = _topk_superset_mask(dots, nc, nq, nids, qids, k)
+            ri, qi = np.nonzero(keep)
+            if len(ri) == 0:
+                continue
+            yield pd.DataFrame(
                 {
-                    "neighbor_id": np.repeat(pdf["vec_id"].values, n_q),
-                    "nc": np.repeat(nc, n_q),
-                    "query_id": np.tile(qids, len(pdf)),
-                    "nq": np.tile(nq, len(pdf)),
-                    "dot": dots.reshape(-1),
+                    "neighbor_id": nids[ri],
+                    "nc": nc[ri],
+                    "query_id": qids[qi],
+                    "nq": nq[qi],
+                    "dot": dots[ri, qi],
                 }
             )
-            yield out[out.neighbor_id != out.query_id]
 
     scored = q.mapInPandas(
         score, "neighbor_id long, nc long, query_id long, nq long, dot long"
@@ -214,11 +265,22 @@ def brute_force_topk(
     return topk_merge(scored, k)
 
 
-def _keyed_vector_scores(corpus: DataFrame, key_col: str, keyed_query_rows) -> DataFrame:
+def _keyed_vector_scores(
+    corpus: DataFrame, key_col: str, keyed_query_rows, prefilter_k: int | None = None
+) -> DataFrame:
     """Score a keyed corpus frame (vec_id, q, `key_col`) against per-key
     query sets with one int64 numpy matmul per (Arrow batch × key) — the
     shared scale engine of every partition-restricted ANN variant (IVF
     cell, LSH bucket, label filter).
+
+    ``prefilter_k`` (r12, guide §2.3): when the caller immediately ranks
+    the scored stream to its top ``k`` (every production consumer does),
+    each (batch × key) group emits only a provable SUPERSET of the global
+    top-k rows (see :func:`_topk_superset_mask`) instead of the full
+    group × queries cross product — the rank exchange and the
+    Python→JVM Arrow transfer carry ~k rows per query per batch at every
+    scale.  ``None`` keeps the full scored stream (callers that consume
+    raw scores).
 
     The (broadcast-small by contract) query rows are snapshotted to the
     driver and ride the task closure grouped by key: the corpus scan needs
@@ -253,9 +315,25 @@ def _keyed_vector_scores(corpus: DataFrame, key_col: str, keyed_query_rows) -> D
                 nc = (cmat * cmat).sum(axis=1)
                 dots = cmat @ qmat.T  # (batch, n_q) exact int64
                 n_q = len(qids)
+                nids = grp["vec_id"].values.astype(np.int64)
+                if prefilter_k is not None:
+                    keep = _topk_superset_mask(dots, nc, nq, nids, qids, prefilter_k)
+                    ri, qi = np.nonzero(keep)
+                    if len(ri) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "neighbor_id": nids[ri],
+                            "nc": nc[ri],
+                            "query_id": qids[qi],
+                            "nq": nq[qi],
+                            "dot": dots[ri, qi],
+                        }
+                    )
+                    continue
                 out = pd.DataFrame(
                     {
-                        "neighbor_id": np.repeat(grp["vec_id"].values, n_q),
+                        "neighbor_id": np.repeat(nids, n_q),
                         "nc": np.repeat(nc, n_q),
                         "query_id": np.tile(qids, len(grp)),
                         "nq": np.tile(nq, len(grp)),
@@ -292,7 +370,7 @@ def label_filtered_topk(
         scored = _join_scored(q, q.where(F.col("vec_id") < n_queries), ["label"])
         return topk_merge(scored, k)
     qrows = q.where(F.col("vec_id") < n_queries).collect()
-    scored = _keyed_vector_scores(q, "label", qrows)
+    scored = _keyed_vector_scores(q, "label", qrows, prefilter_k=k)
     return topk_merge(scored, k)
 
 
@@ -700,7 +778,7 @@ def ivf_topk(
     else:
         queries = q.where(F.col("vec_id") < n_queries)
         qrows = _probe_rows(queries.collect(), crows, nprobe)
-    scored = _keyed_vector_scores(qa, "centroid_id", qrows)
+    scored = _keyed_vector_scores(qa, "centroid_id", qrows, prefilter_k=k)
     return topk_merge(scored, k)
 
 
@@ -722,5 +800,5 @@ def lsh_topk(
         scored = _join_scored(qb, qb.where(F.col("vec_id") < n_queries), ["bucket"])
         return topk_merge(scored, k)
     qrows = qb.where(F.col("vec_id") < n_queries).collect()
-    scored = _keyed_vector_scores(qb, "bucket", qrows)
+    scored = _keyed_vector_scores(qb, "bucket", qrows, prefilter_k=k)
     return topk_merge(scored, k)

@@ -350,3 +350,49 @@ def test_semantic_dedup_verdict_is_order_invariant(spark):
     a = sorted(map(tuple, semantic_dedup(emb, threshold=0.3).collect()))
     b = sorted(map(tuple, semantic_dedup(emb.repartition(7), threshold=0.3).collect()))
     assert a == b
+
+
+def test_batch_pre_topk_is_exact_superset(spark):
+    """r12 (guide §2.3): the closure-path scorers emit only a per-batch
+    SUPERSET of each query's global top-k (margin rows within _TOPK_EPS of
+    the batch's k-th best raw cosine survive), so the rank exchange and
+    the Arrow transfer carry ~k rows per query per batch instead of the
+    whole cross product.  The ranked output must stay bit-identical to
+    the untouched distributed (join) path — including on a corpus built
+    of exact ties crossing the k boundary, where the rounded ranking key
+    falls back to neighbor_id order."""
+    rows = [(i, [0.5] * 64) for i in range(40)]  # 40 identical vectors
+    for i in range(40, 60):  # near-ties straddling round(·, 6) boundaries
+        v = [0.5] * 64
+        v[0] = 0.5 + (i - 50) * 1e-7
+        rows.append((i, v))
+    ties = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    closure = sorted(
+        map(tuple, brute_force_topk(ties, n_queries=8, k=5).collect())
+    )
+    joined = sorted(
+        map(tuple, brute_force_topk(ties, n_queries=8, k=5, distributed=True).collect())
+    )
+    assert closure == joined and len(closure) == 8 * 5
+
+
+def test_batch_pre_topk_mask_boundaries():
+    """The superset mask keeps k-th-boundary ties and margin rows, drops
+    self-pairs, and keeps everything when the batch is smaller than k."""
+    import numpy as np
+
+    from kupo_spark.functions.similarity import _topk_superset_mask
+
+    # 6 corpus vectors scored against 1 query (vec 0 is the query itself);
+    # dots chosen so vectors 3/4/5 tie exactly at the k=2 boundary
+    nids = np.array([0, 1, 2, 3, 4, 5], dtype=np.int64)
+    qids = np.array([0], dtype=np.int64)
+    nq = np.array([4], dtype=np.int64)
+    nc = np.array([4, 4, 4, 4, 4, 4], dtype=np.int64)
+    dots = np.array([[4], [4], [3], [2], [2], [2]], dtype=np.int64)
+    keep = _topk_superset_mask(dots, nc, nq, nids, qids, 2)
+    assert not keep[0, 0]          # self-pair dropped
+    assert keep[1, 0] and keep[2, 0]  # the true top-2
+    # small batch: everything but self kept
+    keep_all = _topk_superset_mask(dots[:3], nc[:3], nq, nids[:3], qids, 5)
+    assert keep_all[1, 0] and keep_all[2, 0] and not keep_all[0, 0]
