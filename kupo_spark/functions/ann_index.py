@@ -562,7 +562,9 @@ class VectorIndex:
             qids, tabs = _pq._adc_tables(probe, self.meta["codebooks"])
             cells = np.array([r.centroid_id for r in probe], dtype=np.int64)
             scored = corpus.mapInPandas(
-                _pq._adc_cell_scorer(qids, tabs, cells, len(self.meta["codebooks"])),
+                _pq._adc_cell_scorer(
+                    qids, tabs, cells, len(self.meta["codebooks"]), prefilter_k=k
+                ),
                 "query_id long, neighbor_id long, adist long",
             )
             return _pq._adc_rank(scored, k)

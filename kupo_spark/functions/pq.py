@@ -385,11 +385,19 @@ def exact_rerank(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
     return topk_merge(scored, k)
 
 
-def _adc_cell_scorer(qids, tabs, cells, m):
+def _adc_cell_scorer(qids, tabs, cells, m, prefilter_k=None):
     """mapInPandas kernel scoring stored (vec_id, code, centroid_id) rows
     against closure-shipped per-probe ADC tables — each probe row only
     scores codes of its own cell.  Shared by :func:`ivf_pq_topk` and the
-    persisted :class:`~kupo_spark.functions.ann_index.VectorIndex`."""
+    persisted :class:`~kupo_spark.functions.ann_index.VectorIndex`.
+
+    ``prefilter_k`` (r12, guide §2.3): every consumer immediately ranks
+    the stream to its top ``k`` (``_adc_rank``), so each (batch × cell)
+    group emits only the rows with ``adist`` ≤ the group's k-th smallest
+    — ties at the boundary kept (ADC distances are exact int64, so the
+    comparison is exact; the merge's neighbor_id tiebreak settles them).
+    A provable superset of the global top-k leaves the scan: ~k rows per
+    probe per batch instead of the cell × probes cross product."""
     import numpy as np
     import pandas as pd
 
@@ -408,10 +416,34 @@ def _adc_cell_scorer(qids, tabs, cells, m):
                 dist = np.zeros((len(qi), n), dtype=np.int64)
                 for j in range(m):
                     dist += t[:, j, :][:, cmat[:, j]]
+                nids = grp["vec_id"].values.astype(np.int64)
+                if prefilter_k is not None:
+                    self_mask = qi[:, None] == nids[None, :]
+                    if n > prefilter_k:
+                        work = np.where(
+                            self_mask, np.iinfo(np.int64).max, dist
+                        )
+                        kth = np.partition(work, prefilter_k - 1, axis=1)[
+                            :, prefilter_k - 1
+                        ]
+                        keep = (work <= kth[:, None]) & ~self_mask
+                    else:
+                        keep = ~self_mask
+                    qr, nr = np.nonzero(keep)
+                    if len(qr) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qi[qr],
+                            "neighbor_id": nids[nr],
+                            "adist": dist[qr, nr],
+                        }
+                    )
+                    continue
                 out = pd.DataFrame(
                     {
                         "query_id": np.repeat(qi, n),
-                        "neighbor_id": np.tile(grp["vec_id"].values, len(qi)),
+                        "neighbor_id": np.tile(nids, len(qi)),
                         "adist": dist.reshape(-1),
                     }
                 )
@@ -478,7 +510,7 @@ def ivf_pq_topk(
         dtype=np.int64,
     )
     scored = codes.mapInPandas(
-        _adc_cell_scorer(qids, tabs, cells, len(codebooks)),
+        _adc_cell_scorer(qids, tabs, cells, len(codebooks), prefilter_k=k),
         "query_id long, neighbor_id long, adist long",
     )
     return _adc_rank(scored, k)

@@ -231,3 +231,33 @@ def test_refined_recall_non_decreasing_in_refine(spark):
         (r.query_id, r.neighbor_id) for r in _prt(emb, books, 10, 5, refine=1).collect()
     }
     assert r1set == adc
+
+
+def test_adc_prefilter_keeps_boundary_ties():
+    """r12 (guide §2.3): the ADC cell scorer's per-batch pre-top-k keeps
+    every row tied at the k-th smallest distance (exact int64 compare, no
+    epsilon) and drops self-pairs, so the merge's neighbor_id tiebreak
+    sees every row it could rank."""
+    import numpy as np
+    import pandas as pd
+
+    from kupo_spark.functions.pq import _adc_cell_scorer
+
+    # one probe row (query 0) on cell 7; m=1, 4 centroids; table maps
+    # code c -> distance [0, 5, 5, 9][c]
+    qids = np.array([0], dtype=np.int64)
+    tabs = np.array([[[0, 5, 5, 9]]], dtype=np.int64)
+    cells = np.array([7], dtype=np.int64)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3, 4],
+            "code": [[0], [1], [2], [3], [1]],
+            "centroid_id": [7, 7, 7, 7, 7],
+        }
+    )
+    score = _adc_cell_scorer(qids, tabs, cells, 1, prefilter_k=2)
+    out = pd.concat(list(score(iter([pdf]))))
+    kept = set(zip(out.query_id, out.neighbor_id, out.adist))
+    # self (vec 0, dist 0) dropped; k=2 smallest among rest = 5, with a
+    # three-way tie (vecs 1, 2, 4) all kept; dist 9 (vec 3) dropped
+    assert kept == {(0, 1, 5), (0, 2, 5), (0, 4, 5)}
